@@ -1,0 +1,85 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with the noop sink (full execution, no driver
+collect) — measures the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "s1_scan_filter_order",
+    "s2_dim_join_filter",
+    "x1_explode_pipe_list",
+    "p_clean_bundle",
+    "p9_keyword_tag",
+    "j1_preagg_join",
+    "j2_anti_join",
+    "w2_first_per_group",
+    "w4_dup_flag",
+    "e1_validate_partition",
+    "dedup_exact",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from extract_permits_spark.session import get_spark
+    from extract_permits_spark.plans import analytics
+
+    spark = get_spark("bench")
+    qs = analytics.queries()
+
+    # warm the JVM/IO path once (not timed)
+    force(qs["s3_scalar_max"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        force(qs[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    # flagship permit pipeline end-to-end (both partitions)
+    from extract_permits_spark.plans.permits import permits_from_tpch, run_pipeline
+
+    t0 = time.time()
+    permits_raw, universe = permits_from_tpch(spark, sf_dir)
+    upload, review = run_pipeline(permits_raw, universe)
+    force(upload)
+    force(review)
+    times["permit_pipeline"] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

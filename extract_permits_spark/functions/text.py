@@ -1,0 +1,149 @@
+"""Text-analysis functions for training-data pipelines.
+
+All pure ``pyspark.sql.functions`` expressions — language ID, quality
+scoring, token counting, and fingerprinting run inside codegen as a narrow
+map over the corpus: zero shuffles, linear scan, trivially scales to 100 TB
+of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + a BPE-ish subword estimate.
+# ---------------------------------------------------------------------------
+
+WORD_RE = r"\s+"
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/NULL."""
+    t = F.trim(F.coalesce(_c(text), F.lit("")))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, WORD_RE)))
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(F.coalesce(_c(text), F.lit("")))
+
+
+def bpe_token_estimate(text: Column | str, chars_per_token: float = 4.0) -> Column:
+    """BPE-ish token estimate: ceil(chars / 4) — the standard budgeting
+    heuristic when no tokenizer is available executor-side."""
+    return F.ceil(char_count(text) / F.lit(chars_per_token)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length / punctuation / stopword / alpha ratios.
+# ---------------------------------------------------------------------------
+
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"]
+
+
+def alpha_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are ASCII letters (6-dp double)."""
+    t = F.coalesce(_c(text), F.lit(""))
+    n = F.length(t)
+    letters = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(letters.cast("double") / n.cast("double"), 6)
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = F.coalesce(_c(text), F.lit(""))
+    n = F.length(t)
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[\.,;:!\?'\"()\[\]{}-]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(punct.cast("double") / n.cast("double"), 6)
+    )
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of whitespace tokens that are stopwords (6-dp double)."""
+    stopwords = stopwords or EN_STOPWORDS
+    t = F.trim(F.lower(F.coalesce(_c(text), F.lit(""))))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, WORD_RE))
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(hits.cast("double") / n.cast("double"), 6)
+    )
+
+
+def mean_word_length(text: Column | str) -> Column:
+    t = F.trim(F.coalesce(_c(text), F.lit("")))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, WORD_RE))
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(total.cast("double") / n.cast("double"), 6)
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length window + stopword presence
+    + alpha density. Deterministic, tunable; 6-dp double."""
+    n = char_count(text)
+    length_ok = F.when((n >= 50) & (n <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(
+        0.4 * length_ok + 0.3 * stopword_ratio(text) + 0.3 * alpha_ratio(text), 6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: stopword-profile argmax over per-language marker lists.
+# N-gram-free heuristic expressible in both Spark and ANSI SQL.
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "that"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "es", "los"],
+}
+
+
+def _marker_hits(text: Column, words: list[str]) -> Column:
+    toks = F.split(F.trim(F.lower(F.coalesce(text, F.lit("")))), WORD_RE)
+    w = F.array(*[F.lit(x) for x in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(w, x)))
+
+
+def language_id(text: Column | str, default: str = "und") -> Column:
+    """Predicted language = argmax of marker-token hits; ties break by the
+    declaration order of LANG_MARKERS; all-zero → ``default``."""
+    text = _c(text)
+    scores = [(lang, _marker_hits(text, ws)) for lang, ws in LANG_MARKERS.items()]
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    expr = F.lit(default)
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: normalized-content hash + shingle count.
+# (The rolling-hash winnowing variant lives in similarity.py as shingles.)
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, non-alnum collapsed to
+    single spaces, trimmed."""
+    t = F.lower(F.coalesce(_c(text), F.lit("")))
+    return F.trim(F.regexp_replace(t, "[^a-z0-9]+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """MD5 of the normalized text — stable across engines and runs."""
+    return F.md5(normalized_text(text).cast("binary"))

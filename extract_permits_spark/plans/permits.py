@@ -1,0 +1,150 @@
+"""The production permit pipeline as one lazy DAG (SURVEY.md §3.1).
+
+Reference flow (chicago/permit_cleaning.py:1138-1230):
+constant city_state (P12) → explode multi-PIN (X1/X2) → format_pin (P4) →
+organize columns (P1) with address assembly (P2) + date display (P3) →
+abbreviate applicant (P7) → round amount (P8) → suggested PINs by address
+(A2+J1) + links (P10/P11) + keyword tags (P9) → optional warehouse dedup
+(P13+J2) → validation partition (E1+J6).
+
+Everything is transformations on two source DataFrames; the only actions
+are the final writes. Expected shuffles at scale: the A2 groupBy on the
+universe (then broadcast), the dedup anti-join, and nothing else — explode,
+cleaning, tagging and validation are all narrow.
+
+``permits_from_tpch`` adapts the driver's TPC-H-ish fixtures into the
+permit shape so the same DAG runs on testdata for the smoke entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from extract_permits_spark.operators.clean import (
+    abbreviate,
+    assemble_address,
+    format_pin,
+    parse_and_display_date,
+    round_amount,
+)
+from extract_permits_spark.operators.dedup import deduplicate_permits
+from extract_permits_spark.operators.enrich import matched_keywords
+from extract_permits_spark.operators.clean import cookviewer_link, pin_detail_link
+from extract_permits_spark.operators.joins import (
+    semi_join_membership,
+    suggested_values_join,
+)
+from extract_permits_spark.operators.reshape import explode_multi_value
+from extract_permits_spark.operators.validate import partition_valid, with_validation
+from extract_permits_spark.sources.readers import load_table
+from extract_permits_spark import specs
+
+
+def clean_permits(permits_raw: DataFrame, universe: DataFrame) -> DataFrame:
+    """Steps P12→X1/X2→P4→P1/P2/P3→P7→P8→A2/J1→P10/P11→P9 as one plan."""
+    permits = permits_raw.withColumn("city_state", F.lit("CHICAGO, IL"))  # P12
+    exploded = explode_multi_value(permits, "pin_list", out_col="solo_pin")  # X1+X2
+    formatted = exploded.withColumn("solo_pin", format_pin("solo_pin"))  # P4
+    with_addr = formatted.withColumn(
+        "address",
+        assemble_address("street_number", "street_direction", "street_name"),  # P2
+    ).withColumn("issue_date", parse_and_display_date("issue_date"))  # P3
+    organized = specs.organize_columns(with_addr, keep_extra=["pin_type"])  # P1
+    organized = organized.withColumn(
+        "applicant", abbreviate("applicant")  # P7
+    ).withColumn("amount", round_amount("amount"))  # P8
+    enriched = suggested_values_join(  # A2+J1
+        organized,
+        universe.where(F.col("triad_name") == "City"),
+        fact_key="applicant_street_address",
+        dim_key="prop_address_full",
+        dim_value="pin",
+        out_col="suggested_pins",
+    )
+    enriched = (
+        enriched.withColumn("property_address", F.col("applicant_street_address"))  # P17
+        .withColumn("cookviewer_link", cookviewer_link("property_address"))  # P10
+        .withColumn("pin_link", pin_detail_link("pin"))  # P11
+        .withColumn("matched_keywords", matched_keywords("work_description"))  # P9
+    )
+    return enriched
+
+
+def run_pipeline(
+    permits_raw: DataFrame,
+    universe: DataFrame,
+    existing: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Full §3.1 chain → (upload_df, review_df)."""
+    cleaned = clean_permits(permits_raw, universe)
+    if existing is not None:
+        cleaned = deduplicate_permits(cleaned, existing)  # P13+J2
+    flagged = semi_join_membership(  # J6
+        cleaned,
+        universe.select(F.lpad("pin", 14, "0").alias("pin")),
+        left_key="pin",
+        right_key="pin",
+        flag_col="in_universe",
+    )
+    return partition_valid(flagged, extra_error=~F.col("in_universe"))  # E1
+
+
+def permits_from_tpch(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Adapt orders+lineitem+customer fixtures into (permits_raw, universe).
+
+    Orders play permits (o_orderkey → permit number, o_totalprice → cost);
+    each order's lineitem part keys become its pipe-separated ``pin_list``
+    (zero-padded to PIN width); customers play the parcel universe.
+    Deterministic: every aggregation orders its inputs.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    n_cust = customer.count()  # small driver-side scalar, keys the PIN space
+    pins = lineitem.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_set(
+                    F.lpad(
+                        F.pmod(F.col("l_partkey"), F.lit(n_cust)).cast("string"), 14, "0"
+                    )
+                )
+            ),
+            " | ",
+        ).alias("pin_list")
+    )
+    permits_raw = (
+        orders.join(pins, orders.o_orderkey == pins.l_orderkey, "left")
+        .select(
+            F.concat(F.lit("1"), F.lpad(F.col("o_orderkey").cast("string"), 8, "0")).alias(
+                "permit_"
+            ),
+            F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias(
+                "issue_date"
+            ),
+            F.col("o_totalprice").cast("string").alias("reported_cost"),
+            F.col("o_custkey").cast("string").alias("street_number"),
+            F.lit("N").alias("street_direction"),
+            F.col("o_orderpriority").alias("street_name"),
+            F.lit(None).cast("string").alias("suffix"),
+            F.col("o_orderstatus").alias("contact_1_name"),
+            F.concat(F.lit("CONSTRUCT GARAGE AND REPAIR PORCH FOR ORDER "), "o_orderkey").alias(
+                "work_description"
+            ),
+            F.col("pin_list"),
+        )
+    )
+    universe = customer.select(
+        F.lpad(F.col("c_custkey").cast("string"), 14, "0").alias("pin"),
+        F.substring(F.lpad(F.col("c_custkey").cast("string"), 14, "0"), 1, 10).alias(
+            "pin10"
+        ),
+        F.concat(F.col("c_custkey").cast("string"), F.lit(" N "), "c_mktsegment").alias(
+            "prop_address_full"
+        ),
+        F.lit("2024").alias("year"),
+        F.lit("City").alias("triad_name"),
+    )
+    return permits_raw, universe

@@ -1,0 +1,44 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads in a
+single JVM), but every config here is chosen so the same code ships to a
+1000-executor cluster unchanged:
+
+- AQE on (runtime coalescing of small shuffle partitions, skew-join
+  splitting) so a plan tuned at sf0.1 re-plans itself at 100 TB.
+- ``spark.sql.shuffle.partitions`` defaults to 2×cores locally; on a real
+  cluster AQE's ``advisoryPartitionSizeInBytes`` governs and the static
+  number only caps the initial stage.
+- Arrow enabled for any pandas interchange (similarity / multimodal UDFs).
+- Session timezone pinned to UTC so timestamp semantics are
+  environment-independent (matches the DuckDB oracle harness).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "extract-permits-spark") -> SparkSession:
+    cpus = default_parallelism()
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )

@@ -1,0 +1,93 @@
+"""Unit tests for explode/unpivot (X1-X3) and window ops (W1-W4, O5)."""
+
+from __future__ import annotations
+
+from extract_permits_spark.operators import reshape, windows
+
+
+def test_explode_multi_value_keeps_null_rows_and_tags(spark):
+    # reference: expand_multi_pin_permits chicago/permit_cleaning.py:557-611
+    df = spark.createDataFrame(
+        [("p1", "a | b | a"), ("p2", None), ("p3", "c")], ["permit_", "pin_list"]
+    )
+    out = reshape.explode_multi_value(df, "pin_list").collect()
+    rows = {(r["permit_"], r["solo_pin"], r["pin_type"]) for r in out}
+    assert rows == {
+        ("p1", "a", "pin1"),
+        ("p1", "b", "pin2"),  # ordered dedupe: first occurrence wins
+        ("p2", None, None),  # NULL-list row survives (posexplode_outer)
+        ("p3", "c", "pin1"),
+    }
+
+
+def test_string_sorted_pin_type(spark):
+    # 'pin10' < 'pin2' lexicographically — replicate, don't fix (§7.4.4)
+    df = spark.createDataFrame(
+        [("p", " | ".join(f"v{i}" for i in range(11)))], ["permit_", "pin_list"]
+    )
+    out = reshape.explode_multi_value(df, "pin_list")
+    tags = [r["pin_type"] for r in out.orderBy("pin_type").collect()]
+    assert tags[0] == "pin1"
+    assert tags[1] == "pin10"  # string sort
+    assert tags[2] == "pin11"
+
+
+def test_unpivot_drops_nulls(spark):
+    df = spark.createDataFrame(
+        [("p1", "a", None), ("p2", "b", "c")], ["permit", "PIN1", "PIN2"]
+    )
+    out = reshape.unpivot_wide_columns(df, ["permit"], ["PIN1", "PIN2"]).collect()
+    assert {(r["permit"], r["pin_col"], r["extra_pin"]) for r in out} == {
+        ("p1", "PIN1", "a"),
+        ("p2", "PIN1", "b"),
+        ("p2", "PIN2", "c"),
+    }
+
+
+def test_first_row_per_group_and_position(spark):
+    df = spark.createDataFrame(
+        [("g1", 2, "x"), ("g1", 1, "y"), ("g2", 5, "z")], ["g", "ord", "v"]
+    )
+    first = windows.first_row_per_group(df, ["g"], ["ord"]).collect()
+    assert {(r["g"], r["v"]) for r in first} == {("g1", "y"), ("g2", "z")}
+
+    pos = windows.position_in_group(df, ["g"], ["ord"], "rank").collect()
+    assert {(r["g"], r["ord"], r["rank"]) for r in pos} == {
+        ("g1", 1, 1),
+        ("g1", 2, 2),
+        ("g2", 5, 1),
+    }
+
+
+def test_duplicate_pair_flag_keep_false(spark):
+    # pandas duplicated(keep=False): every member flagged
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2)], ["pin", "permit"]
+    )
+    out = windows.duplicate_pair_flag(df, ["pin", "permit"]).collect()
+    flags = sorted((r["pin"], r["is_duplicate"]) for r in out)
+    assert flags == [("a", True), ("a", True), ("b", False)]
+
+
+def test_global_line_numbers_both_paths(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    simple = windows.global_line_numbers(df, ["k"]).collect()
+    assert sorted(r["lline"] for r in simple) == list(range(1, 101))
+    assert [r["lline"] for r in sorted(simple, key=lambda r: r["k"])] == list(
+        range(1, 101)
+    )
+    dist = windows.global_line_numbers(df, ["k"], distributed=True).collect()
+    assert [r["lline"] for r in sorted(dist, key=lambda r: r["k"])] == list(
+        range(1, 101)
+    )
+
+
+def test_batch_ids_renumber(spark):
+    # reference: 250-row upload batches with per-batch renumbered lines
+    df = spark.createDataFrame([(i,) for i in range(600)], ["k"])
+    out = windows.batch_ids(df, ["k"], batch_size=250).collect()
+    by_k = sorted(out, key=lambda r: r["k"])
+    assert by_k[0]["batch"] == 0 and by_k[0]["lline"] == 1
+    assert by_k[249]["batch"] == 0 and by_k[249]["lline"] == 250
+    assert by_k[250]["batch"] == 1 and by_k[250]["lline"] == 1
+    assert by_k[599]["batch"] == 2 and by_k[599]["lline"] == 100
