@@ -29,6 +29,16 @@ HEADLINE = [
     "w4_dup_flag",
     "e1_validate_partition",
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality",
+    "text_language_id",
+    "ev_sessionize",
+    "ev_tumbling_agg",
+    "mm_binary_features",
+    "q3_shipping_priority",
+    "q5_nation_volume",
 ]
 
 

@@ -1,0 +1,356 @@
+"""Similarity & near-duplicate detection for training-data pipelines.
+
+All candidate-generation paths are LSH-shaped so the cost at 100 TB is
+O(corpus) + O(candidate pairs), never O(n²):
+
+- MinHash + banded LSH  (Jaccard near-dup; Broder '97 / MMDS ch.3)
+- SimHash + band buckets (Hamming near-dup; Charikar '02)
+- n-gram Jaccard verification on candidate pairs only
+- cosine ANN: brute-force top-k baseline + LSH-bucketed scale path
+
+Everything is built-in expressions (xxhash64, higher-order array functions,
+bit ops) — no Python in the hot path. The only shuffles are the
+bucket-group joins on compact integer keys; document bodies never shuffle
+(hash first, join ids, fetch bodies by id at the end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column | str) -> Column:
+    t = F.trim(F.lower(F.coalesce(_c(text), F.lit(""))))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams. Narrow, per-row, codegen'd."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """Array of ``num_hashes`` min-hashes; empty shingle set → NULL entries.
+
+    One xxhash64 per (shingle, seed) — k independent permutations
+    approximated by seeded hashes, the standard MinHash construction.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed))))
+            for seed in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(sig_col: Column | str, bands: int, rows: int) -> Column:
+    """Array of (band_idx, band_hash) structs: signature sliced into
+    ``bands`` bands of ``rows`` hashes, each band hashed to one int64."""
+    sig = _c(sig_col)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.xxhash64(F.slice(sig, b * rows + 1, rows)).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def candidate_pairs_from_buckets(
+    bucketed: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Self-join per LSH bucket → distinct candidate id pairs (id_a < id_b).
+
+    ``bucketed`` must have columns (id_col, band_idx, band_hash). Buckets
+    larger than ``max_bucket_size`` are dropped (degenerate content — e.g.
+    empty docs — that would quadratically explode); at scale this cap is
+    the difference between a bounded join and a runaway one. Dropped
+    buckets are knowable: callers can count them with the same groupBy.
+    """
+    sized = bucketed.withColumn(
+        "_bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash")),
+    ).where(F.col("_bucket_n") <= max_bucket_size)
+    a = sized.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = sized.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup: shingle → signature → band buckets
+    → candidate pairs → exact shingle-Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) with jaccard ≥ threshold. Shuffles: one
+    explode+groupJoin on band keys (ids only), one id-join back to fetch
+    shingle sets for verification.
+    """
+    rows = num_hashes // bands
+    sh = docs.select(
+        F.col(id_col),
+        word_shingles(text_col, shingle_n).alias("_shingles"),
+    ).where(F.size("_shingles") > 0)
+    sh = sh.withColumn("_sig", minhash_signature(F.col("_shingles"), num_hashes))
+    bucketed = sh.select(
+        F.col(id_col),
+        F.explode(lsh_bands("_sig", bands, rows)).alias("_band"),
+    ).select(id_col, F.col("_band.band_idx"), F.col("_band.band_hash"))
+    pairs = candidate_pairs_from_buckets(bucketed, id_col, max_bucket_size)
+    left = sh.select(F.col(id_col).alias("id_a"), F.col("_shingles").alias("_sh_a"))
+    right = sh.select(F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sh_b"))
+    verified = (
+        pairs.join(left, "id_a")
+        .join(right, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh_a", "_sh_b"))
+            / F.size(F.array_union("_sh_a", "_sh_b")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash over whitespace tokens (Charikar '02): per bit,
+    majority vote of token-hash bits, weighted by token frequency.
+
+    Pure expressions: O(64·T) per doc inside codegen. Empty → NULL.
+    """
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # bit positions unrolled in Python (shift amounts must be literals);
+    # still one codegen'd expression per doc, no Python at runtime
+
+    def vote_at(bit: int):
+        # factory keeps the merge lambda at exactly 2 args (pyspark
+        # introspects lambda arity for higher-order functions)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_at(i))
+        sim = sim + F.when(
+            vote > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return F.when(F.size(toks) > 0, sim)
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit hash into 16-bit chunks
+    (pigeonhole: ≤3 differing bands guarantees recall for distance ≤
+    bands-1 per band…), bucket-join, verify with bit_count(xor).
+
+    Returns (id_a, id_b, hamming ≤ max_hamming).
+    """
+    n_bands = 64 // band_bits
+    with_sim = docs.select(F.col(id_col), simhash64(text_col).alias("_sim")).where(
+        F.col("_sim").isNotNull()
+    )
+    mask = (1 << band_bits) - 1
+    banded = with_sim.select(
+        id_col,
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("_sim", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select(id_col, "_sim", F.col("_band.band_idx"), F.col("_band.band_hash"))
+    a = banded.select(
+        "band_idx", "band_hash", F.col(id_col).alias("id_a"), F.col("_sim").alias("_sim_a")
+    )
+    b = banded.select(
+        "band_idx", "band_hash", F.col(id_col).alias("id_b"), F.col("_sim").alias("_sim_b")
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cosine similarity / ANN
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order → reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    One narrow scan + a global top-k (Spark's TakeOrderedAndProject —
+    per-partition heaps then a k-row merge on the driver; no full sort,
+    no shuffle of the corpus). The correctness baseline for ANN variants.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        vectors.select(
+            F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
+        )
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_bucketed_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_planes: int = 8,
+    max_probe_distance: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH (sign-random-projection).
+
+    Index side: each vector → ``num_planes``-bit signature (one int). Query
+    side: probe the query's bucket plus all buckets within Hamming distance
+    ``max_probe_distance`` (multi-probe). Scan cost drops to the probed
+    buckets' share of the corpus; at 100 TB the signature column is
+    precomputed once and partition-pruned on.
+
+    Deterministic pseudo-random planes derive from xxhash64(seed, plane,
+    dim) — reproducible across runs/engines with no RNG state.
+    """
+    dim = len(query_vec)
+
+    def plane(p: int) -> list[float]:
+        # deterministic pseudo-gaussian-ish plane from integer hashing
+        return [
+            (((hash((seed, p, d)) & 0xFFFF) / 0xFFFF) - 0.5) for d in range(dim)
+        ]
+
+    planes = [plane(p) for p in range(num_planes)]
+
+    def sig_expr(vec: Column) -> Column:
+        bits = []
+        for p, pl in enumerate(planes):
+            pv = F.array(*[F.lit(x) for x in pl])
+            bits.append(
+                F.when(dot(vec, pv) >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
+            )
+        out = F.lit(0)
+        for b in bits:
+            out = out + b
+        return out
+
+    import numpy as _np
+
+    qsig = 0
+    for p, pl in enumerate(planes):
+        if float(_np.dot(_np.asarray(query_vec), _np.asarray(pl))) >= 0:
+            qsig |= 1 << p
+    probe = {qsig}
+    if max_probe_distance >= 1:
+        for p in range(num_planes):
+            probe.add(qsig ^ (1 << p))
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    with_sig = vectors.withColumn("_sig", sig_expr(F.col(vec_col)))
+    return (
+        with_sig.where(F.col("_sig").isin(*probe))
+        .select(
+            F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
+        )
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )

@@ -536,3 +536,673 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+# ===========================================================================
+# Batch 2 — remaining SURVEY §2 surface + LLM-pipeline operators.
+# ===========================================================================
+
+from extract_permits_spark.functions import text as textfn  # noqa: E402
+from extract_permits_spark.functions import similarity as simfn  # noqa: E402
+from extract_permits_spark.functions import multimodal as mmfn  # noqa: E402
+from extract_permits_spark.operators.joins import crosswalk_override  # noqa: E402
+from extract_permits_spark.operators.reshape import unpivot_wide_columns  # noqa: E402
+from extract_permits_spark.operators.windows import batch_ids  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# S4 — column-pruned range scan (dedup probe shape).
+# Reference: chicago/permit_cleaning.py:821-836.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s4_range_scan",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_totalprice
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-06-30'
+    """,
+)
+def s4_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"),
+            F.lit("1996-06-30 00:00:00").cast("timestamp_ntz"),
+        )
+    ).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "o_totalprice",
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3+date surface — ISO parse, display format, Excel-serial decode, year.
+# Reference: chicago/permit_cleaning.py:639-641, format_legacy_2023.R:35-39.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p3_date_functions",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%-m/%-d/%Y') AS display_date,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           strftime(DATE '1899-12-30' + to_days(CAST(o_orderkey % 40000 AS INTEGER)),
+                    '%Y-%m-%d') AS excel_serial_date
+    FROM orders
+    """,
+)
+def p3_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from extract_permits_spark.operators.clean import excel_serial_to_date
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "M/d/yyyy").alias("display_date"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.date_format(
+            excel_serial_to_date((F.col("o_orderkey") % 40000).cast("string")),
+            "yyyy-MM-dd",
+        ).alias("excel_serial_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3 — wide-to-long unpivot. Reference: expand_pins
+# (chicago/legacy_permits/helper.R:40-62).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x3_unpivot",
+    """
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_size IS NOT NULL
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+    FROM part WHERE p_retailprice IS NOT NULL
+    """,
+)
+def x3_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    wide = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    )
+    return unpivot_wide_columns(
+        wide, ["p_partkey"], ["p_size", "p_retailprice"], "metric", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — crosswalk join + coalesce override.
+# Reference: chicago/legacy_permits/2021/format_legacy_2021.R:44-47.
+# nation plays the crosswalk: suppliers in nations 0-4 get remapped names.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j3_crosswalk_override",
+    """
+    SELECT s.s_suppkey,
+           COALESCE(x.meta_name, s.s_name) AS s_name
+    FROM supplier s
+    LEFT JOIN (
+      SELECT n_nationkey, 'NATION-' || n_name AS meta_name
+      FROM nation WHERE n_nationkey < 5
+    ) x ON s.s_nationkey = x.n_nationkey
+    """,
+)
+def j3_crosswalk_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    crosswalk = n.where(F.col("n_nationkey") < 5).select(
+        F.col("n_nationkey").alias("original_key"),
+        F.concat(F.lit("NATION-"), F.col("n_name")).alias("meta_name"),
+    )
+    joined = s.join(
+        F.broadcast(crosswalk), s.s_nationkey == crosswalk.original_key, "left"
+    )
+    return joined.select(
+        "s_suppkey", F.coalesce("meta_name", "s_name").alias("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3/O5 — global line numbers + 250-row upload batches.
+# Reference: chicago/legacy_permits/helper.py:167,171 +
+# format_reviewed_permits_for_upload.py:279-299.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w3_line_numbers_batches",
+    """
+    WITH numbered AS (
+      SELECT c_custkey,
+             row_number() OVER (ORDER BY c_name, c_custkey) AS gline
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(floor((gline - 1) / 250) AS INTEGER) AS batch,
+           CAST(gline - floor((gline - 1) / 250) * 250 AS INTEGER) AS lline
+    FROM numbered
+    """,
+)
+def w3_line_numbers_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return batch_ids(
+        c.select("c_custkey", "c_name"), ["c_name", "c_custkey"], batch_size=250
+    ).select("c_custkey", "batch", "lline")
+
+
+# ---------------------------------------------------------------------------
+# U2 — union + distinct. Reference: bind_rows + distinct
+# (chicago/legacy_permits/helper.R:56-60, verify_legacy_uploads.R:87-93).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u2_union_distinct",
+    """
+    SELECT DISTINCT k, src FROM (
+      SELECT o_custkey AS k, 'orders' AS src FROM orders
+      UNION ALL
+      SELECT c_custkey AS k, 'orders' AS src FROM customer WHERE c_acctbal > 0
+    )
+    """,
+)
+def u2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = o.select(F.col("o_custkey").alias("k"), F.lit("orders").alias("src"))
+    b = c.where(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("k"), F.lit("orders").alias("src")
+    )
+    return a.unionByName(b).dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# E3 — legacy flag-column validation (flags kept as real columns).
+# Reference: finalize_columns chicago/legacy_permits/helper.py:110-173.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e3_legacy_flags",
+    """
+    WITH shaped AS (
+      SELECT lpad(CAST(o_custkey AS VARCHAR), 14, '0') AS pin,
+             '1' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS permit_number,
+             o_totalprice AS amount,
+             CAST(o_custkey AS VARCHAR) || ' N ' || o_orderpriority AS addr,
+             o_orderpriority AS name,
+             'ORDER NOTE ' || CAST(o_orderkey AS VARCHAR) AS note
+      FROM orders
+    ), flagged AS (
+      SELECT pin, permit_number,
+             regexp_full_match(pin, '[0-9]{14}') AS valid_pin,
+             length(permit_number) IN (9, 10) AS valid_permit_number,
+             COALESCE(length(addr) <= 40, FALSE) AS valid_address,
+             COALESCE(length(note) <= 2000, TRUE) AS valid_note,
+             COALESCE(length(name) <= 50, FALSE) AS valid_name,
+             COALESCE(amount IS NOT NULL AND amount >= 1
+                      AND amount < 2147483648.0, FALSE) AS valid_amount,
+             NOT COALESCE(COUNT(*) OVER (PARTITION BY pin, permit_number) > 1,
+                          FALSE) AS valid_not_duplicate
+      FROM shaped
+    )
+    SELECT *,
+           valid_pin AND valid_permit_number AND valid_address AND valid_note
+           AND valid_name AND valid_amount AND valid_not_duplicate AS valid_row
+    FROM flagged
+    """,
+)
+def e3_legacy_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from extract_permits_spark.operators.validate import legacy_flag_columns
+    from extract_permits_spark.operators.windows import duplicate_pair_flag
+
+    o = load_table(spark, sf_dir, "orders")
+    shaped = o.select(
+        F.lpad(F.col("o_custkey").cast("string"), 14, "0").alias("pin"),
+        F.concat(F.lit("1"), F.lpad(F.col("o_orderkey").cast("string"), 8, "0")).alias(
+            "permit_number"
+        ),
+        F.col("o_totalprice").alias("amount"),
+        F.concat(F.col("o_custkey").cast("string"), F.lit(" N "), "o_orderpriority").alias(
+            "addr"
+        ),
+        F.col("o_orderpriority").alias("name"),
+        F.concat(F.lit("ORDER NOTE "), F.col("o_orderkey").cast("string")).alias("note"),
+    )
+    flagged = duplicate_pair_flag(shaped, ["pin", "permit_number"], "is_duplicate")
+    out = legacy_flag_columns(
+        flagged,
+        pin_col="pin",
+        permit_col="permit_number",
+        amount_col="amount",
+        addr_col="addr",
+        note_col="note",
+        name_col="name",
+        in_universe_col=None,
+        dup_col="is_duplicate",
+    )
+    return out.select(
+        "pin", "permit_number", "valid_pin", "valid_permit_number", "valid_address",
+        "valid_note", "valid_name", "valid_amount", "valid_not_duplicate", "valid_row",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (LLM-pipeline ops) — all narrow codegen'd scans.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokens",
+    """
+    SELECT doc_id,
+           CASE WHEN trim(COALESCE(text,'')) = '' THEN 0
+                ELSE len(string_split_regex(trim(COALESCE(text,'')), '\\s+'))
+           END AS n_tokens,
+           length(COALESCE(text,'')) AS n_chars,
+           CAST(ceil(length(COALESCE(text,'')) / 4.0) AS BIGINT) AS bpe_estimate
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textfn.token_count("text").alias("n_tokens"),
+        textfn.char_count("text").cast("long").alias("n_chars"),
+        textfn.bpe_token_estimate("text").alias("bpe_estimate"),
+    )
+
+
+@register(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, COALESCE(text,'') AS txt,
+             CASE WHEN trim(COALESCE(text,'')) = '' THEN []
+                  ELSE string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')
+             END AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN length(txt) = 0 THEN 0.0
+                ELSE round(CAST(length(regexp_replace(txt, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                           / length(txt), 6) END AS alpha_ratio,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE round(CAST(len(list_filter(toks, x -> list_contains(
+                       ['the','a','and','of','to','in','is','that','it','for'], x)))
+                       AS DOUBLE) / len(toks), 6) END AS stopword_ratio,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE round(CAST(list_sum(list_transform(toks, x -> length(x)))
+                       AS DOUBLE) / len(toks), 6) END AS mean_word_len
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textfn.alpha_ratio("text").alias("alpha_ratio"),
+        textfn.stopword_ratio("text").alias("stopword_ratio"),
+        textfn.mean_word_length("text").alias("mean_word_len"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(COALESCE(text,'')), '[^a-z0-9]+', ' ', 'g')))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", textfn.fingerprint("text").alias("fingerprint"))
+
+
+_LANG_CASES_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(COALESCE(text,'')) = '' THEN []
+                  ELSE string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')
+             END AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> list_contains(['the','and','of','is','that'], x))) AS s_en,
+             len(list_filter(toks, x -> list_contains(['der','die','und','ist','nicht'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(['le','la','et','est','les'], x))) AS s_fr,
+             len(list_filter(toks, x -> list_contains(['el','la','que','es','los'], x))) AS s_es
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM scored
+"""
+
+
+@register("text_language_id", _LANG_CASES_SQL)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", textfn.language_id("text").alias("pred_lang"))
+
+
+# ---------------------------------------------------------------------------
+# Events: tumbling windows, JSON extraction, sessionization.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_tumbling_agg",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ev_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from extract_permits_spark.streaming.events import tumbling_counts
+
+    e = load_table(spark, sf_dir, "events")
+    return tumbling_counts(e)
+
+
+@register(
+    "ev_json_extract",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@register(
+    "ev_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.withColumn("_lag", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("_lag").isNull() | F.expr("ts - _lag > INTERVAL 30 MINUTES"),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, 65),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i]))))
+             AS sim
+      FROM embeddings e, q
+    )
+    SELECT vec_id, round(sim, 6) AS cosine_sim
+    FROM scored
+    ORDER BY sim DESC, vec_id
+    LIMIT 20
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return simfn.brute_force_topk(emb, qvec, k=20)
+
+
+@register("ann_lsh_topk")  # approximate — rows-only check by design
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return simfn.lsh_bucketed_topk(emb, qvec, k=20)
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection (approximate — rows-only checks by design;
+# exact-dedup above is the oracle-checked member of the family).
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simfn.minhash_lsh_pairs(d, jaccard_threshold=0.4)
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simfn.simhash_pairs(d, max_hamming=8)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) - 2, 0) + 1),
+               i -> array_to_string(list_slice(
+                      string_split_regex(trim(lower(COALESCE(text,''))), '\\s+'), i, i + 2), ' ')
+             )) AS shingles
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise n-gram Jaccard above a threshold. The Spark side
+    prunes the O(n²) with a shared-shingle pre-join (only pairs sharing at
+    least one shingle are scored) — same result set as the oracle's full
+    cross join, different cost shape."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", simfn.word_shingles("text", 3).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    cand = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["sh"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    left = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("_sa"))
+    right = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("_sb"))
+    jac = F.size(F.array_intersect("_sa", "_sb")) / F.size(F.array_union("_sa", "_sb"))
+    return (
+        cand.join(left, "id_a")
+        .join(right, "id_b")
+        .where(jac >= 0.2)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload features via Arrow-batched mapInPandas.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_binary_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(COALESCE(text,''))) AS BIGINT) AS n_bytes,
+           lower(hex(encode(substring(COALESCE(text,''), 1, 8)))) AS head_hex
+    FROM documents
+    """,
+)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = mmfn.documents_as_media(d)
+    return mmfn.extract_features(media).select("media_id", "n_bytes", "head_hex")
+
+
+# ---------------------------------------------------------------------------
+# Bench join-aggregation queries (TPC-H Q3/Q5 shaped) — exercise join
+# reordering, broadcast selection, and partial aggregation at sf0.1.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        .join(
+            li.where(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+@register(
+    "q5_nation_volume",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )

@@ -60,7 +60,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table; column pruning/pushdown left to Catalyst."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read nanos as long and rebuild a TIMESTAMP_NTZ at
+    microsecond precision (matching DuckDB's nanos→micros truncation).
+
+    Session timezone is pinned to UTC for the conversion so the wall-clock
+    values are environment-independent (timestamp_micros yields LTZ; the
+    NTZ cast renders it in session tz)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn(
+        "ts",
+        F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).cast(
+            "timestamp_ntz"
+        ),
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

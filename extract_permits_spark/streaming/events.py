@@ -1,0 +1,99 @@
+"""Structured Streaming over the events table (SURVEY.md §2.11 stretch).
+
+The reference is batch-only; its "incremental" mechanism is
+mutually-exclusive date ranges per CI run (extract-chicago-permits.yaml).
+The streaming layer here is the engine-native upgrade of that pattern:
+file-source readStream → event-time tumbling windows with a watermark →
+append sink. The same aggregation also exists as a batch query
+(``ev_tumbling_agg`` in plans/analytics.py) so correctness is
+oracle-checkable; the streaming path is tested with availableNow + memory
+sink in tests/.
+
+Scale notes: watermark bounds state; partitioned parquet sinks with
+checkpointing give exactly-once; per-key sessionization would use
+``applyInPandasWithState`` (demonstrated in permit terms: a permit-number
+keyed "activity session").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# the fixture stores ts as TIMESTAMP(NANOS) — read as long, convert below
+# (same dance as sources.readers.load_events)
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+    """File-source stream over the events parquet directory."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("path", dir_path)
+        .load()
+    )
+    # LTZ (not NTZ): watermarks require TIMESTAMP; session tz is pinned to
+    # UTC above so wall-clock values match the batch path exactly
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling window counts + exact decimal sums with a
+    late-data watermark. Works on both batch and streaming frames."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            F.window("ts", window_len).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    spark: SparkSession, dir_path: str, checkpoint: str, table_name: str = "ev_stream_out"
+):
+    """Drain all currently-available files through the streaming engine into
+    an in-memory sink; returns the query (caller awaits termination).
+    availableNow = incremental batch — the streaming analog of the
+    reference's date-range CI runs."""
+    stream = read_events_stream(spark, dir_path)
+    agg = tumbling_counts(stream)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

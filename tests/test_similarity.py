@@ -1,0 +1,97 @@
+"""Unit tests for similarity / near-dup detection (LLM-pipeline ops)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from extract_permits_spark.functions import similarity as sim
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_shingles(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b"), (3, None)])
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", sim.word_shingles("text", 3).alias("sh")).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []  # shorter than n
+    assert out[3] == []
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words entirely unrelated content goes right here now"
+    df = _docs(spark, [(1, base), (2, near), (3, far)])
+    pairs = sim.minhash_lsh_pairs(df, jaccard_threshold=0.3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert all(p == (1, 2) for p in found)
+    jac = [r["jaccard"] for r in pairs if (r["id_a"], r["id_b"]) == (1, 2)][0]
+    assert 0.3 <= jac < 1.0
+
+
+def test_minhash_identical_docs_jaccard_one(spark):
+    t = "one two three four five six seven"
+    df = _docs(spark, [(1, t), (2, t)])
+    pairs = sim.minhash_lsh_pairs(df, jaccard_threshold=0.9).collect()
+    assert len(pairs) == 1 and pairs[0]["jaccard"] == 1.0
+
+
+def test_simhash_properties(spark):
+    df = _docs(spark, [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+                       (3, "totally different content here"), (4, "")])
+    out = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", sim.simhash64("text").alias("s")).collect()}
+    assert out[1] == out[2]  # identical text → identical simhash
+    assert out[1] != out[3]
+    assert out[4] is None  # empty → NULL
+
+    pairs = sim.simhash_pairs(df, max_hamming=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert pairs[0]["hamming"] == 0
+
+
+def test_cosine_matches_numpy(spark):
+    import numpy as np
+
+    a = [1.0, 2.0, 3.0]
+    b = [4.0, 5.0, 6.0]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(sim.cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    want = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert math.isclose(got, want, rel_tol=1e-12)
+
+
+def test_brute_force_topk_self_first(spark):
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[5][1]
+    top = sim.brute_force_topk(df, q, k=3).collect()
+    assert top[0]["vec_id"] == 5  # the query vector itself is its own NN
+    assert abs(top[0]["cosine_sim"] - 1.0) < 1e-9
+    sims = [r["cosine_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_subset_of_brute_force_universe(spark):
+    import random
+
+    random.seed(11)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[0][1]
+    approx = sim.lsh_bucketed_topk(df, q, k=5, num_planes=6)
+    got = approx.collect()
+    assert 0 < len(got) <= 5
+    # query's own bucket always probed → exact self-match present
+    assert got[0]["vec_id"] == 0

@@ -1,0 +1,114 @@
+"""Tests for the Socrata source adapter, sinks, and excel-sink data half."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from extract_permits_spark.sinks import excel_sink, writers
+from extract_permits_spark.sources import socrata
+from extract_permits_spark.sources.readers import PERMITS_RAW_SCHEMA
+
+
+def test_build_soql_matches_reference_shape():
+    q = socrata.build_soql("ydr8-5enu", "issue_date", "2023-01-01", "2023-06-30")
+    p = q.to_params()
+    assert p["$where"] == "issue_date between '2023-01-01' and '2023-06-30'"
+    assert p["$order"] == "issue_date DESC"
+    assert p["$limit"] == "10000000"
+
+
+def test_partition_date_range_disjoint_cover():
+    parts = socrata.partition_date_range("2023-01-01", "2023-03-31", 4)
+    assert parts[0][0] == "2023-01-01" and parts[-1][1] == "2023-03-31"
+    for (l1, h1), (l2, h2) in zip(parts, parts[1:]):
+        assert h1 < l2  # disjoint, ordered
+    total = sum(
+        (socrata.date.fromisoformat(h) - socrata.date.fromisoformat(lo)).days + 1
+        for lo, h in parts
+    )
+    assert total == 90
+
+
+def test_read_socrata_distributed_pull(spark):
+    recs = [
+        {"permit_": "A", "issue_date": "2023-02-01T00:00:00.000", "pin_list": "1 | 2"},
+        {"permit_": "B", "issue_date": "2023-05-01T00:00:00.000", "pin_list": None},
+        {"permit_": "C", "issue_date": "2024-01-01T00:00:00.000", "pin_list": "3"},
+    ]
+    df = socrata.read_socrata(
+        spark,
+        "ydr8-5enu",
+        "issue_date",
+        "2023-01-01",
+        "2023-12-31",
+        PERMITS_RAW_SCHEMA,
+        fetch=socrata.fake_fetch_from_records(recs),
+        num_partitions=3,
+    )
+    got = sorted(r["permit_"] for r in df.collect())
+    assert got == ["A", "B"]  # C filtered out by pushed-down date range
+
+
+def test_default_fetch_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        socrata.default_fetch("http://x", {})
+
+
+def test_split_write_and_batches(spark):
+    df = spark.createDataFrame(
+        [(i, i % 3 == 0) for i in range(20)], "k long, has_error boolean"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        up, rev = os.path.join(d, "up"), os.path.join(d, "rev")
+        writers.split_write(df, up, rev)
+        assert spark.read.parquet(up).count() == 13
+        assert spark.read.parquet(rev).count() == 7
+        assert "has_error" not in spark.read.parquet(up).columns
+
+        bp = os.path.join(d, "batches")
+        writers.write_upload_batches(df.select("k"), bp, ["k"], batch_size=8)
+        out = spark.read.parquet(bp)
+        assert out.where(F.col("batch") == 0).count() == 8
+        assert out.where(F.col("batch") == 2).count() == 4
+
+
+def test_cached_dimension_roundtrip(spark):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5).withColumnRenamed("id", "pin")
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "dim")
+        a = writers.cached_dimension(spark, build, p)
+        b = writers.cached_dimension(spark, build, p)
+        assert a.count() == b.count() == 5
+        assert len(calls) == 1  # second call served from cache
+
+
+def test_hyphenated_pin(spark):
+    df = spark.createDataFrame([("12081000060000",)], "pin string")
+    out = df.select(excel_sink.hyphenated_pin("pin").alias("h")).first()["h"]
+    assert out == "12-08-100-006-0000"
+
+
+def test_excel_render_gated():
+    if not excel_sink.HAVE_OPENPYXL:
+        with pytest.raises(NotImplementedError):
+            excel_sink.save_workbook(None, "/tmp/x.xlsx")
+
+
+def test_flag_filters(spark):
+    df = spark.createDataFrame(
+        [("a", True), ("b", False), ("c", None)], "pin string, is_flagged boolean"
+    )
+    assert {r["pin"] for r in excel_sink.flagged_rows_from_frame(df).collect()} == {"a"}
+    assert {r["pin"] for r in excel_sink.without_flagged_rows(df).collect()} == {
+        "b",
+        "c",
+    }

@@ -1,0 +1,84 @@
+"""Unit tests for text analysis + multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from extract_permits_spark.functions import multimodal as mm
+from extract_permits_spark.functions import text as tx
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counts(spark):
+    df = _docs(spark, [(1, "one two  three"), (2, ""), (3, None), (4, "  x  ")])
+    out = {r["doc_id"]: (r["n"], r["c"], r["b"]) for r in df.select(
+        "doc_id",
+        tx.token_count("text").alias("n"),
+        tx.char_count("text").alias("c"),
+        tx.bpe_token_estimate("text").alias("b"),
+    ).collect()}
+    assert out[1] == (3, 14, 4)  # double space collapses in split
+    assert out[2] == (0, 0, 0)
+    assert out[3] == (0, 0, 0)
+    assert out[4][0] == 1
+
+
+def test_quality_ratios(spark):
+    df = _docs(spark, [(1, "the cat"), (2, "zz!!"), (3, None)])
+    r = {x["doc_id"]: x for x in df.select(
+        "doc_id",
+        tx.alpha_ratio("text").alias("alpha"),
+        tx.stopword_ratio("text").alias("stop"),
+        tx.mean_word_length("text").alias("mwl"),
+    ).collect()}
+    assert r[1]["alpha"] == round(6 / 7, 6)
+    assert r[1]["stop"] == 0.5  # 'the' of 2 tokens
+    assert r[1]["mwl"] == 3.0
+    assert r[2]["stop"] == 0.0
+    assert r[3]["alpha"] == 0.0
+
+
+def test_language_id(spark):
+    df = _docs(spark, [
+        (1, "the cat and the dog is that"),
+        (2, "der hund und die katze ist nicht"),
+        (3, "le chat et la maison est les"),
+        (4, "xyzzy qwerty"),
+    ])
+    out = {r["doc_id"]: r["l"] for r in df.select(
+        "doc_id", tx.language_id("text").alias("l")).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = _docs(spark, [(1, "Hello,   World!"), (2, "hello world"), (3, "different")])
+    out = {r["doc_id"]: r["f"] for r in df.select(
+        "doc_id", tx.fingerprint("text").alias("f")).collect()}
+    assert out[1] == out[2]  # punctuation/case-insensitive
+    assert out[1] != out[3]
+
+
+def test_media_features_roundtrip(spark):
+    df = _docs(spark, [(1, "abc"), (2, "")])
+    media = mm.documents_as_media(df)
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == 3
+    assert feats[1]["head_hex"] == b"abc".hex()
+    assert feats[1]["byte_mean"] == round((97 + 98 + 99) / 3, 6)
+    assert feats[2]["n_bytes"] == 0 and feats[2]["byte_mean"] == 0.0
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG")
+
+
+def test_frame_sample_plan(spark):
+    df = _docs(spark, [(1, "x" * 3000)])
+    media = mm.documents_as_media(df)
+    offs = [r["frame_offset"] for r in mm.frame_sample_plan(media, 1024).collect()]
+    assert offs == [0, 1024, 2048]
