@@ -72,7 +72,7 @@ def main() -> None:
 
     t0 = time.time()
     permits_raw, universe = permits_from_tpch(spark, sf_dir)
-    upload, review = run_pipeline(permits_raw, universe)
+    upload, review = run_pipeline(permits_raw, universe, cache=True)
     force(upload)
     force(review)
     times["permit_pipeline"] = round(time.time() - t0, 3)

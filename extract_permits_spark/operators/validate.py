@@ -31,24 +31,33 @@ def with_validation(
     membership (J6), which the reference checks inside partition_permits
     (chicago/permit_cleaning.py:427-452).
     """
-    has_error, errors = compile_validation(specs)
+    _, errors = compile_validation(specs)
+    # stage the errors column first, then flag from it — each validator
+    # evaluates once per row instead of twice (E4 holds by construction)
+    out = df.withColumn(error_col, errors)
+    has_error = F.col(error_col) != ""
     if extra_error is not None:
         has_error = has_error | F.coalesce(extra_error, F.lit(False))
-    return df.withColumn(flag_col, has_error).withColumn(error_col, errors)
+    return out.withColumn(flag_col, has_error)
 
 
 def partition_valid(
     df: DataFrame,
     specs: Sequence[ColumnSpec] = PERMIT_COLUMNS,
     extra_error: Column | None = None,
+    cache: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """E1: two-way split → (upload_df, review_df).
 
     Reference: partition_permits chicago/permit_cleaning.py:427-452.
-    Both outputs share one parent plan; with ``.persist()`` on the parent
-    (or a bucketed write) Spark scans the input once.
+    Both outputs share one parent plan; ``cache=True`` persists the
+    validated parent so consuming both halves scans the input once
+    (the write-side alternative is one job partitioned by bucket,
+    sinks/writers.split_write).
     """
     validated = with_validation(df, specs, extra_error)
+    if cache:
+        validated = validated.persist()
     upload = validated.where(~F.col("has_error")).drop("has_error", "errors")
     review = validated.where(F.col("has_error"))
     return upload, review

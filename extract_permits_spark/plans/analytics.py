@@ -329,10 +329,12 @@ _KW_SQL = ", ".join(
     """,
 )
 def p9_keyword_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from extract_permits_spark.operators.enrich import tag_keywords
+
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", matched_keywords("text", _DOC_KEYWORDS).alias("matched_keywords")
-    )
+    return tag_keywords(
+        d.select("doc_id", "text"), "text", keywords=_DOC_KEYWORDS
+    ).select("doc_id", "matched_keywords")
 
 
 # ===========================================================================

@@ -29,7 +29,7 @@ from extract_permits_spark.operators.clean import (
     round_amount,
 )
 from extract_permits_spark.operators.dedup import deduplicate_permits
-from extract_permits_spark.operators.enrich import matched_keywords
+from extract_permits_spark.operators.enrich import tag_keywords
 from extract_permits_spark.operators.clean import cookviewer_link, pin_detail_link
 from extract_permits_spark.operators.joins import (
     semi_join_membership,
@@ -66,17 +66,18 @@ def clean_permits(permits_raw: DataFrame, universe: DataFrame) -> DataFrame:
         enriched.withColumn("property_address", F.col("applicant_street_address"))  # P17
         .withColumn("cookviewer_link", cookviewer_link("property_address"))  # P10
         .withColumn("pin_link", pin_detail_link("pin"))  # P11
-        .withColumn("matched_keywords", matched_keywords("work_description"))  # P9
     )
-    return enriched
+    return tag_keywords(enriched, "work_description")  # P9
 
 
 def run_pipeline(
     permits_raw: DataFrame,
     universe: DataFrame,
     existing: DataFrame | None = None,
+    cache: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """Full §3.1 chain → (upload_df, review_df)."""
+    """Full §3.1 chain → (upload_df, review_df). ``cache=True`` persists
+    the validated parent so consuming both outputs costs one scan."""
     cleaned = clean_permits(permits_raw, universe)
     if existing is not None:
         cleaned = deduplicate_permits(cleaned, existing)  # P13+J2
@@ -87,7 +88,7 @@ def run_pipeline(
         right_key="pin",
         flag_col="in_universe",
     )
-    return partition_valid(flagged, extra_error=~F.col("in_universe"))  # E1
+    return partition_valid(flagged, extra_error=~F.col("in_universe"), cache=cache)  # E1
 
 
 def permits_from_tpch(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:

@@ -249,12 +249,13 @@ def organize_columns(
 def compile_validation(
     specs: Sequence[ColumnSpec] = PERMIT_COLUMNS,
 ) -> tuple[Column, Column]:
-    """E1+E2 compiler: (has_error predicate, errors message column)."""
-    has_error = F.lit(False)
-    msgs = []
-    for s in specs:
-        if s.rules:
-            has_error = has_error | s.has_error()
-            msgs.append(s.error_message())
+    """E1+E2 compiler: (has_error predicate, errors message column).
+
+    ``has_error`` is derived as ``errors != ''`` rather than a second
+    disjunction of the same predicates — the reference keeps two rails in
+    sync by convention (chicago/permit_cleaning.py:117-124); deriving one
+    from the other makes E4 true by construction AND halves rule
+    evaluation (every validator otherwise runs twice per row)."""
+    msgs = [s.error_message() for s in specs if s.rules]
     errors = F.concat_ws(", ", *[F.nullif(m, F.lit("")) for m in msgs])
-    return has_error, errors
+    return errors != "", errors

@@ -1,0 +1,52 @@
+"""Plan-quality audit: .explain("formatted") for key queries, with grep-able
+verdicts on pushdown / pruning / broadcast / codegen.
+
+    python tools/explain_plans.py [name ...]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CHECKS = {
+    "q1_pricing_summary": ["PushedFilters", "HashAggregate", "WholeStageCodegen"],
+    "s1_scan_filter_order": ["PushedFilters", "ReadSchema"],
+    "s2_dim_join_filter": ["BroadcastHashJoin"],
+    "j1_preagg_join": ["BroadcastHashJoin"],
+    "j2_anti_join": ["LeftAnti"],
+    "q3_shipping_priority": ["PushedFilters"],
+    "q5_nation_volume": ["BroadcastHashJoin"],
+    "dedup_exact": ["HashAggregate"],
+}
+
+
+def main() -> int:
+    from extract_permits_spark.plans import analytics
+    from extract_permits_spark.session import get_spark
+
+    only = sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark("explain")
+    qs = analytics.queries()
+    for name in only or CHECKS:
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        print(f"===== {name} =====")
+        for want in CHECKS.get(name, []):
+            mark = "OK " if want in plan else "MISS"
+            print(f"  [{mark}] {want}")
+        if only:
+            print(plan)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
