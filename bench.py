@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "dedup_embedding_cosine",
     "text_quality",
     "text_language_id",
     "ev_sessionize",

@@ -1208,3 +1208,187 @@ def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
     )
+
+
+# ===========================================================================
+# Batch 3 — streaming-as-query, embedding near-dup, P5, Socrata pull,
+# and the flagship pipeline registered for the correctness record.
+# ===========================================================================
+
+
+@register(
+    "p5_pin_normalize",
+    """
+    WITH variants AS (
+      SELECT c_custkey,
+             lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS v9,
+             lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS v10,
+             lpad(CAST(c_custkey AS VARCHAR), 13, '0') AS v13,
+             substring(lpad(CAST(c_custkey AS VARCHAR), 14, '0'), 1, 2) || '-' ||
+               substring(lpad(CAST(c_custkey AS VARCHAR), 14, '0'), 3, 12) AS vhyph
+      FROM customer
+    )
+    SELECT c_custkey,
+           '0' || v9 || '0000' AS pin_from_9,
+           v10 || '0000' AS pin_from_10,
+           '0' || v13 AS pin_from_13,
+           regexp_replace(vhyph, '[^0-9]', '', 'g') AS pin_from_hyph
+    FROM variants
+    """,
+)
+def p5_pin_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 legacy 4-case PIN normalization over synthesized surface forms
+    (9/10/13-digit and hyphenated — FIXTURES.md §1 forms). The oracle
+    states the *expected output* per case; the Spark side runs the real
+    normalize_pin_legacy operator, so a regression in any case breaks the
+    hash match. Reference: chicago/legacy_permits/helper.py:42-58."""
+    from extract_permits_spark.operators.clean import normalize_pin_legacy
+
+    c = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    pad14 = F.lpad(key, 14, "0")
+    variants = c.select(
+        "c_custkey",
+        F.lpad(key, 9, "0").alias("v9"),
+        F.lpad(key, 10, "0").alias("v10"),
+        F.lpad(key, 13, "0").alias("v13"),
+        F.concat(F.substring(pad14, 1, 2), F.lit("-"), F.substring(pad14, 3, 12)).alias(
+            "vhyph"
+        ),
+    )
+    return variants.select(
+        "c_custkey",
+        normalize_pin_legacy("v9").alias("pin_from_9"),
+        normalize_pin_legacy("v10").alias("pin_from_10"),
+        normalize_pin_legacy("v13").alias("pin_from_13"),
+        normalize_pin_legacy("vhyph").alias("pin_from_hyph"),
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH sub AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id < 400
+    ), norms AS (
+      SELECT vec_id, e,
+             sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i]))) AS nrm
+      FROM sub
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+                 / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+          / (a.nrm * b.nrm) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold, on a bounded id
+    range so the oracle's exact pairwise join stays tractable. The Spark
+    side is the same all-pairs semantics expressed as a self-join with a
+    codegen'd fold — the unbounded-scale variant is LSH-bucketed
+    (functions.similarity.lsh_bucketed_topk / minhash family)."""
+    from extract_permits_spark.functions.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    e = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("e").alias("_ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("e").alias("_eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("_ea"), F.col("_eb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(sim, 6).alias("cosine_sim"), sim.alias("_raw")
+    ).where(F.col("_raw") >= 0.35).drop("_raw")
+
+
+_EV_TUMBLING_SQL = _ORACLES["ev_tumbling_agg"]
+
+
+@register("stream_tumbling_agg", _EV_TUMBLING_SQL)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling aggregation, but executed through Structured
+    Streaming (file source → watermark → availableNow drain → memory
+    sink), then returned as a batch frame. Checked against the identical
+    SQL oracle as the batch path — streaming and batch must agree."""
+    import os
+    import shutil
+    import tempfile
+
+    from extract_permits_spark.streaming.events import run_available_now
+
+    work = tempfile.mkdtemp(prefix="ev_stream_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+    name = f"ev_stream_q_{abs(hash(sf_dir)) % 10**8}"
+    q = run_available_now(spark, src, os.path.join(work, "ckpt"), table_name=name)
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+_SOCRATA_SQL = """
+    SELECT CAST(o_orderkey AS VARCHAR) AS permit_,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') AS issue_date,
+           CAST(o_totalprice AS VARCHAR) AS reported_cost
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m-%d')
+          BETWEEN '1995-01-01' AND '1996-12-31'
+"""
+
+
+@register("s1_socrata_pull", _SOCRATA_SQL)
+def s1_socrata_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 driven through the real Socrata source adapter: the date-range predicate is
+    PUSHED into each partition's (faked) HTTP fetch — the driver-side
+    record server filters exactly like SoQL `$where between` — and the
+    pull itself is distributed over date-window partitions.
+    Reference: download_permits chicago/permit_cleaning.py:539-554."""
+    from pyspark.sql import types as T
+
+    from extract_permits_spark.sources.socrata import (
+        fake_fetch_from_records,
+        read_socrata,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    records = [
+        {
+            "permit_": str(r["o_orderkey"]),
+            "issue_date": r["o_orderdate"].strftime("%Y-%m-%dT%H:%M:%S.%f"),
+            "reported_cost": str(r["o_totalprice"]),
+        }
+        for r in orders.select("o_orderkey", "o_orderdate", "o_totalprice").collect()
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("permit_", T.StringType()),
+            T.StructField("issue_date", T.StringType()),
+            T.StructField("reported_cost", T.StringType()),
+        ]
+    )
+    return read_socrata(
+        spark,
+        "orders-fixture",
+        "issue_date",
+        "1995-01-01",
+        "1996-12-31",
+        schema,
+        fetch=fake_fetch_from_records(records),
+        num_partitions=8,
+    )
+
+
+@register("permit_pipeline_upload")
+def permit_pipeline_upload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship §3.1 pipeline's upload partition (rows-only record;
+    the per-operator queries above are the oracle-checked decomposition)."""
+    from extract_permits_spark.plans.permits import permits_from_tpch, run_pipeline
+
+    permits_raw, universe = permits_from_tpch(spark, sf_dir)
+    upload, _review = run_pipeline(permits_raw, universe)
+    return upload

@@ -123,7 +123,13 @@ def fake_fetch_from_records(records: list[dict]):
             col, rest = where.split(" between '", 1)
             lo, hi = rest.rstrip("'").split("' and '")
             col = col.strip()
-            out = [r for r in records if r.get(col) and lo <= r[col] <= hi]
+            # SoQL date-bound semantics: date-only bounds include the whole
+            # end day — compare on the date prefix
+            out = [
+                r
+                for r in records
+                if r.get(col) and lo[:10] <= r[col][:10] <= hi[:10]
+            ]
         return json.loads(json.dumps(out[: int(params.get("$limit", 10**9))]))
 
     return fetch
