@@ -185,7 +185,13 @@ def canonical_amount(c: Column | str) -> Column:
 
 def canonical_permdt(c: Column | str) -> Column:
     c = F.col(c) if isinstance(c, str) else c
-    return F.date_format(F.try_to_timestamp(c), PERMDT_FMT)
+    # the permits frame carries the DISPLAY date (m/d/Y) by dedup time —
+    # parse that first, fall back to ISO-ish inputs (reference re-parses
+    # with pd.to_datetime at :860)
+    parsed = F.coalesce(
+        F.try_to_timestamp(c, F.lit(DISPLAY_DATE_FMT)), F.try_to_timestamp(c)
+    )
+    return F.date_format(parsed, PERMDT_FMT)
 
 
 def canonical_address_note(c: Column | str) -> Column:
