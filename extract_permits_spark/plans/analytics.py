@@ -1392,3 +1392,17 @@ def permit_pipeline_upload(spark: SparkSession, sf_dir: str) -> DataFrame:
     permits_raw, universe = permits_from_tpch(spark, sf_dir)
     upload, _review = run_pipeline(permits_raw, universe)
     return upload
+
+
+@register("ann_ivf_topk")  # approximate (coarse-quantizer) — rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: assign-to-centroid once, probe top clusters per
+    query. Companion to ann_lsh_topk; ann_cosine_topk is the exact oracle."""
+    from extract_permits_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return ivf_topk(emb, qvec, k=20, num_clusters=16, num_probes=4)

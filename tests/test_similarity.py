@@ -95,3 +95,23 @@ def test_lsh_topk_subset_of_brute_force_universe(spark):
     assert 0 < len(got) <= 5
     # query's own bucket always probed → exact self-match present
     assert got[0]["vec_id"] == 0
+
+
+def test_ivf_topk_contains_self_and_overlaps_brute_force(spark):
+    import random
+
+    random.seed(3)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[7][1]
+    index = sim.ivf_index(df, num_clusters=8)
+    approx = sim.ivf_topk(df, q, k=5, num_clusters=8, num_probes=3, index=index)
+    got = approx.collect()
+    assert got[0]["vec_id"] == 7  # self in its own probed cluster
+    exact_ids = {r["vec_id"] for r in sim.brute_force_topk(df, q, k=5).collect()}
+    assert {r["vec_id"] for r in got} & exact_ids  # nonzero recall
+
+    # index assigns every vector to a valid cluster
+    indexed, centroids = index
+    clusters = {r["cluster_id"] for r in indexed.select("cluster_id").distinct().collect()}
+    assert clusters <= set(range(len(centroids)))

@@ -1,0 +1,78 @@
+"""Skew salting correctness + bucketed join produces no Exchange."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from extract_permits_spark.operators import skew
+from extract_permits_spark.sinks import bucketing
+
+
+def test_salted_agg_equals_direct(spark):
+    # heavily skewed: 90% of rows share one key
+    rows = [("hot" if i % 10 else f"k{i}", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    direct = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("v").cast("decimal(18,1)")).alias("s"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["s"])
+        for r in skew.salted_agg(
+            df.withColumn("v", F.col("v").cast("decimal(18,1)")),
+            ["k"],
+            {"n": ("v", "count"), "s": ("v", "sum")},
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_join_equals_direct(spark):
+    left = spark.createDataFrame(
+        [("hot" if i % 5 else f"k{i}", i) for i in range(500)], "k string, lv int"
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("k5", 2), ("k10", 3)], "k string, rv int"
+    )
+    direct = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in left.join(right, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in skew.salted_join(left, right, "k").collect()
+    )
+    assert salted == direct
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+    for leftover in ("t_orders_b", "t_lineitem_b"):
+        shutil.rmtree(f"spark-warehouse/{leftover}", ignore_errors=True)
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    bucketing.write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "key"), "t_orders_b", ["key"], 8
+    )
+    bucketing.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "key"), "t_lineitem_b", ["key"], 8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketing.bucketed_join_ready(
+            spark, "t_orders_b", "t_lineitem_b", "key"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located buckets: sort-merge join with NO shuffle exchange
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        expected = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
