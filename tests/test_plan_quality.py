@@ -1,0 +1,60 @@
+"""Plan-quality regression tests: the optimizations SCALE.md claims must
+stay visible in the optimized/executed plans (pushdown, pruning,
+broadcast, anti-join)."""
+
+from __future__ import annotations
+
+from extract_permits_spark.plans import analytics
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = analytics.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_filter_pushdown_and_pruning(spark):
+    plan = _plan(spark, "s1_scan_filter_order")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # pruned read: only the 4 needed columns reach the scan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," in plan
+    assert "l_extendedprice" not in plan
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("s2_dim_join_filter", "j1_preagg_join", "q5_nation_volume"):
+        assert "BroadcastHashJoin" in _plan(spark, name), name
+
+
+def test_anti_join_planned(spark):
+    assert "LeftAnti" in _plan(spark, "j2_anti_join")
+
+
+def test_aggregate_partial_pushdown(spark):
+    # grouped aggregation plans with a partial (map-side) HashAggregate
+    plan = _plan(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_python_udfs_in_core_queries(spark):
+    # §2.10: the reference-surface queries stay JVM-side; Python appears
+    # only in the explicitly Arrow-batched ops (mm_binary_features)
+    for name in (
+        "q1_pricing_summary",
+        "x1_explode_pipe_list",
+        "p_clean_bundle",
+        "e1_validate_partition",
+        "dedup_exact",
+        "text_quality",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_multimodal_is_arrow_batched(spark):
+    # the one sanctioned Python op runs via Arrow (mapInPandas), not
+    # row-at-a-time pickling
+    plan = _plan(spark, "mm_binary_features")
+    assert "MapInPandas" in plan
