@@ -821,7 +821,8 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        textfn.token_count("text").alias("n_tokens"),
+        # long: DuckDB len() is BIGINT — keep schemas identical across engines
+        textfn.token_count("text").cast("long").alias("n_tokens"),
         textfn.char_count("text").cast("long").alias("n_chars"),
         textfn.bpe_token_estimate("text").alias("bpe_estimate"),
     )
