@@ -1407,3 +1407,104 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
     return ivf_topk(emb, qvec, k=20, num_clusters=16, num_probes=4)
+
+
+# ===========================================================================
+# MinHash-LSH with a cross-engine-deterministic hash family (md5) — the
+# SAME algorithm as dedup_minhash_lsh but oracle-checkable end-to-end:
+# banded candidate generation AND jaccard verification both hash-match
+# DuckDB. (The xxhash64 variant stays the production fast path.)
+# ===========================================================================
+
+_MH_SEEDS = 8
+_MH_BANDS = 4  # 2 hashes per band
+_MH_SHINGLE_SQL = """
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) - 2, 0) + 1),
+               i -> array_to_string(list_slice(
+                      string_split_regex(trim(lower(COALESCE(text,''))), '\\s+'), i, i + 2), ' ')
+             )) AS shingles
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) >= 3
+"""
+
+_MH_SIG_COLS = ", ".join(
+    f"min(md5('{s}|' || sh)) AS h{s}" for s in range(_MH_SEEDS)
+)
+_MH_BAND_ROWS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, md5(h{2*b} || h{2*b+1}) AS band_hash FROM sigs"
+    for b in range(_MH_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_md5",
+    f"""
+    WITH toks AS ({_MH_SHINGLE_SQL}),
+    sh AS (SELECT doc_id, unnest(shingles) AS sh FROM toks),
+    sigs AS (SELECT doc_id, {_MH_SIG_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_MH_BAND_ROWS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_idx, band_hash)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(ta.shingles, tb.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ta.shingles, tb.shingles))), 6)
+             AS jaccard
+    FROM cand c
+    JOIN toks ta ON c.id_a = ta.doc_id
+    JOIN toks tb ON c.id_b = tb.doc_id
+    WHERE CAST(len(list_intersect(ta.shingles, tb.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(ta.shingles, tb.shingles))) >= 0.2
+    """,
+)
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from extract_permits_spark.functions.similarity import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", word_shingles("text", 3).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")).cast("binary"))
+            ).alias(f"h{s}")
+            for s in range(_MH_SEEDS)
+        ]
+    )
+    bands = None
+    for b in range(_MH_BANDS):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).cast("binary")
+            ).alias("band_hash"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(
+        "band_idx", "band_hash", F.col("doc_id").alias("id_a")
+    )
+    bb = bands.select(
+        "band_idx", "band_hash", F.col("doc_id").alias("id_b")
+    )
+    cand = (
+        a.join(bb, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    left = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("_sa"))
+    right = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("_sb"))
+    jac = F.size(F.array_intersect("_sa", "_sb")) / F.size(F.array_union("_sa", "_sb"))
+    return (
+        cand.join(left, "id_a")
+        .join(right, "id_b")
+        .where(jac >= 0.2)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
