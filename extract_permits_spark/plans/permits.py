@@ -24,13 +24,12 @@ from pyspark.sql import functions as F
 from extract_permits_spark.operators.clean import (
     abbreviate,
     assemble_address,
-    format_pin,
     parse_and_display_date,
     round_amount,
 )
 from extract_permits_spark.operators.dedup import deduplicate_permits
 from extract_permits_spark.operators.enrich import tag_keywords
-from extract_permits_spark.operators.clean import cookviewer_link, pin_detail_link
+from extract_permits_spark.operators.clean import cookviewer_link
 from extract_permits_spark.operators.joins import (
     semi_join_membership,
     suggested_values_join,
@@ -45,7 +44,20 @@ def clean_permits(permits_raw: DataFrame, universe: DataFrame) -> DataFrame:
     """Steps P12→X1/X2→P4→P1/P2/P3→P7→P8→A2/J1→P10/P11→P9 as one plan."""
     permits = permits_raw.withColumn("city_state", F.lit("CHICAGO, IL"))  # P12
     exploded = explode_multi_value(permits, "pin_list", out_col="solo_pin")  # X1+X2
-    formatted = exploded.withColumn("solo_pin", format_pin("solo_pin"))  # P4
+    # P4 staged: the stripped form feeds three branches of format_pin —
+    # materialize it once instead of three regexp_replace evaluations per
+    # row (Catalyst doesn't CSE across branches; see SCALE.md)
+    formatted = exploded.withColumn(
+        "_stripped", F.regexp_replace("solo_pin", "-", "")
+    ).withColumn(
+        "solo_pin",
+        F.coalesce(
+            F.when(
+                F.length("_stripped") == 10, F.concat("_stripped", F.lit("0000"))
+            ).otherwise(F.col("_stripped")),
+            F.lit(""),
+        ),
+    ).drop("_stripped")
     with_addr = formatted.withColumn(
         "address",
         assemble_address("street_number", "street_direction", "street_name"),  # P2
@@ -65,7 +77,23 @@ def clean_permits(permits_raw: DataFrame, universe: DataFrame) -> DataFrame:
     enriched = (
         enriched.withColumn("property_address", F.col("applicant_street_address"))  # P17
         .withColumn("cookviewer_link", cookviewer_link("property_address"))  # P10
-        .withColumn("pin_link", pin_detail_link("pin"))  # P11
+        # P11 staged: digits-only form used by both the length test and the
+        # formula — one regexp per row instead of two
+        .withColumn("_digits", F.regexp_replace("pin", r"\D", ""))
+        .withColumn(
+            "pin_link",
+            F.when(F.col("pin").isNull() | (F.col("pin") == ""), F.lit("NO PIN FOUND"))
+            .when(
+                F.length("_digits") == 14,
+                F.format_string(
+                    '=HYPERLINK("https://www.cookcountyassessor.com/pin/%s", "%s")',
+                    F.col("_digits"),
+                    F.col("pin"),
+                ),
+            )
+            .otherwise(F.col("pin")),
+        )
+        .drop("_digits")
     )
     return tag_keywords(enriched, "work_description")  # P9
 
