@@ -1508,3 +1508,97 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.2)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ===========================================================================
+# J7 — as-of join (custom operator; union + last-ignorenulls window merge).
+# Oracle: DuckDB's native ASOF JOIN. Right side pre-deduped to one row per
+# (key, time) with a deterministic winner so tie behavior matches.
+# ===========================================================================
+
+
+@register(
+    "j7_asof_join",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS matched_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           r.matched_orderkey,
+           strftime(r.o_orderdate, '%Y-%m-%d') AS matched_date
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from extract_permits_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("matched_orderkey")
+    )
+    joined = asof_join(
+        e,
+        r,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["matched_orderkey", "o_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        "matched_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("matched_date"),
+    )
+
+
+# ===========================================================================
+# A6 — multi-granularity time rollup (hypertable-style continuous-aggregate
+# shape): one pass produces hour, day, and grand-total rows via ROLLUP,
+# with grouping_id distinguishing levels. Map-side partial aggregation
+# handles all levels in the same shuffle.
+# ===========================================================================
+
+
+@register(
+    "ev_rollup",
+    """
+    SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           COALESCE(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), 'ALL') AS hour,
+           GROUPING(date_trunc('day', ts)) * 2 + GROUPING(date_trunc('hour', ts)) AS gid,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+)
+def ev_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("_day"),
+        F.date_trunc("hour", "ts").alias("_hour"),
+        "value",
+    )
+    return (
+        e.rollup("_day", "_hour")
+        .agg(
+            F.grouping("_day").cast("int").alias("_gd"),
+            F.grouping("_hour").cast("int").alias("_gh"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.date_format("_day", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+            F.coalesce(
+                F.date_format("_hour", "yyyy-MM-dd HH:mm:ss"), F.lit("ALL")
+            ).alias("hour"),
+            (F.col("_gd") * 2 + F.col("_gh")).cast("long").alias("gid"),
+            "n_events",
+            "sum_value",
+        )
+    )

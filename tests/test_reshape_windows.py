@@ -91,3 +91,26 @@ def test_batch_ids_renumber(spark):
     assert by_k[249]["batch"] == 0 and by_k[249]["lline"] == 250
     assert by_k[250]["batch"] == 1 and by_k[250]["lline"] == 1
     assert by_k[599]["batch"] == 2 and by_k[599]["lline"] == 100
+
+
+def test_asof_join_edges(spark):
+    from extract_permits_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 5, "e2"), (2, 7, "e3"), (3, 1, "e4")],
+        "k long, t long, eid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "r5"), (1, 8, "r8"), (2, 7, "r7"), (2, 9, "r9")],
+        "k long, rt long, payload string",
+    )
+    out = {
+        r["eid"]: r["payload"]
+        for r in asof_join(
+            left, right, "k", "k", "t", "rt", payload_cols=["payload"]
+        ).collect()
+    }
+    assert out["e1"] == "r8"  # most recent ≤ 10
+    assert out["e2"] == "r5"  # tie at equal time matches (≤ semantics)
+    assert out["e3"] == "r7"  # later right rows ignored
+    assert out["e4"] is None  # no match → NULL
