@@ -1602,3 +1602,95 @@ def ev_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ===========================================================================
+# J8 — banded range join: |supplier.acctbal − customer.acctbal| ≤ 50
+# without a nested-loop plan. Oracle: DuckDB inequality join (fine at this
+# scale; the band trick is the 100 TB path).
+# ===========================================================================
+
+
+@register(
+    "j8_range_join",
+    """
+    SELECT s.s_suppkey, c.c_custkey,
+           round(abs(s.s_acctbal - c.c_acctbal), 6) AS bal_gap
+    FROM supplier s JOIN customer c
+      ON abs(s.s_acctbal - c.c_acctbal) <= 50.0
+    """,
+)
+def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from extract_permits_spark.operators.rangejoin import banded_range_join
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    out = banded_range_join(s, c, "s_acctbal", "c_acctbal", width=50.0)
+    return out.select(
+        "s_suppkey",
+        "c_custkey",
+        F.round(F.abs(F.col("s_acctbal") - F.col("c_acctbal")), 6).alias("bal_gap"),
+    )
+
+
+# ===========================================================================
+# Training-data sampling: deterministic hash splits + stratified quotas.
+# Hash-based (not rand()) so assignment is reproducible across runs,
+# engines, and repartitioning — the property training pipelines need.
+# ===========================================================================
+
+
+@register(
+    "sample_hash_split",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT source, doc_id FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) <= 5
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: N docs per source, chosen by hash
+    order (stable across runs/partitionings, unlike rand())."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    return (
+        d.select("source", "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 5)
+        .drop("_rn")
+    )
