@@ -1694,3 +1694,31 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") <= 5)
         .drop("_rn")
     )
+
+
+# ===========================================================================
+# A7 — exact grouped quantiles + distinct counts. Exact (sort-based)
+# percentile so the oracle matches bit-for-bit; the approximate cousins
+# (percentile_approx / approx_count_distinct / datasketches) are the
+# at-scale swap-in where exactness isn't required.
+# ===========================================================================
+
+
+@register(
+    "a7_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a7_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

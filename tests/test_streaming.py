@@ -34,3 +34,75 @@ def test_streaming_matches_batch(spark):
             for r in spark.sql("SELECT * FROM ev_test_out").collect()
         }
     assert got == expected
+
+
+def test_watermark_drops_late_data_across_runs(spark):
+    """Append-mode tumbling agg over two availableNow runs: a row arriving
+    after the watermark passed its window must NOT alter the already-
+    finalized window (the engine-native replacement for the reference's
+    'mutually-exclusive date ranges by convention')."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.streaming.events import (
+        read_events_stream,
+        tumbling_counts,
+    )
+
+    base_ns = 1704067200 * 10**9  # 2024-01-01 00:00:00 UTC
+    H = 3600 * 10**9
+
+    def mk_events(rows):
+        return spark.createDataFrame(
+            [
+                (i, base_ns + int(off * H), 1, "a", 1.0, "{}")
+                for i, off in enumerate(rows)
+            ],
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    with tempfile.TemporaryDirectory() as work:
+        src = os.path.join(work, "in")
+        out = os.path.join(work, "out")
+        ckpt = os.path.join(work, "ckpt")
+
+        def run():
+            agg = tumbling_counts(
+                read_events_stream(spark, src),
+                window_len="1 hour",
+                watermark="30 minutes",
+            )
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # batch 1: three rows in hour-0, one in hour-1, one at 02:30 —
+        # watermark advances to 02:00, so windows 00 and 01 finalize
+        mk_events([0.0, 0.25, 0.5, 1.25, 2.5]).write.mode("append").parquet(src)
+        run()
+        first = {
+            r["window_start"]: r["n_events"]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert first.get("2024-01-01 00:00:00") == 3
+        assert first.get("2024-01-01 01:00:00") == 1
+
+        # batch 2: a LATE row for hour-0 (beyond watermark) + a fresh row
+        # at 03:30 that pushes the watermark past hour-2
+        mk_events([0.75, 3.5]).write.mode("append").parquet(src)
+        run()
+        final = spark.read.parquet(out).groupBy("window_start").agg(
+            F.sum("n_events").alias("n")
+        )
+        got = {r["window_start"]: r["n"] for r in final.collect()}
+        assert got["2024-01-01 00:00:00"] == 3  # late row dropped
+        assert got["2024-01-01 02:00:00"] == 1  # newly finalized window
