@@ -95,7 +95,12 @@ def clean_permits(permits_raw: DataFrame, universe: DataFrame) -> DataFrame:
         )
         .drop("_digits")
     )
-    return tag_keywords(enriched, "work_description")  # P9
+    # P9 is applied LAST in run_pipeline (after validation): any projection
+    # added ON TOP of the 37-branch keyword expression makes Catalyst's
+    # CollapseProject re-inline its staged subexpressions — measured +11 s
+    # at sf0.1. Nothing downstream reads matched_keywords, so it goes on
+    # top of the final frame instead.
+    return enriched
 
 
 def run_pipeline(
@@ -116,7 +121,15 @@ def run_pipeline(
         right_key="pin",
         flag_col="in_universe",
     )
-    return partition_valid(flagged, extra_error=~F.col("in_universe"), cache=cache)  # E1
+    validated = with_validation(flagged, extra_error=~F.col("in_universe"))  # E1+E2
+    # P9 last: no projection may sit above the 37-branch keyword expression
+    # or CollapseProject re-inlines its staged lower() 37× (see clean_permits)
+    validated = tag_keywords(validated, "work_description")
+    if cache:
+        validated = validated.persist()
+    upload = validated.where(~F.col("has_error")).drop("has_error", "errors")
+    review = validated.where(F.col("has_error"))
+    return upload, review
 
 
 def permits_from_tpch(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:

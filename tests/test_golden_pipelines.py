@@ -60,7 +60,13 @@ def universe(spark):
 
 
 def test_golden_clean_permits(spark, permits_raw, universe):
-    out = clean_permits(permits_raw, universe).collect()
+    from extract_permits_spark.operators.enrich import tag_keywords
+
+    # P9 lives above the cleaning chain in run_pipeline (see plan note);
+    # apply it here to assert the full §3.1 column set
+    out = tag_keywords(
+        clean_permits(permits_raw, universe), "work_description"
+    ).collect()
     # (a) exploded count: permit 1 → 2 distinct PINs (dupe collapsed),
     # permit 2 → NULL row survives, permit 3 → 1
     assert len(out) == 4
