@@ -147,3 +147,34 @@ def normalized_text(text: Column | str) -> Column:
 def fingerprint(text: Column | str) -> Column:
     """MD5 of the normalized text — stable across engines and runs."""
     return F.md5(normalized_text(text).cast("binary"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus cleaning: URL stripping, PII masking, whitespace canonicalization.
+# All regexp expressions — narrow, codegen'd, zero shuffle.
+# ---------------------------------------------------------------------------
+
+URL_RE = r"https?://\S+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def strip_urls(text: Column | str) -> Column:
+    return F.regexp_replace(F.coalesce(_c(text), F.lit("")), URL_RE, "")
+
+
+def mask_pii(text: Column | str) -> Column:
+    """Mask emails and phone-shaped tokens (the minimum pretraining
+    hygiene pass; swap in stronger recognizers executor-side as needed)."""
+    t = F.coalesce(_c(text), F.lit(""))
+    t = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(t, PHONE_RE, "<PHONE>")
+
+
+def collapse_whitespace(text: Column | str) -> Column:
+    return F.trim(F.regexp_replace(F.coalesce(_c(text), F.lit("")), r"\s+", " "))
+
+
+def clean_for_pretraining(text: Column | str) -> Column:
+    """strip URLs → mask PII → collapse whitespace, in that order."""
+    return collapse_whitespace(mask_pii(strip_urls(text)))

@@ -1722,3 +1722,93 @@ def a7_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ===========================================================================
+# Corpus-preparation composites: cleaning/masking, keep-first exact dedup,
+# and the end-to-end pretraining filter (the LLM-data analog of the permit
+# pipeline — clean → gate → dedupe in one DAG, fully oracle-checked).
+# ===========================================================================
+
+
+@register(
+    "text_clean_mask",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(COALESCE(text,''), 'https?://\\S+', '', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+             '\\s+', ' ', 'g')) AS clean_text
+    FROM documents
+    """,
+)
+def text_clean_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textfn.clean_for_pretraining("text").alias("clean_text")
+    )
+
+
+@register(
+    "dedup_exact_keep_first",
+    """
+    SELECT doc_id, lang, source FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup operator corpora actually run: drop exact duplicates,
+    keeping the lowest-id copy. One shuffle on the 16-byte hash."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    return (
+        d.select("doc_id", "lang", "source", "text")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "docs_pretrain_filter",
+    """
+    WITH cleaned AS (
+      SELECT doc_id, lang, source,
+             trim(regexp_replace(
+               regexp_replace(COALESCE(text,''), 'https?://\\S+', '', 'g'),
+               '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ), gated AS (
+      SELECT doc_id, lang, source, t,
+             len(string_split_regex(t, '\\s+')) AS n_toks
+      FROM cleaned
+      WHERE length(t) >= 20 AND length(t) <= 50000
+        AND len(string_split_regex(t, '\\s+')) >= 5
+    )
+    SELECT doc_id, lang, source, CAST(n_toks AS BIGINT) AS n_toks
+    FROM gated
+    QUALIFY row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) = 1
+    """,
+)
+def docs_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining corpus filter as one lazy DAG: URL-strip +
+    whitespace-canonicalize → length/token gates → exact dedup keep-first.
+    The LLM-data sibling of the permit pipeline; one narrow pass + one
+    hash shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    t = textfn.collapse_whitespace(textfn.strip_urls("text"))
+    cleaned = d.select("doc_id", "lang", "source", t.alias("t"))
+    gated = cleaned.withColumn("n_toks", F.size(F.split("t", r"\s+"))).where(
+        (F.length("t") >= 20)
+        & (F.length("t") <= 50000)
+        & (F.col("n_toks") >= 5)
+    )
+    w = Window.partitionBy(F.md5(F.col("t").cast("binary"))).orderBy("doc_id")
+    return (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "lang", "source", F.col("n_toks").cast("long").alias("n_toks"))
+    )

@@ -82,3 +82,14 @@ def test_frame_sample_plan(spark):
     media = mm.documents_as_media(df)
     offs = [r["frame_offset"] for r in mm.frame_sample_plan(media, 1024).collect()]
     assert offs == [0, 1024, 2048]
+
+
+def test_clean_for_pretraining(spark):
+    df = _docs(spark, [
+        (1, "see https://example.com/x?q=1 and mail a@b.com or 312-555-1234  now"),
+        (2, None),
+    ])
+    out = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", tx.clean_for_pretraining("text").alias("c")).collect()}
+    assert out[1] == "see and mail <EMAIL> or <PHONE> now"
+    assert out[2] == ""
