@@ -1812,3 +1812,62 @@ def docs_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .select("doc_id", "lang", "source", F.col("n_toks").cast("long").alias("n_toks"))
     )
+
+
+# ===========================================================================
+# X4 — long-to-wide pivot (conditional aggregation — the portable form of
+# .pivot(); identical map-side-combine shape).
+# ===========================================================================
+
+
+@register(
+    "x4_pivot",
+    """
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           COUNT(CASE WHEN event_type NOT IN ('click','view','purchase') THEN 1 END) AS n_other
+    FROM events GROUP BY user_id
+    """,
+)
+def x4_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def n(pred, name):
+        return F.count(F.when(pred, 1)).alias(name)
+
+    t = F.col("event_type")
+    return e.groupBy("user_id").agg(
+        n(t == "click", "n_click"),
+        n(t == "view", "n_view"),
+        n(t == "purchase", "n_purchase"),
+        n(~t.isin("click", "view", "purchase"), "n_other"),
+    )
+
+
+# ===========================================================================
+# W5 — rolling-frame window aggregate (7-row trailing sum per key).
+# ===========================================================================
+
+
+@register(
+    "w5_rolling",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_sum
+    FROM events
+    """,
+)
+def w5_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias(
+            "rolling_sum"
+        ),
+    )

@@ -58,3 +58,19 @@ def test_multimodal_is_arrow_batched(spark):
     # row-at-a-time pickling
     plan = _plan(spark, "mm_binary_features")
     assert "MapInPandas" in plan
+
+
+def test_range_join_avoids_nested_loop(spark):
+    # the banded range join must plan as an equi-join; the naive
+    # conditional form plans as BroadcastNestedLoopJoin (O(n·m))
+    plan = _plan(spark, "j8_range_join")
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    # as-of = union + one window over the key: exactly one hash exchange
+    # per side feeding the window sort, no join operator at all
+    plan = _plan(spark, "j7_asof_join")
+    assert "Join" not in plan.replace("AdaptiveSparkPlan", "")
+    assert "Window" in plan
