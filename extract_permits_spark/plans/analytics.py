@@ -1871,3 +1871,26 @@ def w5_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_sum"
         ),
     )
+
+
+# ===========================================================================
+# U3 — INTERSECT (set-op completeness; the reference uses only union/anti).
+# ===========================================================================
+
+
+@register(
+    "u3_intersect",
+    """
+    SELECT o_custkey AS k FROM orders
+    INTERSECT
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+    """,
+)
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    return o.intersect(c)
