@@ -75,8 +75,30 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
+        # schema check mirrors the driver: names AND types must align
+        type_map = {"bigint": "BIGINT", "int": "INTEGER", "double": "DOUBLE",
+                    "string": "VARCHAR", "boolean": "BOOLEAN", "date": "DATE"}
+        stypes = dict(fn(spark, sf_dir).dtypes)
+        otypes = {
+            c: str(t)
+            for c, t in zip(
+                con.execute(f"DESCRIBE SELECT * FROM ({oracles[name]}) LIMIT 0")
+                .df()["column_name"],
+                con.execute(f"DESCRIBE SELECT * FROM ({oracles[name]}) LIMIT 0")
+                .df()["column_type"],
+            )
+        }
+        dtype_mismatch = [
+            f"{c}: spark={stypes[c]} duckdb={otypes.get(c)}"
+            for c in stypes
+            if type_map.get(stypes[c], stypes[c]).upper()
+            != str(otypes.get(c, "MISSING")).upper()
+        ]
         a, b = normalize(sdf), normalize(odf)
-        if list(a.columns) != list(b.columns):
+        if dtype_mismatch:
+            print(f"FAIL {name}: dtype mismatch {dtype_mismatch}")
+            failures.append(name)
+        elif list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns spark={list(a.columns)} oracle={list(b.columns)}")
             failures.append(name)
         elif len(a) != len(b):
