@@ -92,21 +92,25 @@ def zfill_pin(c: Column | str, width: int = 14) -> Column:
 # result — order matters and is preserved here.
 # ---------------------------------------------------------------------------
 
+# Verbatim from the reference's name_shortening_dict
+# (chicago/permit_cleaning.py:668-689), same 15 entries in the same order —
+# order matters for overlapping patterns (e.g. APARTMENT fires before
+# APARTMENTS; both yield APTS on plural input).
 APPLICANT_ABBREVIATIONS: dict[str, str] = {
     "ASSOCIATION": "ASSN",
-    "BUILDING": "BLDG",
     "COMPANY": "CO",
+    "BUILDING": "BLDG",
+    "FOUNDATION": "FNDN",
+    "ILLINOIS": "IL",
+    "STREET": "ST",
+    "BOULEVARD": "BLVD",
+    "AVENUE": "AVE",
+    "APARTMENT": "APT",
+    "APARTMENTS": "APTS",
+    "MANAGEMENT": "MGMT",
     "CORPORATION": "CORP",
-    "DEPARTMENT": "DEPT",
-    "DEVELOPMENT": "DEV",
     "INCORPORATED": "INC",
     "LIMITED": "LTD",
-    "MANAGEMENT": "MGMT",
-    "PARTNERSHIP": "PTSHP",
-    "PROPERTIES": "PROPS",
-    "PROPERTY": "PROP",
-    "CONSTRUCTION": "CONST",
-    "CONDOMINIUM": "CONDO",
     "PLAZA": "PLZ",
 }
 

@@ -12,47 +12,50 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# 37-entry assessable-keyword list (reference:
-# chicago/permit_cleaning.py:707-746). Order matters: the output comma-join
-# preserves keyword-list order, not text order.
+# Assessable-keyword list, verbatim from the reference (casing and order
+# included): chicago/permit_cleaning.py:707-746. Order matters: the output
+# comma-join preserves keyword-list order, not text order. Matching is
+# case-insensitive substring, exactly as the reference's
+# `kw.lower() in str(note).lower()`.
 ASSESSABLE_KEYWORDS: list[str] = [
-    "ADDITION",
-    "ALTERATION",
-    "ATTIC",
-    "BASEMENT",
-    "BATH",
-    "BEDROOM",
-    "COACH HOUSE",
-    "CONSTRUCT",
-    "CONVERSION",
-    "CONVERT",
-    "DECK",
-    "DEMOLISH",
-    "DEMOLITION",
-    "DORMER",
-    "ENCLOSE",
-    "ENCLOSURE",
-    "EXPAND",
-    "EXPANSION",
-    "FOUNDATION",
-    "GARAGE",
-    "KITCHEN",
-    "NEW BUILDING",
-    "NEW HOME",
-    "NEW HOUSE",
-    "PORCH",
-    "REHAB",
-    "REMODEL",
-    "RENOVATE",
-    "RENOVATION",
-    "REPAIR",
-    "ROOFTOP",
-    "SOLAR",
-    "STORY",
-    "SUNROOM",
-    "TEAR DOWN",
-    "TEARDOWN",
-    "WRECK",
+    "Addition",
+    "Elevator",
+    "Window",
+    "Construction",
+    "Garage",
+    "Roof",
+    "Demolition",
+    "HVAC",
+    "Flatwork",
+    "Expand",
+    "Basement",
+    "Alarm",
+    "Fire",
+    "Bathroom",
+    "Solar",
+    "New",
+    "Attic",
+    "Vacant",
+    "Conversion",
+    "Rehab",
+    "Enclosed porch",
+    "Alteration",
+    "EFP",
+    "ADU",
+    "A.D.U.",
+    "Coach",
+    "Accessory",
+    "Extension",
+    "Dormer",
+    "Erect",
+    "Proposed",
+    "Wreck",
+    "Finish",
+    "Rec Room",
+    "Convert",
+    "Recreation room",
+    "Sun Room",
+    "Season",
 ]
 
 

@@ -59,8 +59,16 @@ def salted_join(
 
     Right-side rows multiply by ``num_salts`` — use when the right side is
     small-ish but too big (or wrong-shaped) to broadcast outright. Output
-    equals the unsalted join.
+    equals the unsalted join for the supported join types; 'right'/'full'
+    outer are rejected because an unmatched right-side row exists once per
+    salt replica and would surface num_salts duplicate null-extended rows.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "leftsemi", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; got {how!r} "
+            "(right/full outer would duplicate unmatched right rows per salt)"
+        )
     salts = F.array(*[F.lit(i) for i in range(num_salts)])
     l_salted = left.withColumn("_salt", (F.rand(seed=42) * num_salts).cast("int"))
     r_replicated = right.withColumn("_salt", F.explode(salts))

@@ -73,34 +73,56 @@ def legacy_flag_columns(
     name_col: str = "applicant",
     in_universe_col: str | None = "in_universe",
     dup_col: str | None = "is_duplicate",
+    filled_cols: Sequence[str] | None = None,
 ) -> DataFrame:
-    """E3: legacy path's 8 boolean flag columns + conjunction → valid_row.
+    """E3: legacy path's boolean flag columns + conjunction → valid_row.
 
     Reference: finalize_columns chicago/legacy_permits/helper.py:110-173
     (R twin helper.R:96-135). Flags are kept as real columns — the review
-    output shows analysts *which* rule failed.
+    output shows analysts *which* rule failed. Two semantics carried over
+    exactly from the pandas twin:
+
+    - Text-length flags go through ``astype(str)``, which renders NaN as
+      the 3-char string ``'nan'`` — so a NULL address/name/note/pin field
+      has length 3 and the ``<= N`` length checks PASS for NULLs while the
+      ``== 14`` / ``isin(9, 10)`` checks FAIL. Replicated via
+      ``coalesce(cast(string), 'nan')``.
+    - ``valid_amount`` (to_numeric coercible and < 2147483647, no lower
+      bound — helper.py:139-145) is computed as a flag but is NOT part of
+      the ``valid_row`` conjunction (helper.py:155-164 omits it).
     """
     c = F.col
-    flags = {
-        "valid_pin": c(pin_col).rlike(r"^\d{14}$"),
-        "valid_permit_number": F.length(c(permit_col)).isin(9, 10),
-        "valid_address": F.coalesce(F.length(c(addr_col)) <= 40, F.lit(False)),
-        "valid_note": F.coalesce(F.length(c(note_col)) <= 2000, F.lit(True)),
-        "valid_name": F.coalesce(F.length(c(name_col)) <= 50, F.lit(False)),
-        "valid_amount": (
-            c(amount_col).cast("string").try_cast("double").isNotNull()
-            & (c(amount_col).cast("string").try_cast("double") >= 1)
-            & (c(amount_col).cast("string").try_cast("double") < 2**31)
-        ),
+
+    def str_len(col: str) -> Column:
+        # pandas astype(str): NaN → 'nan' (length 3)
+        return F.length(F.coalesce(c(col).cast("string"), F.lit("nan")))
+
+    amount = c(amount_col).cast("string").try_cast("double")
+    flags: dict[str, Column] = {
+        "valid_pin": str_len(pin_col) == 14,
+        "valid_permit_number": str_len(permit_col).isin(9, 10),
+        "valid_address": str_len(addr_col) <= 40,
+        "valid_note": str_len(note_col) <= 2000,
+        "valid_name": str_len(name_col) <= 50,
+        # NaN (e.g. amount='nan') fails `< limit` in Spark exactly as
+        # pandas' notnull() fails it — both engines mark it invalid
+        "valid_amount": amount.isNotNull() & (amount < 2147483647),
     }
+    if filled_cols:
+        filled = F.lit(True)
+        for fc in filled_cols:
+            filled = filled & c(fc).isNotNull()
+        flags["valid_filled"] = filled
     if in_universe_col is not None:
         flags["valid_universe"] = F.coalesce(c(in_universe_col), F.lit(False))
     if dup_col is not None:
         flags["valid_not_duplicate"] = ~F.coalesce(c(dup_col), F.lit(False))
     out = df
     for name, expr in flags.items():
-        out = out.withColumn(name, F.coalesce(expr, F.lit(False)))
+        out = out.withColumn(name, expr)
     valid = F.lit(True)
     for name in flags:
+        if name == "valid_amount":  # ref valid_row omits it (helper.py:155-164)
+            continue
         valid = valid & F.col(name)
     return out.withColumn("valid_row", valid)

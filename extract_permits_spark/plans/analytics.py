@@ -747,21 +747,25 @@ def u2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              'ORDER NOTE ' || CAST(o_orderkey AS VARCHAR) AS note
       FROM orders
     ), flagged AS (
+      -- pandas astype(str) renders NaN as 'nan' (len 3): COALESCE(x, 'nan')
       SELECT pin, permit_number,
-             regexp_full_match(pin, '[0-9]{14}') AS valid_pin,
-             length(permit_number) IN (9, 10) AS valid_permit_number,
-             COALESCE(length(addr) <= 40, FALSE) AS valid_address,
-             COALESCE(length(note) <= 2000, TRUE) AS valid_note,
-             COALESCE(length(name) <= 50, FALSE) AS valid_name,
-             COALESCE(amount IS NOT NULL AND amount >= 1
-                      AND amount < 2147483648.0, FALSE) AS valid_amount,
+             length(COALESCE(CAST(pin AS VARCHAR), 'nan')) = 14 AS valid_pin,
+             length(COALESCE(CAST(permit_number AS VARCHAR), 'nan')) IN (9, 10)
+               AS valid_permit_number,
+             length(COALESCE(CAST(addr AS VARCHAR), 'nan')) <= 40 AS valid_address,
+             length(COALESCE(CAST(note AS VARCHAR), 'nan')) <= 2000 AS valid_note,
+             length(COALESCE(CAST(name AS VARCHAR), 'nan')) <= 50 AS valid_name,
+             TRY_CAST(CAST(amount AS VARCHAR) AS DOUBLE) IS NOT NULL
+               AND TRY_CAST(CAST(amount AS VARCHAR) AS DOUBLE) < 2147483647
+               AS valid_amount,
              NOT COALESCE(COUNT(*) OVER (PARTITION BY pin, permit_number) > 1,
                           FALSE) AS valid_not_duplicate
       FROM shaped
     )
+    -- valid_amount intentionally absent: ref helper.py:155-164 omits it
     SELECT *,
            valid_pin AND valid_permit_number AND valid_address AND valid_note
-           AND valid_name AND valid_amount AND valid_not_duplicate AS valid_row
+           AND valid_name AND valid_not_duplicate AS valid_row
     FROM flagged
     """,
 )

@@ -55,9 +55,11 @@ def main() -> int:
 
     qs, oracles = mod.queries(), mod.oracle_sql()
     failures = []
+    executed = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        executed += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -113,7 +115,9 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"ok   {name}: {len(a)} rows match ({time.time()-t0:.1f}s)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    skipped = len(qs) - executed
+    note = f" ({skipped} skipped by name filter)" if skipped else ""
+    print(f"\n{executed - len(failures)}/{executed} pass{note}")
     return 1 if failures else 0
 
 
