@@ -1388,15 +1388,201 @@ def s1_socrata_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("permit_pipeline_upload")
+# ===========================================================================
+# Flagship end-to-end oracle: the ENTIRE §3.1 pipeline (adapt fixtures →
+# explode → normalize → organize → abbreviate → round → suggested-PINs join
+# → links → universe flag → validate → upload partition → keyword tag) as
+# one DuckDB statement. The keyword/abbreviation fragments are generated
+# from the same constants the Spark operators use, so the two sides cannot
+# drift. Reference chain: chicago/permit_cleaning.py:1138-1230.
+# ===========================================================================
+
+from extract_permits_spark.operators.clean import APPLICANT_ABBREVIATIONS  # noqa: E402
+from extract_permits_spark.operators.enrich import ASSESSABLE_KEYWORDS  # noqa: E402
+
+_PIPE_KW_SQL = "concat_ws(', ', " + ", ".join(
+    "CASE WHEN contains(lower(COALESCE(work_description, '')), "
+    f"'{k.lower()}') THEN '{k}' END"
+    for k in ASSESSABLE_KEYWORDS
+) + ")"
+
+_PIPE_ABBR_SQL = "o.o_orderstatus"
+for _k, _v in APPLICANT_ABBREVIATIONS.items():
+    _PIPE_ABBR_SQL = f"replace({_PIPE_ABBR_SQL}, '{_k}', '{_v}')"
+
+_PIPE_PIN14 = (
+    "lpad(CAST(l_partkey % (SELECT COUNT(*) FROM customer) AS VARCHAR), 14, '0')"
+)
+
+# Per-column error messages in spec order (specs.PERMIT_COLUMNS rules);
+# each mirrors ColumnSpec.error_message's concat_ws-of-fired-rules shape.
+_PIPE_AMT_V = "TRY_CAST(CAST(amount AS VARCHAR) AS DOUBLE)"
+_PIPE_COL_MSGS = [
+    """concat_ws(', ',
+      CASE WHEN pin IS NULL OR trim(CAST(pin AS VARCHAR)) = ''
+           THEN 'Missing PIN' END,
+      CASE WHEN pin IS NOT NULL AND NOT regexp_full_match(pin, '[0-9]{14}')
+           THEN 'PIN is not 14 digits' END)""",
+    """concat_ws(', ',
+      CASE WHEN permit_number IS NULL OR trim(CAST(permit_number AS VARCHAR)) = ''
+           THEN 'Missing permit number' END,
+      CASE WHEN permit_number IS NOT NULL AND length(permit_number) NOT IN (9, 10)
+           THEN 'Permit number must be 9-10 characters' END)""",
+    """concat_ws(', ',
+      CASE WHEN issue_date IS NULL OR trim(CAST(issue_date AS VARCHAR)) = ''
+           THEN 'Missing issue date' END,
+      CASE WHEN issue_date IS NOT NULL
+                AND try_strptime(issue_date, '%-m/%-d/%Y') IS NULL
+           THEN 'Issue date is not a valid date' END)""",
+    f"""concat_ws(', ',
+      CASE WHEN amount IS NULL OR trim(CAST(amount AS VARCHAR)) = ''
+           THEN 'Missing amount' END,
+      CASE WHEN amount IS NOT NULL AND ({_PIPE_AMT_V} IS NULL
+                OR {_PIPE_AMT_V} < 1 OR {_PIPE_AMT_V} > 2147483647)
+           THEN 'Amount must be at least 1' END)""",
+    """concat_ws(', ',
+      CASE WHEN applicant_street_address IS NULL
+                OR trim(CAST(applicant_street_address AS VARCHAR)) = ''
+           THEN 'Missing address' END,
+      CASE WHEN length(applicant_street_address) > 40
+           THEN 'Address > 40 characters' END)""",
+    """concat_ws(', ',
+      CASE WHEN city_state IS NULL OR trim(CAST(city_state AS VARCHAR)) = ''
+           THEN 'Missing city/state' END)""",
+    """concat_ws(', ',
+      CASE WHEN applicant IS NULL OR trim(CAST(applicant AS VARCHAR)) = ''
+           THEN 'Missing applicant' END,
+      CASE WHEN length(applicant) > 50
+           THEN 'Applicant > 50 characters' END)""",
+    """concat_ws(', ',
+      CASE WHEN length(work_description) > 2000
+           THEN 'Description > 2000 characters' END)""",
+]
+_PIPE_ERRORS_SQL = "concat_ws(', ', " + ", ".join(
+    f"nullif({m}, '')" for m in _PIPE_COL_MSGS
+) + ")"
+
+_PIPE_BASE_SQL = f"""
+    WITH lists AS (
+      SELECT l_orderkey,
+             string_agg(DISTINCT {_PIPE_PIN14}, ' | ' ORDER BY {_PIPE_PIN14})
+               AS pin_list
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    raw AS (
+      SELECT '1' || lpad(CAST(o.o_orderkey AS VARCHAR), 8, '0') AS permit_number,
+             strftime(o.o_orderdate, '%-m/%-d/%Y') AS issue_date,
+             CAST(round_even(TRY_CAST(CAST(o.o_totalprice AS VARCHAR) AS DOUBLE), 0)
+                  AS BIGINT) AS amount,
+             CAST(o.o_custkey AS VARCHAR) || ' N ' || o.o_orderpriority
+               AS applicant_street_address,
+             'CHICAGO, IL' AS city_state,
+             {_PIPE_ABBR_SQL} AS applicant,
+             'CONSTRUCT GARAGE AND REPAIR PORCH FOR ORDER '
+               || CAST(o.o_orderkey AS VARCHAR) AS work_description,
+             l.pin_list
+      FROM orders o LEFT JOIN lists l ON o.o_orderkey = l.l_orderkey
+    ),
+    -- posexplode_outer twin: NULL-pin_list rows survive as pin='' with
+    -- NULL pin_type (the reference's save/union-back dance, ref :585-601)
+    exploded AS (
+      SELECT * EXCLUDE (solo_pin, pos),
+             COALESCE(CASE WHEN length(replace(solo_pin, '-', '')) = 10
+                           THEN replace(solo_pin, '-', '') || '0000'
+                           ELSE replace(solo_pin, '-', '') END, '') AS pin,
+             'pin' || CAST(pos AS VARCHAR) AS pin_type
+      FROM (
+        SELECT r.* EXCLUDE (pin_list),
+               unnest(string_split(r.pin_list, ' | ')) AS solo_pin,
+               unnest(range(1, len(string_split(r.pin_list, ' | ')) + 1)) AS pos
+        FROM raw r WHERE r.pin_list IS NOT NULL
+      )
+      UNION ALL
+      SELECT r.* EXCLUDE (pin_list),
+             '' AS pin, CAST(NULL AS VARCHAR) AS pin_type
+      FROM raw r WHERE r.pin_list IS NULL
+    ),
+    universe AS (
+      SELECT lpad(CAST(c_custkey AS VARCHAR), 14, '0') AS pin,
+             CAST(c_custkey AS VARCHAR) || ' N ' || c_mktsegment
+               AS prop_address_full
+      FROM customer
+    ),
+    sugg AS (
+      SELECT prop_address_full,
+             string_agg(DISTINCT pin, ', ' ORDER BY pin) AS suggested_pins
+      FROM universe GROUP BY prop_address_full
+    ),
+    enriched AS (
+      SELECT e.*,
+             COALESCE(s.suggested_pins, '') AS suggested_pins,
+             e.applicant_street_address AS property_address,
+             CASE WHEN e.applicant_street_address IS NOT NULL
+                       AND e.applicant_street_address <> ''
+                  THEN '=HYPERLINK("https://maps.cookcountyil.gov/cookviewer/?search='
+                       || e.applicant_street_address
+                       || ', Chicago, IL", "Click here to open in CookViewer")'
+                  ELSE '' END AS cookviewer_link,
+             CASE WHEN e.pin IS NULL OR e.pin = '' THEN 'NO PIN FOUND'
+                  WHEN length(regexp_replace(e.pin, '\\D', '', 'g')) = 14
+                  THEN '=HYPERLINK("https://www.cookcountyassessor.com/pin/'
+                       || regexp_replace(e.pin, '\\D', '', 'g')
+                       || '", "' || e.pin || '")'
+                  ELSE e.pin END AS pin_link,
+             up.pin IS NOT NULL AS in_universe
+      FROM exploded e
+      LEFT JOIN sugg s ON e.applicant_street_address = s.prop_address_full
+      LEFT JOIN (SELECT DISTINCT pin FROM universe) up ON up.pin = e.pin
+    ),
+    validated AS (
+      SELECT *,
+             {_PIPE_ERRORS_SQL} AS errors,
+             {_PIPE_KW_SQL} AS matched_keywords
+      FROM enriched
+    ),
+    final AS (
+      SELECT *, errors <> '' OR NOT COALESCE(in_universe, FALSE) AS has_error
+      FROM validated
+    )
+"""
+
+_PIPE_COMMON_COLS = """pin, permit_number, issue_date, amount,
+           applicant_street_address, city_state, applicant, work_description,
+           pin_type, suggested_pins, property_address, cookviewer_link,
+           pin_link, in_universe"""
+
+_PIPE_UPLOAD_SQL = f"""{_PIPE_BASE_SQL}
+    SELECT {_PIPE_COMMON_COLS}, matched_keywords
+    FROM final WHERE NOT has_error
+"""
+
+_PIPE_REVIEW_SQL = f"""{_PIPE_BASE_SQL}
+    SELECT {_PIPE_COMMON_COLS}, errors, has_error, matched_keywords
+    FROM final WHERE has_error
+"""
+
+
+@register("permit_pipeline_upload", _PIPE_UPLOAD_SQL)
 def permit_pipeline_upload(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship §3.1 pipeline's upload partition (rows-only record;
-    the per-operator queries above are the oracle-checked decomposition)."""
+    """The flagship §3.1 pipeline's upload partition, oracle-checked
+    end-to-end (hash match vs the one-statement DuckDB twin above); the
+    per-operator queries above remain the checked decomposition."""
     from extract_permits_spark.plans.permits import permits_from_tpch, run_pipeline
 
     permits_raw, universe = permits_from_tpch(spark, sf_dir)
     upload, _review = run_pipeline(permits_raw, universe)
     return upload
+
+
+@register("permit_pipeline_review", _PIPE_REVIEW_SQL)
+def permit_pipeline_review(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The review (needs-human-look) partition of the same pipeline —
+    errors message + has_error flag included, oracle-checked end-to-end."""
+    from extract_permits_spark.plans.permits import permits_from_tpch, run_pipeline
+
+    permits_raw, universe = permits_from_tpch(spark, sf_dir)
+    _upload, review = run_pipeline(permits_raw, universe)
+    return review
 
 
 @register("ann_ivf_topk")  # approximate (coarse-quantizer) — rows-only check
