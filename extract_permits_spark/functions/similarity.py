@@ -233,16 +233,33 @@ def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
-    band_bits: int = 16,
+    max_hamming: int = 7,
+    band_bits: int = 8,
+    allow_recall_loss: bool = False,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit hash into 16-bit chunks
-    (pigeonhole: a pair within Hamming distance ``bands-1`` shares at least
-    one exact band), bucket-join, verify with bit_count(xor).
+    """SimHash near-dup pairs: band the 64-bit hash into ``band_bits``-bit
+    chunks, bucket-join, verify with bit_count(xor).
+
+    Recall contract (pigeonhole): with ``n_bands = 64 // band_bits`` bands,
+    any pair within Hamming distance ``n_bands - 1`` must agree exactly on
+    at least one band, so candidate generation has recall **1.0** for all
+    pairs with hamming ≤ n_bands - 1. The defaults (8 bands of 8 bits,
+    max_hamming=7) keep the guarantee tight; asking for a ``max_hamming``
+    beyond the guaranteed radius raises unless ``allow_recall_loss=True``
+    (pairs at distance n_bands..max_hamming may then be silently missed).
+    Verified against brute-force bit_count(xor) ground truth in
+    tests/test_recall.py.
 
     Returns (id_a, id_b, hamming ≤ max_hamming).
     """
     n_bands = 64 // band_bits
+    if max_hamming > n_bands - 1 and not allow_recall_loss:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the banding guarantee "
+            f"(n_bands-1 = {n_bands - 1}); use more/smaller bands or pass "
+            "allow_recall_loss=True to accept missed pairs in "
+            f"[{n_bands}, {max_hamming}]"
+        )
     with_sim = simhash_table(docs, id_col, text_col)
     mask = (1 << band_bits) - 1
     banded = with_sim.select(
@@ -277,6 +294,30 @@ def simhash_pairs(
             F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b"))).alias("hamming"),
         )
         .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_bruteforce(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 7,
+) -> DataFrame:
+    """All-pairs ``bit_count(xor)`` ground truth for simhash_pairs — O(n²)
+    cross join, for fixtures/recall audits only (the banded path is the
+    scale shape). Same output schema: (id_a, id_b, hamming)."""
+    with_sim = simhash_table(docs, id_col, text_col)
+    a = with_sim.select(F.col(id_col).alias("id_a"), F.col("_sim").alias("_sim_a"))
+    b = with_sim.select(F.col(id_col).alias("id_b"), F.col("_sim").alias("_sim_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b"))).alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
     )
 
@@ -330,64 +371,85 @@ def brute_force_topk(
     )
 
 
+def _lsh_plane(seed: int, table: int, p: int, dim: int) -> list[float]:
+    # deterministic pseudo-random plane from integer tuple hashing (Python
+    # hash of int tuples is PYTHONHASHSEED-independent — reproducible)
+    return [
+        (((hash((seed, table, p, d)) & 0xFFFF) / 0xFFFF) - 0.5) for d in range(dim)
+    ]
+
+
 def lsh_bucketed_topk(
     vectors: DataFrame,
     query_vec: list[float],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    num_tables: int = 8,
     num_planes: int = 8,
-    max_probe_distance: int = 1,
+    max_probe_distance: int = 2,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH (sign-random-projection).
+    """Approximate top-k via multi-table random-hyperplane LSH (LSH forest,
+    sign-random-projection; Charikar '02, Indyk-Motwani '98 AND-OR
+    amplification).
 
-    Index side: each vector → ``num_planes``-bit signature (one int). Query
-    side: probe the query's bucket plus all buckets within Hamming distance
-    ``max_probe_distance`` (multi-probe). Scan cost drops to the probed
-    buckets' share of the corpus; at 100 TB the signature column is
-    precomputed once and partition-pruned on.
+    Index side: per table, each vector → ``num_planes``-bit signature (one
+    int). Query side: per table, probe the query's bucket plus all buckets
+    within Hamming distance ``max_probe_distance`` (multi-probe), union the
+    per-table candidate sets, dedup, exact-rank the survivors. A single
+    b-bit table has per-neighbor hit probability p_match^b, which collapses
+    for moderate-similarity neighbors; OR-ing L independent tables lifts it
+    to 1-(1-p_match^b)^L — the standard recall amplification. Measured
+    recall floor is pinned in tests/test_recall.py via ann_lsh_recall.
 
-    Deterministic pseudo-random planes derive from xxhash64(seed, plane,
-    dim) — reproducible across runs/engines with no RNG state.
+    Scale shape: each per-table probe is a filter on a precomputable
+    signature column — at 100 TB each table is its own bucketed/partitioned
+    index and the union is L partition-pruned scans (bodies fetched once
+    after dedup), never a full-corpus scan per query.
+
+    Deterministic planes derive from hash((seed, table, plane, dim)) — no
+    RNG state, reproducible across runs/engines.
     """
-    dim = len(query_vec)
-
-    def plane(p: int) -> list[float]:
-        # deterministic pseudo-gaussian-ish plane from integer hashing
-        return [
-            (((hash((seed, p, d)) & 0xFFFF) / 0xFFFF) - 0.5) for d in range(dim)
-        ]
-
-    planes = [plane(p) for p in range(num_planes)]
-
-    def sig_expr(vec: Column) -> Column:
-        bits = []
-        for p, pl in enumerate(planes):
-            pv = F.array(*[F.lit(x) for x in pl])
-            bits.append(
-                F.when(dot(vec, pv) >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
-            )
-        out = F.lit(0)
-        for b in bits:
-            out = out + b
-        return out
-
     import numpy as _np
 
-    qsig = 0
-    for p, pl in enumerate(planes):
-        if float(_np.dot(_np.asarray(query_vec), _np.asarray(pl))) >= 0:
-            qsig |= 1 << p
-    probe = {qsig}
-    if max_probe_distance >= 1:
-        for p in range(num_planes):
-            probe.add(qsig ^ (1 << p))
-
+    dim = len(query_vec)
+    qarr = _np.asarray(query_vec)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    with_sig = vectors.withColumn("_sig", sig_expr(F.col(vec_col)))
+
+    cand = None
+    for t in range(num_tables):
+        planes = [_lsh_plane(seed, t, p, dim) for p in range(num_planes)]
+
+        def sig_expr(vec: Column) -> Column:
+            out = F.lit(0)
+            for p, pl in enumerate(planes):
+                pv = F.array(*[F.lit(x) for x in pl])
+                out = out + F.when(
+                    dot(vec, pv) >= 0, F.shiftleft(F.lit(1), p)
+                ).otherwise(F.lit(0))
+            return out
+
+        qsig = 0
+        for p, pl in enumerate(planes):
+            if float(_np.dot(qarr, _np.asarray(pl))) >= 0:
+                qsig |= 1 << p
+        probe = {qsig}
+        if max_probe_distance >= 1:
+            for p in range(num_planes):
+                probe.add(qsig ^ (1 << p))
+        if max_probe_distance >= 2:
+            for p1 in range(num_planes):
+                for p2 in range(p1 + 1, num_planes):
+                    probe.add(qsig ^ (1 << p1) ^ (1 << p2))
+
+        table_hits = vectors.withColumn("_sig", sig_expr(F.col(vec_col))).where(
+            F.col("_sig").isin(*probe)
+        ).select(id_col, vec_col)
+        cand = table_hits if cand is None else cand.unionByName(table_hits)
+
     return (
-        with_sig.where(F.col("_sig").isin(*probe))
+        cand.dropDuplicates([id_col])
         .select(
             F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
         )

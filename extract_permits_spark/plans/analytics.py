@@ -1041,6 +1041,51 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simfn.lsh_bucketed_topk(emb, qvec, k=20)
 
 
+def _ann_recall_frame(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """recall@k = |approx ∩ exact| / k, computed declaratively."""
+    hit = exact.select("vec_id").join(
+        approx.select("vec_id"), "vec_id", "left_semi"
+    )
+    return hit.agg(
+        F.lit(k).alias("k"),
+        (F.count(F.lit(1)).cast("double") / F.lit(k)).alias("recall"),
+    )
+
+
+@register("ann_lsh_recall")  # quality metric for the approximate path
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@20 of random-hyperplane LSH vs exact brute-force top-k —
+    the checkable quality number for ann_lsh_topk (floor asserted in
+    tests/test_recall.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return _ann_recall_frame(
+        simfn.lsh_bucketed_topk(emb, qvec, k=20),
+        simfn.brute_force_topk(emb, qvec, k=20),
+        k=20,
+    )
+
+
+@register("ann_ivf_recall")  # quality metric for the approximate path
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@20 of IVF (4-of-16 probed clusters) vs exact top-k — the
+    checkable quality number for ann_ivf_topk (floor asserted in
+    tests/test_recall.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return _ann_recall_frame(
+        simfn.ivf_topk(emb, qvec, k=20, num_clusters=16, num_probes=4),
+        simfn.brute_force_topk(emb, qvec, k=20),
+        k=20,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-duplicate detection (approximate — rows-only checks by design;
 # exact-dedup above is the oracle-checked member of the family).
@@ -1055,8 +1100,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash at the GUARANTEED radius (8 bands of 8 bits ⇒ recall
+    1.0 for hamming ≤ 7 by pigeonhole) — set equality with the brute-force
+    ground truth is asserted in tests/test_recall.py and by the
+    dedup_simhash_recall registry entry."""
     d = load_table(spark, sf_dir, "documents")
-    return simfn.simhash_pairs(d, max_hamming=8)
+    return simfn.simhash_pairs(d, max_hamming=7)
+
+
+@register(
+    "dedup_simhash_recall",
+    """
+    SELECT 7 AS max_hamming, CAST(1.0 AS DOUBLE) AS recall
+    """,
+)
+def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of banded SimHash vs all-pairs bit_count(xor) ground
+    truth (no driver-side action — two counts crossed declaratively). The
+    banding guarantee makes this exactly 1.0 at the default radius, so the
+    measurement is oracle-checkable as the constant 1.0; a recall collapse
+    (e.g. a banding bug) would hash-mismatch."""
+    d = load_table(spark, sf_dir, "documents")
+    banded = simfn.simhash_pairs(d, max_hamming=7)
+    exact = simfn.simhash_pairs_bruteforce(d, max_hamming=7)
+    hit = exact.join(banded.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("_n_exact"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("_n_hit"))
+    return n_exact.crossJoin(n_hit).select(
+        F.lit(7).alias("max_hamming"),
+        F.coalesce(
+            F.col("_n_hit").cast("double") / F.nullif(F.col("_n_exact"), F.lit(0)),
+            F.lit(1.0),
+        ).alias("recall"),
+    )
 
 
 @register(
