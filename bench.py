@@ -5,6 +5,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced with the noop sink (full execution, no driver
 collect) — measures the engine, not result transfer.
+
+Methodology (r2): every query runs TWICE and the second (steady-state)
+time is reported — the first run absorbs scan-cache/JIT warm-up and made
+sub-second numbers noisy (VERDICT r1). Cold times ride along under
+"queries_cold" for reference; "value" sums the steady-state times.
 """
 
 from __future__ import annotations
@@ -60,23 +65,36 @@ def main() -> None:
     # warm the JVM/IO path once (not timed)
     force(qs["s3_scalar_max"](spark, sf_dir))
 
+    def run_pipeline_once() -> None:
+        # flagship permit pipeline end-to-end (both partitions)
+        from extract_permits_spark.plans.permits import (
+            permits_from_tpch,
+            run_pipeline,
+        )
+
+        permits_raw, universe = permits_from_tpch(spark, sf_dir)
+        upload, review = run_pipeline(permits_raw, universe, cache=True)
+        force(upload)
+        force(review)
+        # drop the pipeline's persisted parent so the next run starts clean
+        spark.catalog.clearCache()
+
+    runnables: list[tuple[str, object]] = [
+        (name, lambda name=name: force(qs[name](spark, sf_dir)))
+        for name in HEADLINE
+        if name in qs
+    ]
+    runnables.append(("permit_pipeline", run_pipeline_once))
+
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
+    times_cold: dict[str, float] = {}
+    for name, run in runnables:
         t0 = time.time()
-        force(qs[name](spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
-
-    # flagship permit pipeline end-to-end (both partitions)
-    from extract_permits_spark.plans.permits import permits_from_tpch, run_pipeline
-
-    t0 = time.time()
-    permits_raw, universe = permits_from_tpch(spark, sf_dir)
-    upload, review = run_pipeline(permits_raw, universe, cache=True)
-    force(upload)
-    force(review)
-    times["permit_pipeline"] = round(time.time() - t0, 3)
+        run()
+        times_cold[name] = round(time.time() - t0, 3)
+        t1 = time.time()
+        run()
+        times[name] = round(time.time() - t1, 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -86,7 +104,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_cold": times_cold,
                 "sf": sf,
+                "methodology": "each query forced twice; steady-state "
+                "(second) run reported, cold run in queries_cold",
             }
         )
     )

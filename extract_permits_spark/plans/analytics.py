@@ -1422,29 +1422,39 @@ _SOCRATA_SQL = """
 """
 
 
+def _orders_record(r: dict) -> dict:
+    """Row → Socrata-style JSON record (module-level so the closure Spark
+    ships to executors stays small and picklable)."""
+    return {
+        "permit_": str(r["o_orderkey"]),
+        "issue_date": r["o_orderdate"].strftime("%Y-%m-%dT%H:%M:%S.%f"),
+        "reported_cost": str(r["o_totalprice"]),
+    }
+
+
 @register("s1_socrata_pull", _SOCRATA_SQL)
 def s1_socrata_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 driven through the real Socrata source adapter: the date-range predicate is
-    PUSHED into each partition's (faked) HTTP fetch — the driver-side
-    record server filters exactly like SoQL `$where between` — and the
-    pull itself is distributed over date-window partitions.
-    Reference: download_permits chicago/permit_cleaning.py:539-554."""
+    """S1 driven through the real Socrata source adapter: the date-range
+    predicate is PUSHED into each partition's (faked) HTTP fetch — a
+    partition-side record server backed by the orders parquet filters
+    exactly like SoQL `$where between` — and the pull itself is distributed
+    over date-window partitions. Nothing is collected on the driver: each
+    executor partition serves its own window, the shape a 1000-executor
+    pull has. Reference: download_permits chicago/permit_cleaning.py:539-554."""
+    import os as _os
+
     from pyspark.sql import types as T
 
     from extract_permits_spark.sources.socrata import (
-        fake_fetch_from_records,
+        fake_fetch_from_parquet,
         read_socrata,
     )
 
-    orders = load_table(spark, sf_dir, "orders")
-    records = [
-        {
-            "permit_": str(r["o_orderkey"]),
-            "issue_date": r["o_orderdate"].strftime("%Y-%m-%dT%H:%M:%S.%f"),
-            "reported_cost": str(r["o_totalprice"]),
-        }
-        for r in orders.select("o_orderkey", "o_orderdate", "o_totalprice").collect()
-    ]
+    fetch = fake_fetch_from_parquet(
+        _os.path.join(sf_dir, "orders.parquet"),
+        ["o_orderkey", "o_orderdate", "o_totalprice"],
+        _orders_record,
+    )
     schema = T.StructType(
         [
             T.StructField("permit_", T.StringType()),
@@ -1459,7 +1469,7 @@ def s1_socrata_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1995-01-01",
         "1996-12-31",
         schema,
-        fetch=fake_fetch_from_records(records),
+        fetch=fetch,
         num_partitions=8,
     )
 

@@ -112,24 +112,48 @@ def read_socrata(
     return spark.createDataFrame(rdd, schema)
 
 
+def _apply_soql(records: list[dict], params: dict[str, str]) -> list[dict]:
+    """Record-server core: honor the SoQL between-filter + limit on a
+    record list, exactly like the endpoint would."""
+    where = params.get("$where", "")
+    out = records
+    if " between '" in where:
+        col, rest = where.split(" between '", 1)
+        lo, hi = rest.rstrip("'").split("' and '")
+        col = col.strip()
+        # SoQL date-bound semantics: date-only bounds include the whole
+        # end day — compare on the date prefix
+        out = [
+            r for r in records if r.get(col) and lo[:10] <= r[col][:10] <= hi[:10]
+        ]
+    return json.loads(json.dumps(out[: int(params.get("$limit", 10**9))]))
+
+
 def fake_fetch_from_records(records: list[dict]):
     """Test helper: a fetch that serves from an in-memory record list,
     honoring the SoQL between-filter on the requested column."""
 
     def fetch(url: str, params: dict[str, str]) -> list[dict]:
-        where = params.get("$where", "")
-        out = records
-        if " between '" in where:
-            col, rest = where.split(" between '", 1)
-            lo, hi = rest.rstrip("'").split("' and '")
-            col = col.strip()
-            # SoQL date-bound semantics: date-only bounds include the whole
-            # end day — compare on the date prefix
-            out = [
-                r
-                for r in records
-                if r.get(col) and lo[:10] <= r[col][:10] <= hi[:10]
-            ]
-        return json.loads(json.dumps(out[: int(params.get("$limit", 10**9))]))
+        return _apply_soql(records, params)
+
+    return fetch
+
+
+def fake_fetch_from_parquet(
+    path: str,
+    columns: Sequence[str],
+    make_record: Callable[[dict], dict],
+):
+    """Partition-side record server: serves SoQL requests from a local
+    parquet file — the no-network stand-in for the HTTP endpoint that runs
+    INSIDE each Spark partition. Nothing is collected on the driver; at
+    scale each date-window partition issues its own bounded "request"
+    exactly like the real fetch would."""
+
+    def fetch(url: str, params: dict[str, str]) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        rows = pq.read_table(path, columns=list(columns)).to_pylist()
+        return _apply_soql([make_record(r) for r in rows], params)
 
     return fetch

@@ -74,3 +74,14 @@ def test_asof_join_single_shuffle(spark):
     plan = _plan(spark, "j7_asof_join")
     assert "Join" not in plan.replace("AdaptiveSparkPlan", "")
     assert "Window" in plan
+
+
+def test_no_driver_collect_in_registry():
+    """No registry entry may materialize a table on the driver: `.collect()`
+    is banned from the registry module (bounded `.first()` / `.limit(k)`
+    probes are the allowed driver-side scalars). Guards against the r1
+    s1_socrata_pull regression class."""
+    import inspect
+
+    src = inspect.getsource(analytics)
+    assert ".collect()" not in src, "driver-side collect() in a registry entry"
