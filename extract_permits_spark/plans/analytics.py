@@ -2170,3 +2170,71 @@ def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("k"))
     )
     return o.intersect(c)
+
+
+# ===========================================================================
+# S6/S7/S8 — Excel round trip: formatted render -> reviewed-workbook ingest
+# -> flag partition, oracle-checked. The reviewer's fill-color flags are
+# simulated with a deterministic cross-engine rule (md5 hex prefix), so the
+# whole xlsx surface (pure-stdlib codec, sinks/xlsx_io.py) sits on the
+# correctness gate rather than pytest alone.
+# Reference: save_xlsx_file chicago/permit_cleaning.py:911-1135 (write),
+# format_reviewed_permits_for_upload.py:31-204 (read + flag colors).
+# ===========================================================================
+
+_XLSX_SQL = """
+SELECT doc_id, source, is_flagged
+FROM (
+  SELECT doc_id, source,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
+           AS is_flagged
+  FROM documents ORDER BY doc_id LIMIT 200
+)
+"""
+
+
+@register("xlsx_review_roundtrip", _XLSX_SQL)
+def xlsx_review_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render a review workbook (S8), color the PIN-analog cell of
+    "reviewer-selected" rows with the reference's yellow flag fill (S7),
+    re-ingest values + fills (S6), and emit the flag partition. The file is
+    driver-side by contract — review workbooks are 250-row-batched (S9) —
+    so the bounded ``limit(200).toPandas()`` is the operator's semantics,
+    not a scale shortcut; everything before/after the file hop is
+    distributed."""
+    import os
+    import tempfile
+
+    from extract_permits_spark.sinks.excel_sink import read_reviewed_workbook
+    from extract_permits_spark.sinks.xlsx_io import SheetSpec, write_xlsx
+
+    d = load_table(spark, sf_dir, "documents")
+    review = (
+        d.orderBy("doc_id")
+        .limit(200)
+        .select(
+            "doc_id",
+            "source",
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            .isin("0", "1", "2")
+            .alias("flag"),
+        )
+        .toPandas()
+    )
+    rows = [[int(r.doc_id), str(r.source)] for r in review.itertuples(index=False)]
+    fills = {
+        (i, 0): "FFFFFF00"  # reviewer's yellow on the id cell
+        for i, r in enumerate(review.itertuples(index=False))
+        if r.flag
+    }
+    path = os.path.join(tempfile.mkdtemp(prefix="xlsx_rt_"), "review.xlsx")
+    write_xlsx(
+        path,
+        [SheetSpec(name="Permits", header=["doc_id", "source"], rows=rows, fills=fills)],
+    )
+    ingested = read_reviewed_workbook(spark, path, "Permits", pin_header="doc_id")
+    return ingested.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        "is_flagged",
+    )

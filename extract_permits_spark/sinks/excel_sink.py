@@ -1,31 +1,67 @@
-"""Driver-side Excel presentation sink (SURVEY.md §2.1 S8-S10).
+"""Driver-side Excel presentation sink + reviewed-workbook ingest
+(SURVEY.md §2.1 S6-S10).
 
 The reference's signature output is a formatted review workbook
 (save_xlsx_file, chicago/permit_cleaning.py:911-1135): per-column
-widths/formats, frozen header, autofilter, TEXTJOIN error formulas,
-hyperlink formulas, conditional formats, sheet protection, plus a
-PIN-universe sheet with hyphenated PINs (:1127-1131).
+widths/formats, frozen header, autofilter, hyperlink formulas, sheet
+protection, plus a PIN-universe sheet with hyphenated PINs (:1127-1131).
+Its signature *input* is the reviewed workbook where the reviewer flags
+rows by coloring the PIN cell (format_reviewed_permits_for_upload.py:
+31-83 flag colors, :123-204 value read).
 
 Design split: everything *data* (error messages E2, links P10/P11,
-hyphenated PINs) is computed engine-side as real columns; this sink only
-renders. It is inherently driver-side (`toPandas()`), bounded by the
-review-file cardinality (thousands of rows — reference batch cap is 250
-rows/file and $limit 10M overall), and gated behind openpyxl/xlsxwriter
-availability: absent in this container, so rendering raises cleanly while
-the row-shaping logic stays testable.
+hyphenated PINs) is computed engine-side as real columns; this module
+renders and ingests via the pure-stdlib codec in ``xlsx_io`` (openpyxl
+is not installed in this container — and is not needed: xlsx is
+zip+XML). Render/ingest are inherently driver-side, bounded by the
+review-file cardinality (250 rows/file batch cap, S9).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from datetime import date, datetime
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-try:  # pragma: no cover - not installed in this environment
-    import openpyxl  # noqa: F401
+from extract_permits_spark.sinks.xlsx_io import (
+    Formula,
+    SheetSpec,
+    read_xlsx,
+    write_xlsx,
+)
 
-    HAVE_OPENPYXL = True
-except Exception:  # pragma: no cover
-    HAVE_OPENPYXL = False
+# Reviewer flag fills on the PIN cell
+# (format_reviewed_permits_for_upload.py:31-37): yellow, orange, and one
+# theme-encoded variant of the same orange that round-trips through Excel
+# as (theme 7, tint 0.39998).
+FLAG_FILL_COLORS = {
+    "FFFFFF00",  # yellow (ARGB)
+    "FFFFC000",  # orange (ARGB)
+    ("theme", 7, 0.3999755851924192),
+}
+
+
+def fill_matches_flag(fill: object) -> bool:
+    """True if a cell-fill descriptor from ``xlsx_io.read_xlsx`` is one of
+    the reviewer flag colors (pin_cell_matches_flag,
+    format_reviewed_permits_for_upload.py:39-83): ARGB match, RGB-without-
+    alpha match, or theme+tint match with tint rounded to 6dp."""
+    if fill is None:
+        return False
+    if isinstance(fill, str):
+        val = fill.upper().lstrip("#")
+        if val in FLAG_FILL_COLORS:
+            return True
+        return len(val) == 8 and val[2:] in {c for c in FLAG_FILL_COLORS if isinstance(c, str)}
+    if isinstance(fill, tuple) and len(fill) == 3 and fill[0] == "theme":
+        want = {
+            (t[0], t[1], round(t[2], 6))
+            for t in FLAG_FILL_COLORS
+            if isinstance(t, tuple)
+        }
+        return ("theme", fill[1], round(float(fill[2]), 6)) in want
+    return False
 
 
 def hyphenated_pin(c: Column | str) -> Column:
@@ -49,23 +85,123 @@ def presentation_frame(df: DataFrame, specs) -> DataFrame:
     return df.select(*[F.col(s.name).alias(s.header) for s in ordered])
 
 
-def save_workbook(df: DataFrame, path: str, sheet_name: str = "permits") -> None:
-    """Render a (small, already review-sized) DataFrame to xlsx on the
-    driver. Requires openpyxl (not present in this container)."""
-    if not HAVE_OPENPYXL:
-        raise NotImplementedError(
-            "xlsx rendering requires openpyxl; compute-side outputs "
-            "(presentation_frame, hyphenated_pin, error columns) are "
-            "available without it"
+def save_workbook(
+    df: DataFrame,
+    path: str,
+    specs=None,
+    pin_universe: DataFrame | None = None,
+    sheet_name: str = "Permits",
+    freeze_cols: int = 3,
+) -> None:
+    """S8: render a (small, already review-sized) DataFrame to a formatted
+    xlsx on the driver — bold frozen header, per-spec column widths,
+    autofilter, protected sheet, plus the 'Universe of Valid PINs' sheet
+    with zero-padded + hyphenated PINs (save_xlsx_file,
+    chicago/permit_cleaning.py:911-1135). String cells whose value starts
+    with '=' (the engine-built HYPERLINK links, P10/P11) are written as
+    formula cells, like the reference's write_formula branch (:992-1001).
+    """
+    if specs is not None:
+        df = presentation_frame(df, specs)
+        widths = [s.width for s in sorted(specs, key=lambda s: s.col_idx)]
+    else:
+        widths = None
+    header = list(df.columns)
+    rows: list[list[object]] = []
+    for r in df.toPandas().itertuples(index=False):
+        row: list[object] = []
+        for v in r:
+            if v is None or (isinstance(v, float) and v != v):
+                row.append(None)
+            elif isinstance(v, str) and v.startswith("=") and "(" in v:
+                row.append(Formula(v[1:]))
+            elif isinstance(v, (datetime, date, bool, int, float, str)):
+                row.append(v)
+            else:
+                row.append(str(v))
+        rows.append(row)
+
+    sheets = [
+        SheetSpec(
+            name=sheet_name,
+            header=header,
+            rows=rows,
+            col_widths=widths,
+            freeze_cols=min(freeze_cols, len(header)),
+            autofilter=True,
+            protect=True,
         )
-    pdf = df.toPandas()  # pragma: no cover
-    pdf.to_excel(path, sheet_name=sheet_name, index=False)  # pragma: no cover
+    ]
+    if pin_universe is not None:
+        pin_rows = [
+            [str(p).zfill(14), None]
+            for (p,) in pin_universe.select(pin_universe.columns[0]).toPandas().itertuples(
+                index=False
+            )
+        ]
+        for row in pin_rows:
+            p = row[0]
+            row[1] = f"{p[0:2]}-{p[2:4]}-{p[4:7]}-{p[7:10]}-{p[10:14]}"
+        sheets.append(
+            SheetSpec(
+                name="Universe of Valid PINs",
+                header=["pin", "pin_hyphenated"],
+                rows=pin_rows,
+                col_widths=[16, 20],
+                protect=True,
+            )
+        )
+    write_xlsx(path, sheets)
+
+
+def read_reviewed_workbook(
+    spark: SparkSession,
+    path: str,
+    sheet_name: str | None = None,
+    pin_header: str = "PIN* [PARID]",
+) -> DataFrame:
+    """S6+S7: ingest a reviewed workbook — every cell as a string column
+    (the reference reads all columns for QC, format_reviewed_permits_for_
+    upload.py:123-204) plus an ``is_flagged`` boolean derived from the PIN
+    cell's fill color (:39-83). Dates render back as ISO strings so the
+    frame is uniformly string-typed like the reference's upload frame."""
+    sheet = read_xlsx(path, sheet_name)
+    try:
+        pin_idx = sheet.header.index(pin_header)
+    except ValueError:
+        pin_idx = None
+
+    def fmt(v: object) -> str | None:
+        if v is None:
+            return None
+        if isinstance(v, datetime):
+            if v.time() == v.time().min:
+                return v.date().isoformat()
+            return v.isoformat(sep=" ")
+        if isinstance(v, bool):
+            return str(v)
+        if isinstance(v, float) and v == int(v):
+            return str(int(v))
+        return str(v)
+
+    records = []
+    for row, fills in zip(sheet.rows, sheet.fills):
+        rec = {h: fmt(v) for h, v in zip(sheet.header, row)}
+        rec["is_flagged"] = pin_idx is not None and fill_matches_flag(fills.get(pin_idx))
+        records.append(rec)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(h, T.StringType()) for h in sheet.header]
+        + [T.StructField("is_flagged", T.BooleanType())]
+    )
+    return spark.createDataFrame(records, schema)
 
 
 def flagged_rows_from_frame(df: DataFrame, flag_col: str = "is_flagged") -> DataFrame:
-    """S7/S10 engine half: fill-color flags arrive as a boolean column from
-    the ingest adapter (format_reviewed_permits_for_upload.py:31-83); the
-    engine filters on it."""
+    """S7/S10 engine half: keep reviewer-flagged rows (the upload set,
+    format_reviewed_permits_for_upload.py:171-183)."""
     return df.where(F.coalesce(F.col(flag_col), F.lit(False)))
 
 

@@ -97,10 +97,20 @@ def test_hyphenated_pin(spark):
     assert out == "12-08-100-006-0000"
 
 
-def test_excel_render_gated():
-    if not excel_sink.HAVE_OPENPYXL:
-        with pytest.raises(NotImplementedError):
-            excel_sink.save_workbook(None, "/tmp/x.xlsx")
+def test_excel_render_real(spark):
+    """S8 renders without openpyxl now (pure-stdlib codec; see
+    tests/test_xlsx_io.py for the full round-trip suite)."""
+    import os
+    import tempfile
+    import zipfile
+
+    df = spark.createDataFrame([("12081000060000", "HOUSE")], "pin string, work string")
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "out.xlsx")
+        excel_sink.save_workbook(df, p)
+        with zipfile.ZipFile(p) as zf:
+            assert zf.testzip() is None
+            assert "xl/workbook.xml" in zf.namelist()
 
 
 def test_flag_filters(spark):

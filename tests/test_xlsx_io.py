@@ -1,0 +1,211 @@
+"""Round-trip tests for the pure-stdlib xlsx codec + the S6/S7/S8 Excel
+surface it unlocks (reference: chicago/permit_cleaning.py:911-1135 write,
+chicago/legacy_permits/format_reviewed_permits_for_upload.py:31-204 read)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+from datetime import date, datetime
+
+import pytest
+
+from extract_permits_spark.sinks.excel_sink import (
+    FLAG_FILL_COLORS,
+    fill_matches_flag,
+    flagged_rows_from_frame,
+    presentation_frame,
+    read_reviewed_workbook,
+    save_workbook,
+    without_flagged_rows,
+)
+from extract_permits_spark.sinks.xlsx_io import (
+    Formula,
+    SheetSpec,
+    from_serial,
+    read_xlsx,
+    to_serial,
+    write_xlsx,
+)
+
+
+@pytest.fixture()
+def tmp_xlsx():
+    with tempfile.TemporaryDirectory() as d:
+        yield os.path.join(d, "wb.xlsx")
+
+
+def test_value_round_trip(tmp_xlsx):
+    rows = [
+        ["plain", 42, 3.5, True, datetime(2024, 3, 1, 12, 30), None],
+        ["  padded  ", -1, 0.0, False, date(1999, 12, 31), "last"],
+        ["<&> escaped \"quotes\"", 2**33, 1e-6, None, None, "x"],
+    ]
+    write_xlsx(
+        tmp_xlsx,
+        [SheetSpec(name="S", header=["a", "b", "c", "d", "e", "f"], rows=rows)],
+    )
+    got = read_xlsx(tmp_xlsx, "S")
+    assert got.header == ["a", "b", "c", "d", "e", "f"]
+    assert got.rows[0][:4] == ["plain", 42, 3.5, True]
+    assert got.rows[0][4] == datetime(2024, 3, 1, 12, 30)
+    assert got.rows[0][5] is None
+    assert got.rows[1][0] == "  padded  "  # xml:space preserved
+    assert got.rows[1][4] == datetime(1999, 12, 31)  # date -> midnight
+    assert got.rows[2][0] == '<&> escaped "quotes"'
+    assert got.rows[2][1] == 2**33
+
+
+def test_serial_conversion():
+    # Excel's documented anchor: 2008-01-01 is serial 39448 (1900 system)
+    assert to_serial(date(2008, 1, 1)) == 39448.0
+    assert from_serial(39448.0) == datetime(2008, 1, 1)
+    noon = datetime(2008, 1, 1, 12, 0)
+    assert from_serial(to_serial(noon)) == noon
+
+
+def test_fill_round_trip_and_flag_semantics(tmp_xlsx):
+    rows = [["p1"], ["p2"], ["p3"], ["p4"]]
+    fills = {(0, 0): "FFFFFF00", (1, 0): "FFFFC000", (2, 0): "FF00FF00"}
+    write_xlsx(
+        tmp_xlsx, [SheetSpec(name="S", header=["pin"], rows=rows, fills=fills)]
+    )
+    got = read_xlsx(tmp_xlsx, "S")
+    assert got.fills[0][0] == "FFFFFF00"
+    assert got.fills[1][0] == "FFFFC000"
+    assert got.fills[2][0] == "FF00FF00"
+    assert got.fills[3] == {}
+    assert fill_matches_flag(got.fills[0][0])
+    assert fill_matches_flag(got.fills[1][0])
+    assert not fill_matches_flag(got.fills[2][0])  # green is not a flag color
+    assert not fill_matches_flag(None)
+
+
+def test_flag_color_equivalences():
+    """RGB-without-alpha and theme-tint forms (reference pin_cell_matches_flag
+    handles both, format_reviewed_permits_for_upload.py:39-83)."""
+    # the reference matches full ARGB strings only (its alpha-stripped
+    # fallback compares 6 chars against 8-char set entries — never true)
+    assert not fill_matches_flag("FFFF00")
+    assert not fill_matches_flag("AAFFFF00")
+    assert fill_matches_flag("#FFFFC000")  # leading # stripped like the ref
+    assert fill_matches_flag(("theme", 7, 0.3999755851924192))
+    assert fill_matches_flag(("theme", 7, 0.39997558519))  # tint rounded to 6dp
+    assert not fill_matches_flag(("theme", 3, 0.4))
+    assert ("theme", 7, 0.3999755851924192) in FLAG_FILL_COLORS
+
+
+def test_formula_cells_round_trip(tmp_xlsx):
+    link = Formula('HYPERLINK("https://x/1","1")')
+    write_xlsx(tmp_xlsx, [SheetSpec(name="S", header=["f"], rows=[[link]])])
+    with zipfile.ZipFile(tmp_xlsx) as zf:
+        xml = zf.read("xl/worksheets/sheet1.xml").decode()
+    assert '<f>HYPERLINK("https://x/1","1")</f>' in xml
+
+
+def test_multi_sheet_and_structure(tmp_xlsx):
+    write_xlsx(
+        tmp_xlsx,
+        [
+            SheetSpec(name="Permits", header=["a"], rows=[[1]], autofilter=True,
+                      protect=True, freeze_cols=1, col_widths=[18]),
+            SheetSpec(name="Universe of Valid PINs", header=["pin"], rows=[["x"]]),
+        ],
+    )
+    with zipfile.ZipFile(tmp_xlsx) as zf:
+        assert zf.testzip() is None
+        names = set(zf.namelist())
+        assert {"[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+                "xl/_rels/workbook.xml.rels", "xl/styles.xml",
+                "xl/worksheets/sheet1.xml", "xl/worksheets/sheet2.xml"} <= names
+        s1 = zf.read("xl/worksheets/sheet1.xml").decode()
+    assert "autoFilter" in s1 and "sheetProtection" in s1
+    assert 'state="frozen"' in s1 and 'customWidth="1"' in s1
+    second = read_xlsx(tmp_xlsx, "Universe of Valid PINs")
+    assert second.rows == [["x"]]
+    # sheet lookup by name must not fall through to the first sheet
+    with pytest.raises(KeyError):
+        read_xlsx(tmp_xlsx, "nope")
+
+
+def test_save_workbook_round_trip(spark):
+    """S8 -> S6: render the formatted review workbook, read it back, values
+    survive (the reference's own review cycle)."""
+    df = spark.createDataFrame(
+        [
+            ("12081000060000", "GARAGE <&> REPAIR", 1500, "2024-01-02"),
+            ("00000000000001", None, None, None),
+        ],
+        "pin string, work string, amount int, issue_date string",
+    )
+    uni = spark.createDataFrame([("12081000060000",), ("1",)], "pin string")
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "review.xlsx")
+        save_workbook(df, p, pin_universe=uni)
+        got = read_xlsx(p, "Permits")
+        assert got.header == ["pin", "work", "amount", "issue_date"]
+        assert got.rows[0] == ["12081000060000", "GARAGE <&> REPAIR", 1500, "2024-01-02"]
+        assert got.rows[1] == ["00000000000001", None, None, None]
+        pins = read_xlsx(p, "Universe of Valid PINs")
+        assert pins.rows[0] == ["12081000060000", "12-08-100-006-0000"]
+        assert pins.rows[1] == ["00000000000001", "00-00-000-000-0001"]
+
+
+def test_save_workbook_with_specs(spark):
+    """Specs drive header renames, col_idx order, and widths."""
+    from extract_permits_spark.specs import PERMIT_COLUMNS
+
+    cols = [s for s in sorted(PERMIT_COLUMNS, key=lambda s: s.col_idx)[:3]]
+    df = spark.createDataFrame(
+        [tuple(f"v{i}" for i in range(len(cols)))],
+        ", ".join(f"{s.name} string" for s in reversed(cols)),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "o.xlsx")
+        save_workbook(df, p, specs=cols)
+        got = read_xlsx(p, "Permits")
+        assert got.header == [s.header for s in cols]
+
+
+def test_reviewed_workbook_ingest(spark):
+    """S7 end-to-end: write a review file with flagged PIN cells, ingest it,
+    and partition on the flag — the reference's upload/QC split."""
+    rows = [
+        ["12081000060000", "OK", datetime(2024, 2, 1)],
+        ["99999999999999", "BAD", datetime(2024, 2, 2)],
+        ["11111111111111", "MEH", None],
+    ]
+    fills = {(0, 0): "FFFFFF00", (2, 0): "FF00B0F0"}  # row0 flagged, row2 not
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "reviewed.xlsx")
+        write_xlsx(
+            p,
+            [SheetSpec(name="Permits",
+                       header=["PIN* [PARID]", "note", "Issue Date* [PERMDT]"],
+                       rows=rows, fills=fills)],
+        )
+        df = read_reviewed_workbook(spark, p, "Permits")
+        assert df.columns == ["PIN* [PARID]", "note", "Issue Date* [PERMDT]", "is_flagged"]
+        out = {r["PIN* [PARID]"]: r for r in df.collect()}
+        assert out["12081000060000"]["is_flagged"] is True
+        assert out["99999999999999"]["is_flagged"] is False
+        assert out["11111111111111"]["is_flagged"] is False
+        # all-string frame; date cells ISO-formatted
+        assert out["12081000060000"]["Issue Date* [PERMDT]"] == "2024-02-01"
+        flagged = flagged_rows_from_frame(df).collect()
+        assert [r["PIN* [PARID]"] for r in flagged] == ["12081000060000"]
+        assert without_flagged_rows(df).count() == 2
+
+
+def test_presentation_frame_order(spark):
+    from extract_permits_spark.specs import PERMIT_COLUMNS
+
+    names = [s.name for s in sorted(PERMIT_COLUMNS, key=lambda s: s.col_idx)]
+    df = spark.createDataFrame(
+        [tuple("x" for _ in names)], ", ".join(f"{n} string" for n in reversed(names))
+    )
+    out = presentation_frame(df, PERMIT_COLUMNS)
+    assert out.columns == [
+        s.header for s in sorted(PERMIT_COLUMNS, key=lambda s: s.col_idx)
+    ]
