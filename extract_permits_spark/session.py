@@ -38,6 +38,16 @@ def get_spark(app_name: str = "extract-permits-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Whole-stage codegen only for stages of <=16 fields. Wide stages
+        # (the ~28-column permit frame: explode -> cleaning -> 2 broadcast
+        # joins -> validation -> keyword tag) fuse into ONE generated method
+        # far past the JVM JIT HugeMethodLimit (8 KB) and execute as
+        # interpreted bytecode; per-operator codegen compiles each Project
+        # into its own JIT-able class instead. Measured at sf0.1 local[32]:
+        # permit pipeline 26s -> 15.8s, headline-total 22.9s -> 18.6s, no
+        # query regresses (SCALE.md "Codegen method size"). The JIT limit is
+        # per-executor-JVM, so the same knob carries to a real cluster.
+        .config("spark.sql.codegen.maxFields", "16")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
