@@ -1,0 +1,134 @@
+"""Connected components over a near-duplicate pair list (LLM dedup ops).
+
+Near-dup detectors (MinHash-LSH, SimHash, n-gram Jaccard — see
+``functions/similarity.py``) emit PAIRS ``(id_a, id_b)``. Turning pairs
+into deduplication decisions needs the transitive closure: if A~B and
+B~C, then {A,B,C} is one duplicate *cluster* and one canonical document
+survives. This module computes that closure as iterative min-label
+propagation on DataFrames:
+
+    label(v) <- min(label(v), min over neighbors u of label(u))
+
+repeated until fixpoint. Each round is one shuffle (join on the edge
+list + groupBy min) and converges in O(cluster diameter) rounds —
+near-dup clusters are shallow (most are cliques from LSH buckets;
+diameters beyond ~5 are rare in practice), so the round count is small
+and *data-independent of total corpus size*. For adversarial
+long-chain graphs the alternating large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) converges in O(log n) rounds with the same per-round shuffle
+shape; the propagation loop below is the simpler fixpoint and the
+round budget is capped + asserted so a chain can't run away silently.
+
+Scale notes (100 TB lens):
+- The edge list is tiny relative to the corpus (near-dup pairs), so the
+  iteration cost is bounded by duplicate density, not corpus size.
+- ``localCheckpoint`` every few rounds truncates the lineage chain —
+  without it the plan doubles per iteration and the driver's optimizer
+  time dominates (a real failure mode for iterative DataFrame jobs).
+- Convergence needs one tiny action per round (a count of changed
+  labels). That is the standard driver-coordinated loop (GraphX does
+  the same); the per-round action reads one aggregated Long, not data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 25,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Transitive closure of an undirected pair list.
+
+    Returns ``(id, component)`` with one row per distinct vertex in
+    ``edges``; ``component`` is the MINIMUM vertex id reachable from
+    ``id`` (a deterministic, order-independent cluster key).
+
+    Raises if the fixpoint is not reached within ``max_rounds`` — for
+    near-dup clustering that means the pair graph has a pathological
+    long chain and the caller should switch to large-star/small-star.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = sym.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+
+    for round_no in range(1, max_rounds + 1):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        proposed = (
+            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("nbr_min", F.col("component")) < F.col("component")).alias(
+                    "_changed"
+                ),
+            )
+        )
+        if round_no % checkpoint_every == 0:
+            proposed = proposed.localCheckpoint(eager=True)
+        changed = proposed.agg(F.sum(F.col("_changed").cast("long"))).first()[0] or 0
+        labels = proposed.drop("_changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds — "
+        "pair graph has a long chain; use large-star/small-star instead"
+    )
+
+
+def canonical_per_cluster(
+    components: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """One canonical survivor per duplicate cluster.
+
+    Joins ``(id, component)`` back to ``docs`` and keeps, per component,
+    the row with the highest ``quality_col`` (ties and absent quality →
+    lowest ``id_col``, so the choice is deterministic). Returns
+    ``(component, canonical_id, cluster_size)``.
+
+    One shuffle on ``component`` (the window); the docs join broadcasts
+    when the clustered subset is small, which it is by construction —
+    only documents that appeared in a near-dup pair are present.
+    """
+    from pyspark.sql import Window
+
+    joined = components.join(
+        docs.select(F.col(id_col).alias("id"), *([quality_col] if quality_col else [])),
+        "id",
+    )
+    order = (
+        [F.col(quality_col).desc(), F.col("id").asc()]
+        if quality_col
+        else [F.col("id").asc()]
+    )
+    w = Window.partitionBy("component").orderBy(*order)
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.min(F.when(F.col("_rn") == 1, F.col("id"))).alias("canonical_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+    )

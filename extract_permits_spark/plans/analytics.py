@@ -2238,3 +2238,98 @@ def xlsx_review_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "is_flagged",
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: near-dup pairs -> connected components ->
+# one canonical survivor per cluster (operators/graph.py). The pair list
+# is the oracle-checked n-gram Jaccard detector; the closure is iterative
+# min-label propagation (O(cluster diameter) shuffle rounds), checked
+# against a DuckDB recursive CTE computing the same min-reachable-id.
+# ---------------------------------------------------------------------------
+
+_JACCARD_PAIRS_SQL = """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) - 2, 0) + 1),
+               i -> array_to_string(list_slice(
+                      string_split_regex(trim(lower(COALESCE(text,''))), '\\s+'), i, i + 2), ' ')
+             )) AS shingles
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    )
+"""
+
+
+@register(
+    "dedup_cluster_components",
+    _JACCARD_PAIRS_SQL
+    + """
+    , reach(id, comp) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+        SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id
+    )
+    SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the n-gram Jaccard near-dup pairs: every doc
+    that appears in a pair, labeled with the minimum doc_id reachable
+    through the pair graph (the cluster key). Spark side is iterative
+    min-label propagation over DataFrames (operators/graph.py:44); the
+    oracle is a DuckDB recursive CTE over the same pair SQL."""
+    from extract_permits_spark.operators.graph import connected_components
+
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(edges).select("id", "component")
+
+
+@register(
+    "dedup_cluster_canonical",
+    _JACCARD_PAIRS_SQL
+    + """
+    , reach(id, comp) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+        SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id
+    ),
+    comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id)
+    SELECT component, canonical_id, cluster_size FROM (
+      SELECT c.component,
+             FIRST_VALUE(c.id) OVER (
+               PARTITION BY c.component
+               ORDER BY length(COALESCE(d.text, '')) DESC, c.id ASC
+             ) AS canonical_id,
+             CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT) AS cluster_size,
+             ROW_NUMBER() OVER (PARTITION BY c.component ORDER BY c.id) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.id
+    ) WHERE rn = 1
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per duplicate cluster: the surviving document (longest text, ties
+    to lowest doc_id) and the cluster size — the actual dedup DECISION a
+    pretraining pipeline applies after pair detection."""
+    from extract_permits_spark.operators.graph import (
+        canonical_per_cluster,
+        connected_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    docs_q = d.select("doc_id", F.length(F.coalesce("text", F.lit(""))).alias("_quality"))
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    comps = connected_components(edges)
+    return canonical_per_cluster(comps, docs_q, id_col="doc_id", quality_col="_quality")

@@ -1,0 +1,58 @@
+"""Connected components + canonical-per-cluster (operators/graph.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from extract_permits_spark.operators.graph import (
+    canonical_per_cluster,
+    connected_components,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_chain_and_separate_pair(spark):
+    # chain 1-2-3-4 (diameter 3, needs multiple propagation rounds) plus
+    # a disjoint pair 10-11
+    comp = connected_components(
+        _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    )
+    got = {r.id: r.component for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_triangle_with_tail_and_reversed_edges(spark):
+    # labels must flow against edge direction too (5,2): min id 2 wins
+    comp = connected_components(_edges(spark, [(3, 4), (4, 5), (5, 3), (5, 2)]))
+    got = {r.id: r.component for r in comp.collect()}
+    assert got == {2: 2, 3: 2, 4: 2, 5: 2}
+
+
+def test_long_chain_hits_round_cap(spark):
+    chain = [(i, i + 1) for i in range(1, 60)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_edges(spark, chain), max_rounds=3)
+
+
+def test_canonical_picks_highest_quality_then_lowest_id(spark):
+    comp = connected_components(_edges(spark, [(1, 2), (2, 3), (10, 11)]))
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 1), (11, 1)], "doc_id long, q long"
+    )
+    out = {
+        r.component: (r.canonical_id, r.cluster_size)
+        for r in canonical_per_cluster(comp, docs, quality_col="q").collect()
+    }
+    # cluster {1,2,3}: quality tie 9 between 2 and 3 -> lowest id 2
+    # cluster {10,11}: tie -> 10
+    assert out == {1: (2, 3), 10: (10, 2)}
+
+
+def test_canonical_without_quality_is_min_id(spark):
+    comp = connected_components(_edges(spark, [(7, 5), (5, 9)]))
+    docs = spark.createDataFrame([(5,), (7,), (9,)], "doc_id long")
+    out = canonical_per_cluster(comp, docs).collect()
+    assert len(out) == 1
+    assert (out[0].component, out[0].canonical_id, out[0].cluster_size) == (5, 5, 3)
