@@ -1,0 +1,84 @@
+"""DuckDB-side timing baseline for the bench headline queries.
+
+The reference publishes no benchmark numbers (BASELINE.md), so this
+script synthesizes the comparison target the "within 2×" gate needs:
+it times each headline query's *oracle SQL* — the independent DuckDB
+formulation of the same result — on the same parquet files, same
+machine, all cores. Usage:
+
+    python tools/bench_oracle.py [sf_dir]        # default /root/testdata/sf0.1
+
+Prints one JSON line: {"metric": "oracle_headline_total", "value": sec,
+"queries": {name: sec}, "sf": ...}. Methodology matches bench.py: each
+query runs twice, steady-state (second) time reported; results are
+materialized into an in-memory relation (fetched row count only — no
+client transfer cost beyond DuckDB's own materialization).
+
+Caveat recorded in BASELINE.md: a few oracle twins are deliberately
+naive so they stay obviously-correct (e.g. dedup_ngram_jaccard is a
+full O(n²) cross join where the Spark side prunes via shared shingles);
+for those the oracle time is an upper bound, not a tuned DuckDB number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from bench import HEADLINE
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from extract_permits_spark.plans import analytics
+
+    oracles = analytics.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    # headline queries that have an oracle twin, plus the flagship
+    # pipeline composite (its oracle is the end-to-end upload partition)
+    names = [n for n in HEADLINE if n in oracles]
+    if "permit_pipeline_upload" in oracles:
+        names.append("permit_pipeline_upload")
+
+    times: dict[str, float] = {}
+    for name in names:
+        sql = oracles[name]
+        con.execute(sql).fetchall()  # warm-up (buffer cache, plan cache)
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        times[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "oracle_headline_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "engine": f"duckdb {duckdb.__version__}, all cores",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
