@@ -348,6 +348,29 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def int8_quantize(vec: Column) -> tuple[Column, Column]:
+    """Symmetric int8 quantization of a float vector: ``scale =
+    max(|x|)/127``; ``q_i = floor(x_i/scale + 0.5)`` (half-up spelled out
+    as floor(+0.5) so Spark and any oracle engine round identically —
+    built-in round() differs between HALF_UP and HALF_EVEN across
+    engines). All-zero vectors quantize to zeros with scale 0.
+
+    Returns ``(quantized int array, scale)``. Narrow per-row HOF — no
+    shuffle; the interpreted-lambda cost is ~dim ops/row, which is the
+    floor for any per-element transform that keeps array shape (the
+    explode→groupBy rewrite used for minhash trades it for 2 shuffles,
+    a loss here because nothing aggregates across rows).
+    """
+    maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = maxabs / F.lit(127.0)
+    q = F.when(maxabs == 0, F.transform(vec, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            vec, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")
+        )
+    )
+    return q, scale
+
+
 def brute_force_topk(
     vectors: DataFrame,
     query_vec: list[float],

@@ -2333,3 +2333,122 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
     comps = connected_components(edges)
     return canonical_per_cluster(comps, docs_q, id_col="doc_id", quality_col="_quality")
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly (functions/corpus.py): sequence packing and deterministic
+# mixture interleaving — the steps between dedup and training-shard write.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id % 8 AS shard, doc_id,
+             CASE WHEN trim(COALESCE(text,'')) = '' THEN 0
+                  ELSE len(string_split_regex(trim(COALESCE(text,'')), '\\s+'))
+             END AS weight,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pack(shard, rn, doc_id, weight, bin, used) AS (
+        SELECT shard, rn, doc_id, weight, 0, weight FROM toks WHERE rn = 1
+      UNION ALL
+        SELECT t.shard, t.rn, t.doc_id, t.weight,
+               CASE WHEN p.used + t.weight > 64 THEN p.bin + 1 ELSE p.bin END,
+               CASE WHEN p.used + t.weight > 64 THEN t.weight ELSE p.used + t.weight END
+        FROM pack p JOIN toks t ON t.shard = p.shard AND t.rn = p.rn + 1
+    )
+    SELECT shard, doc_id, CAST(weight AS BIGINT) AS weight, CAST(bin AS BIGINT) AS bin
+    FROM pack
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing of documents into 64-token bins, 8
+    independent shards (functions/corpus.py:next_fit_pack — stateful
+    applyInPandas per shard). The oracle replays the identical walk as a
+    DuckDB recursive CTE advancing one row per shard per step."""
+    from extract_permits_spark.functions.corpus import next_fit_pack
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        textfn.token_count("text").cast("long").alias("n_tokens"),
+    )
+    return next_fit_pack(
+        docs, id_col="doc_id", weight_col="n_tokens", shard_col="shard", budget=64
+    )
+
+
+@register(
+    "sample_interleave",
+    """
+    SELECT doc_id, source, mix_rank FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS mix_rank
+      FROM documents
+      WHERE source IN ('src0', 'src1', 'src2')
+    )
+    WHERE mix_rank <= CASE source
+                        WHEN 'src0' THEN 12 WHEN 'src1' THEN 6 ELSE 3 END
+    """,
+)
+def sample_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sample: 12/6/3 documents from src0/src1/src2
+    selected by md5(doc_id) — reproducible across engines and runs
+    (functions/corpus.py:interleave_sources)."""
+    from extract_permits_spark.functions.corpus import interleave_sources
+
+    d = load_table(spark, sf_dir, "documents")
+    out = interleave_sources(
+        d, id_col="doc_id", source_col="source",
+        quotas={"src0": 12, "src1": 6, "src2": 3},
+    )
+    return out.select("doc_id", "source", F.col("mix_rank").cast("long").alias("mix_rank"))
+
+
+@register(
+    "emb_quantize",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM embeddings
+    ),
+    qq AS (
+      SELECT e.vec_id,
+             CASE WHEN q.maxabs = 0
+                  THEN list_transform(e.embedding, x -> 0)
+                  ELSE list_transform(e.embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) / (q.maxabs / 127.0) + 0.5) AS INT))
+             END AS qvec,
+             q.maxabs
+      FROM embeddings e JOIN q USING (vec_id)
+    )
+    SELECT vec_id,
+           round(maxabs / 127.0, 9) AS scale,
+           CAST(list_min(qvec) AS INT) AS q_min,
+           CAST(list_max(qvec) AS INT) AS q_max,
+           CAST(list_sum(qvec) AS BIGINT) AS q_sum
+    FROM qq
+    """,
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column
+    (functions/similarity.py:int8_quantize) — summarized per vector as
+    (scale, min, max, sum of quantized values) so the cross-engine value
+    hash covers every element without comparing array renderings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q, scale = simfn.int8_quantize(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(scale, 9).alias("scale"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, v: acc + v).alias("q_sum"),
+    )
