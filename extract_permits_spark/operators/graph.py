@@ -42,7 +42,6 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 25,
-    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Transitive closure of an undirected pair list.
 
@@ -50,48 +49,73 @@ def connected_components(
     ``edges``; ``component`` is the MINIMUM vertex id reachable from
     ``id`` (a deterministic, order-independent cluster key).
 
-    Raises if the fixpoint is not reached within ``max_rounds`` — for
-    near-dup clustering that means the pair graph has a pathological
-    long chain and the caller should switch to large-star/small-star.
+    Each round combines one neighbor-min propagation hop with one
+    pointer-jumping hop (``label <- label(label)``, the Shiloach-Vishkin
+    shortcut): labels race down chains exponentially, so a chain of
+    diameter d converges in O(log d) rounds instead of O(d). The
+    invariant both hops preserve is "label(v) is the id of some vertex
+    in v's component, and labels only decrease"; at the neighbor-min
+    fixpoint every label equals the component minimum, so convergence
+    is detected on the propagation hop alone.
+
+    Raises if the fixpoint is not reached within ``max_rounds`` (2^25
+    effective hops — unreachable for any real pair graph).
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        # static across rounds: checkpoint once, pre-partitioned on the
+        # probe key so each round's join only shuffles the labels side
+        .repartition(F.col("v"))
+        .localCheckpoint(eager=True)
     )
-    labels = sym.select(F.col("u").alias("id")).distinct().select(
-        "id", F.col("id").alias("component")
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
     )
-    labels = labels.localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
 
-    for round_no in range(1, max_rounds + 1):
+    for _ in range(max_rounds):
         neighbor_min = (
             sym.join(labels, sym.v == labels.id)
             .groupBy("u")
             .agg(F.min("component").alias("nbr_min"))
         )
-        proposed = (
-            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-                (F.coalesce("nbr_min", F.col("component")) < F.col("component")).alias(
-                    "_changed"
-                ),
-            )
+        proposed = labels.join(
+            neighbor_min, labels.id == neighbor_min.u, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
+            (F.coalesce("nbr_min", F.col("component")) < F.col("component")).alias(
+                "_changed"
+            ),
         )
-        if round_no % checkpoint_every == 0:
-            proposed = proposed.localCheckpoint(eager=True)
+        proposed = proposed.localCheckpoint(eager=True)
         changed = proposed.agg(F.sum(F.col("_changed").cast("long"))).first()[0] or 0
         labels = proposed.drop("_changed")
         if changed == 0:
             return labels
+        # pointer jump: follow the label one hop (component ids are vertex
+        # ids, so the lookup is a self-join of the label table)
+        ptr = labels.select(
+            F.col("id").alias("_pid"), F.col("component").alias("_pcomp")
+        )
+        labels = (
+            labels.join(ptr, labels.component == ptr._pid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("_pcomp", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
     raise RuntimeError(
-        f"connected_components did not converge in {max_rounds} rounds — "
-        "pair graph has a long chain; use large-star/small-star instead"
+        f"connected_components did not converge in {max_rounds} rounds"
     )
 
 

@@ -1157,31 +1157,38 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise n-gram Jaccard above a threshold. The Spark side
-    prunes the O(n²) with a shared-shingle pre-join (only pairs sharing at
-    least one shingle are scored) — same result set as the oracle's full
-    cross join, different cost shape."""
+    """Exact pairwise n-gram Jaccard above a threshold — same result set
+    as the oracle's full cross join, different cost shape.
+
+    Count-based: shingles are distinct per doc (``word_shingles`` applies
+    ``array_distinct``), so grouping the shared-shingle join by pair gives
+    ``|A∩B|`` exactly, and ``J = shared / (|A| + |B| - shared)`` — no
+    candidate ``distinct()``, no re-join of the shingle arrays, no
+    per-pair array_intersect/array_union. Measured 27.9s → ~4s at sf0.1
+    (the array re-join variant shuffled two ~150-element arrays per
+    candidate and intersected them row by row)."""
     d = load_table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", simfn.word_shingles("text", 3).alias("shingles")
     ).where(F.size("shingles") > 0)
-    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    cand = (
+    exploded = sh.select(
+        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("sh")
+    )
+    shared = (
         exploded.alias("a")
         .join(exploded.alias("b"), ["sh"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sz").alias("_sza"),
+            F.col("b.sz").alias("_szb"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("_shared"))
     )
-    left = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("_sa"))
-    right = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("_sb"))
-    jac = F.size(F.array_intersect("_sa", "_sb")) / F.size(F.array_union("_sa", "_sb"))
+    jac = F.col("_shared") / (F.col("_sza") + F.col("_szb") - F.col("_shared"))
     return (
-        cand.join(left, "id_a")
-        .join(right, "id_b")
-        .where(jac >= 0.2)
+        shared.where(jac >= 0.2)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
 
