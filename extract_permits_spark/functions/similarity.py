@@ -199,30 +199,49 @@ def simhash64(text: Column | str) -> Column:
     return F.when(F.size(toks) > 0, sim)
 
 
+def md5_long60(col: Column | str) -> Column:
+    """First 60 bits of md5 as a non-negative long — the cross-engine hash
+    for oracle-checkable paths: Spark ``conv(substr(md5, 1, 15), 16, 10)``
+    ≡ DuckDB ``('0x' || substr(md5(x), 1, 15))::BIGINT`` (verified digit
+    -identical; 15 hex chars = 60 bits < 2^63, so no sign wrap)."""
+    return F.conv(F.substring(F.md5(_c(col).cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
 def simhash_table(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
     """(id, simhash) via the scale shape: explode tokens → one groupBy with
-    64 codegen'd conditional sums (bit votes) → assemble the hash.
+    ``n_bits`` codegen'd conditional sums (bit votes) → assemble the hash.
 
     Equivalent to ``simhash64`` per row (token multiplicity weights votes
     identically) but runs ~10× faster on real corpora: the per-row variant
     evaluates 64 interpreted ``aggregate`` lambdas per document, this one
     shuffles compact (id, hash) pairs once and stays in codegen.
+
+    ``token_hash`` defaults to ``xxhash64`` (production fast path); pass
+    ``md5_long60`` with ``n_bits=60`` for the cross-engine-reproducible
+    variant a SQL oracle can replay.
     """
+    token_hash = token_hash or F.xxhash64
     exploded = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("_t")
-    ).select(F.col(id_col), F.xxhash64("_t").alias("_h"))
+    ).select(F.col(id_col), token_hash("_t").alias("_h"))
     votes = exploded.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"_v{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     sim = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         sim = sim + F.when(
             F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
@@ -236,23 +255,29 @@ def simhash_pairs(
     max_hamming: int = 7,
     band_bits: int = 8,
     allow_recall_loss: bool = False,
+    n_bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit hash into ``band_bits``-bit
-    chunks, bucket-join, verify with bit_count(xor).
+    """SimHash near-dup pairs: band the ``n_bits``-bit hash into
+    ``band_bits``-bit chunks, bucket-join, verify with bit_count(xor).
 
-    Recall contract (pigeonhole): with ``n_bands = 64 // band_bits`` bands,
-    any pair within Hamming distance ``n_bands - 1`` must agree exactly on
-    at least one band, so candidate generation has recall **1.0** for all
-    pairs with hamming ≤ n_bands - 1. The defaults (8 bands of 8 bits,
-    max_hamming=7) keep the guarantee tight; asking for a ``max_hamming``
-    beyond the guaranteed radius raises unless ``allow_recall_loss=True``
-    (pairs at distance n_bands..max_hamming may then be silently missed).
-    Verified against brute-force bit_count(xor) ground truth in
-    tests/test_recall.py.
+    Recall contract (pigeonhole): with ``n_bands = n_bits // band_bits``
+    bands, any pair within Hamming distance ``n_bands - 1`` must agree
+    exactly on at least one band, so candidate generation has recall
+    **1.0** for all pairs with hamming ≤ n_bands - 1. The defaults (8
+    bands of 8 bits, max_hamming=7) keep the guarantee tight; asking for a
+    ``max_hamming`` beyond the guaranteed radius raises unless
+    ``allow_recall_loss=True`` (pairs at distance n_bands..max_hamming may
+    then be silently missed). Verified against brute-force bit_count(xor)
+    ground truth in tests/test_recall.py.
+
+    ``n_bits=60, band_bits=10, token_hash=md5_long60`` gives the
+    cross-engine variant (6 bands × 10 bits, guaranteed radius 5) whose
+    whole computation a DuckDB oracle replays bit-for-bit.
 
     Returns (id_a, id_b, hamming ≤ max_hamming).
     """
-    n_bands = 64 // band_bits
+    n_bands = n_bits // band_bits
     if max_hamming > n_bands - 1 and not allow_recall_loss:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the banding guarantee "
@@ -260,7 +285,7 @@ def simhash_pairs(
             "allow_recall_loss=True to accept missed pairs in "
             f"[{n_bands}, {max_hamming}]"
         )
-    with_sim = simhash_table(docs, id_col, text_col)
+    with_sim = simhash_table(docs, id_col, text_col, n_bits, token_hash)
     mask = (1 << band_bits) - 1
     banded = with_sim.select(
         id_col,
@@ -394,12 +419,17 @@ def brute_force_topk(
     )
 
 
-def _lsh_plane(seed: int, table: int, p: int, dim: int) -> list[float]:
+def lsh_plane_ints(seed: int, table: int, p: int, dim: int) -> list[int]:
     # deterministic pseudo-random plane from integer tuple hashing (Python
-    # hash of int tuples is PYTHONHASHSEED-independent — reproducible)
-    return [
-        (((hash((seed, table, p, d)) & 0xFFFF) / 0xFFFF) - 0.5) for d in range(dim)
-    ]
+    # hash of int tuples is PYTHONHASHSEED-independent — reproducible).
+    # Kept as raw 16-bit ints so the SQL oracle twin (plans/ann_sql.py) can
+    # embed them as short literals and reproduce the same doubles via
+    # k/65535.0 - 0.5 (two IEEE ops, bitwise identical across engines).
+    return [hash((seed, table, p, d)) & 0xFFFF for d in range(dim)]
+
+
+def _lsh_plane(seed: int, table: int, p: int, dim: int) -> list[float]:
+    return [(k / 0xFFFF) - 0.5 for k in lsh_plane_ints(seed, table, p, dim)]
 
 
 def lsh_bucketed_topk(
@@ -432,13 +462,13 @@ def lsh_bucketed_topk(
     after dedup), never a full-corpus scan per query.
 
     Deterministic planes derive from hash((seed, table, plane, dim)) — no
-    RNG state, reproducible across runs/engines.
+    RNG state, reproducible across runs/engines. The query-side signature
+    is a sequential Python fold (same IEEE op order as the engine-side
+    ``dot`` and the SQL oracle twin), so all three agree bitwise.
     """
-    import numpy as _np
-
     dim = len(query_vec)
-    qarr = _np.asarray(query_vec)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qf = [float(x) for x in query_vec]
+    q = F.array(*[F.lit(x) for x in qf])
 
     cand = None
     for t in range(num_tables):
@@ -455,7 +485,10 @@ def lsh_bucketed_topk(
 
         qsig = 0
         for p, pl in enumerate(planes):
-            if float(_np.dot(qarr, _np.asarray(pl))) >= 0:
+            acc = 0.0
+            for a, b in zip(qf, pl):
+                acc += a * b
+            if acc >= 0:
                 qsig |= 1 << p
         probe = {qsig}
         if max_probe_distance >= 1:
@@ -482,39 +515,111 @@ def lsh_bucketed_topk(
 
 
 # ---------------------------------------------------------------------------
-# IVF (inverted-file) ANN — the coarse-quantizer scale path.
+# IVF (inverted-file) ANN — the coarse-quantizer scale path, with a
+# deterministic Lloyd k-means centroid fit that a SQL oracle can replay.
+#
+# Cross-engine determinism rules (shared with plans/ann_sql.py, which
+# generates the DuckDB twin of this exact computation):
+# - vectors are unit-normalized and each coordinate rounded half-up to 9
+#   decimals (``floor(x*1e9 + 0.5)/1e9`` — floor-spelled so HALF_UP vs
+#   HALF_EVEN engine differences can't bite);
+# - init centroids = the k vectors with smallest (md5(id), id) — the
+#   engine-agnostic deterministic sample;
+# - each Lloyd round assigns by squared-L2 argmin (ties → lowest cluster
+#   id) and recomputes per-dimension means rounded half-up to 6 decimals
+#   (re-quantizing each round keeps float summation-order drift between
+#   engines from compounding);
+# - empty clusters keep their previous centroid.
 # ---------------------------------------------------------------------------
 
 
-def _deterministic_centroids(
-    vectors: DataFrame, id_col: str, vec_col: str, k: int
+def _round_half_up(col: Column, decimals: int) -> Column:
+    f = float(10**decimals)
+    return F.floor(col * F.lit(f) + F.lit(0.5)) / F.lit(f)
+
+
+def _py_round_half_up(v: float, decimals: int) -> float:
+    import math
+
+    f = float(10**decimals)
+    return math.floor(v * f + 0.5) / f
+
+
+def unit_normalized(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, e) with e = unit-normalized double coords rounded to 9 dp —
+    the canonical representation the k-means fit and its SQL twin share."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, v: a + v * v))
+    return vectors.select(
+        F.col(id_col),
+        F.transform(vec, lambda x: _round_half_up(x / norm, 9)).alias("e"),
+    )
+
+
+def _nearest_by_l2(vec: Column, centroids: list[list[float]]) -> Column:
+    """Argmin of squared-L2 distance to literal centroids (ties → lowest
+    cluster id) — k fused distance expressions inside codegen; no shuffle,
+    no UDF."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        for c in centroids
+    ]
+    best = F.least(*dists)
+    expr = F.lit(0)
+    for i in reversed(range(len(dists))):
+        expr = F.when(dists[i] == best, F.lit(i)).otherwise(expr)
+    return expr
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    rounds: int = 3,
 ) -> list[list[float]]:
-    """Coarse centroids = k deterministically-sampled corpus vectors
-    (IVF-flat without k-means iterations — documented approximation; at
-    deployment scale, swap for a k-means .fit on a sample without touching
-    the query path)."""
-    rows = (
-        vectors.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+    """Deterministic Lloyd k-means over unit-normalized vectors; returns k
+    centroids (each coord rounded to 6 dp). ``rounds=0`` degenerates to the
+    md5-ordered deterministic sample (IVF-flat init).
+
+    Driver-side state is k centroid rows per round (bounded — never the
+    corpus); each round is one codegen'd assignment + one groupBy of d
+    avg() aggregates. At 100 TB you fit on a sample (vectors.sample) and
+    the shape is unchanged.
+    """
+    n = unit_normalized(vectors, id_col, vec_col)
+    init_rows = (
+        n.orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
         .limit(k)
         .collect()
     )
-    return [[float(x) for x in r[1]] for r in rows]
-
-
-def _nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
-    """Argmax of dot-products against literal centroid arrays — k dot
-    products inside codegen; no shuffle, no UDF."""
-    dots = [
-        dot(vec, F.array(*[F.lit(x) for x in c])) for c in centroids
-    ]
-    best = dots[0]
-    for d in dots[1:]:
-        best = F.greatest(best, d)
-    expr = F.lit(0)
-    for i in reversed(range(len(dots))):
-        expr = F.when(dots[i] == best, F.lit(i)).otherwise(expr)
-    return expr
+    cents = [[float(x) for x in r["e"]] for r in init_rows]
+    dim = len(cents[0])
+    for _ in range(rounds):
+        assigned = n.select(_nearest_by_l2(F.col("e"), cents).alias("_cid"), "e")
+        means = (
+            assigned.groupBy("_cid")
+            .agg(*[F.avg(F.col("e")[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        new = {
+            int(r["_cid"]): [
+                _py_round_half_up(float(r[f"m{i}"]), 6) for i in range(dim)
+            ]
+            for r in means
+        }
+        cents = [new.get(i, cents[i]) for i in range(k)]
+    return cents
 
 
 def ivf_index(
@@ -522,13 +627,16 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_clusters: int = 16,
+    rounds: int = 3,
 ) -> tuple[DataFrame, list[list[float]]]:
-    """Assign every vector to its nearest coarse centroid. At 100 TB the
+    """Assign every vector to its nearest k-means centroid. At 100 TB the
     ``cluster_id`` column is written once (partitioned/bucketed by it) and
     every query prunes to its probed clusters' files."""
-    centroids = _deterministic_centroids(vectors, id_col, vec_col, num_clusters)
-    vec = F.col(vec_col).cast("array<double>")
-    indexed = vectors.withColumn("cluster_id", _nearest_centroid_expr(vec, centroids))
+    centroids = kmeans_fit(vectors, id_col, vec_col, num_clusters, rounds)
+    n = unit_normalized(vectors, id_col, vec_col)
+    indexed = n.select(
+        F.col(id_col), _nearest_by_l2(F.col("e"), centroids).alias("cluster_id")
+    ).join(vectors, id_col)
     return indexed, centroids
 
 
@@ -539,24 +647,29 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 10,
     num_clusters: int = 16,
-    num_probes: int = 4,
+    num_probes: int = 6,
+    rounds: int = 3,
     index: tuple[DataFrame, list[list[float]]] | None = None,
 ) -> DataFrame:
-    """IVF approximate top-k: rank centroids by similarity to the query,
+    """IVF approximate top-k: rank centroids by distance to the query,
     scan only the ``num_probes`` best clusters, exact top-k within them.
 
-    Pass a prebuilt ``index`` to amortize assignment across queries (the
-    realistic shape: index once, query many)."""
-    import numpy as _np
+    Pass a prebuilt ``index`` to amortize fit+assignment across queries
+    (the realistic shape: index once, query many)."""
+    import math
 
-    indexed, centroids = index if index is not None else ivf_index(
-        vectors, id_col, vec_col, num_clusters
+    indexed, centroids = (
+        index
+        if index is not None
+        else ivf_index(vectors, id_col, vec_col, num_clusters, rounds)
     )
-    q = _np.asarray(query_vec)
-    sims = [
-        float(_np.dot(q, _np.asarray(c))) for c in centroids
+    # normalize the query exactly as unit_normalized does (same IEEE ops)
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    qn = [_py_round_half_up(float(x) / qnorm, 9) for x in query_vec]
+    dists = [
+        sum((a - b) * (a - b) for a, b in zip(qn, c)) for c in centroids
     ]
-    probe = sorted(range(len(centroids)), key=lambda i: -sims[i])[:num_probes]
+    probe = sorted(range(len(centroids)), key=lambda i: (dists[i], i))[:num_probes]
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         indexed.where(F.col("cluster_id").isin(*probe))

@@ -1031,8 +1031,16 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simfn.brute_force_topk(emb, qvec, k=20)
 
 
-@register("ann_lsh_topk")  # approximate — rows-only check by design
+from extract_permits_spark.plans import ann_sql as _ann_sql  # noqa: E402
+
+
+@register("ann_lsh_topk", _ann_sql.lsh_topk_sql())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH top-k. The oracle is a REAL twin: the
+    generated SQL (plans/ann_sql.py) replays the full signature/probe/rank
+    computation — deterministic planes embedded as 16-bit ints, multi-probe
+    at Hamming ≤ 2 expressed as bit_count(xor(sig, qsig)) <= 2 — so a
+    candidate-generation bug hash-mismatches, not just a ranking bug."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
@@ -1052,11 +1060,13 @@ def _ann_recall_frame(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     )
 
 
-@register("ann_lsh_recall")  # quality metric for the approximate path
+@register("ann_lsh_recall", _ann_sql.lsh_recall_sql())
 def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@20 of random-hyperplane LSH vs exact brute-force top-k —
     the checkable quality number for ann_lsh_topk (floor asserted in
-    tests/test_recall.py)."""
+    tests/test_recall.py). Oracled by a full SQL replay of both the
+    approximate and exact top-k, so the recall VALUE must match, not just
+    clear a floor."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
@@ -1069,18 +1079,19 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_recall")  # quality metric for the approximate path
+@register("ann_ivf_recall", _ann_sql.ivf_recall_sql(num_probes=6))
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@20 of IVF (4-of-16 probed clusters) vs exact top-k — the
-    checkable quality number for ann_ivf_topk (floor asserted in
-    tests/test_recall.py)."""
+    """recall@20 of IVF (k-means centroids, 6-of-16 probed clusters) vs
+    exact top-k — the checkable quality number for ann_ivf_topk (floor
+    asserted in tests/test_recall.py). Oracled by a full SQL replay of the
+    Lloyd fit + probe + rank, so the recall VALUE must match."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
         for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
     return _ann_recall_frame(
-        simfn.ivf_topk(emb, qvec, k=20, num_clusters=16, num_probes=4),
+        simfn.ivf_topk(emb, qvec, k=20, num_clusters=16, num_probes=6),
         simfn.brute_force_topk(emb, qvec, k=20),
         k=20,
     )
@@ -1092,20 +1103,66 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("dedup_minhash_lsh")
+@register(
+    "dedup_minhash_lsh",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) - 2, 0) + 1),
+               i -> array_to_string(list_slice(
+                      string_split_regex(trim(lower(COALESCE(text,''))), '\\s+'), i, i + 2), ' ')
+             )) AS shingles
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.4
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 MinHash-LSH near-dup pairs (the production fast path).
+
+    The oracle is the EXACT all-pairs shingle-Jaccard ≥ 0.4 set — an
+    end-to-end recall check, stronger than a banding replay: precision is
+    1.0 by construction (the verification step computes exact Jaccard), so
+    the entry matches the oracle iff banded candidate generation missed
+    nothing. On the deterministic fixtures every true pair has Jaccard ≥
+    0.9 (planted near-dups), where the per-pair miss probability of 8
+    bands × 4 rows is ≤ (1 - 0.9^4)^8 ≈ 2e-4, and the fixed seeds make the
+    outcome reproducible, not flaky — verified equal at sf0.01/sf0.001. A
+    banding regression (band slicing, bucket capping, signature bug) drops
+    a pair and hash-mismatches. dedup_minhash_md5 separately replays the
+    banding itself in SQL with a cross-engine hash family.
+    """
     d = load_table(spark, sf_dir, "documents")
     return simfn.minhash_lsh_pairs(d, jaccard_threshold=0.4)
 
 
-@register("dedup_simhash")
+@register("dedup_simhash", _ann_sql.simhash_pairs_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded SimHash at the GUARANTEED radius (8 bands of 8 bits ⇒ recall
-    1.0 for hamming ≤ 7 by pigeonhole) — set equality with the brute-force
-    ground truth is asserted in tests/test_recall.py and by the
-    dedup_simhash_recall registry entry."""
+    """Banded SimHash at the GUARANTEED radius (6 bands of 10 bits ⇒ recall
+    1.0 for hamming ≤ 5 by pigeonhole), using the cross-engine md5-derived
+    60-bit token hash so the oracle (plans/ann_sql.py) replays the WHOLE
+    computation — token hashing, bit votes, banding, bucket join, xor
+    verification — bit for bit. The xxhash64/64-bit variant stays the
+    production fast path; its banding guarantee is pinned by
+    tests/test_recall.py and the dedup_simhash_recall entry below."""
     d = load_table(spark, sf_dir, "documents")
-    return simfn.simhash_pairs(d, max_hamming=7)
+    pairs = simfn.simhash_pairs(
+        d,
+        max_hamming=5,
+        band_bits=10,
+        n_bits=60,
+        token_hash=simfn.md5_long60,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 @register(
@@ -1678,10 +1735,13 @@ def permit_pipeline_review(spark: SparkSession, sf_dir: str) -> DataFrame:
     return review
 
 
-@register("ann_ivf_topk")  # approximate (coarse-quantizer) — rows-only check
+@register("ann_ivf_topk", _ann_sql.ivf_topk_sql(num_probes=6))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN scale path: assign-to-centroid once, probe top clusters per
-    query. Companion to ann_lsh_topk; ann_cosine_topk is the exact oracle."""
+    """IVF ANN scale path: deterministic Lloyd k-means fit, assign-to-
+    centroid once, probe the 6 nearest clusters per query. The oracle is a
+    REAL twin: the generated SQL (plans/ann_sql.py) replays the identical
+    fit (md5-ordered init, per-round half-up re-quantization), assignment,
+    probe selection, and exact in-cluster ranking."""
     from extract_permits_spark.functions.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1689,7 +1749,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
-    return ivf_topk(emb, qvec, k=20, num_clusters=16, num_probes=4)
+    return ivf_topk(emb, qvec, k=20, num_clusters=16, num_probes=6)
 
 
 # ===========================================================================

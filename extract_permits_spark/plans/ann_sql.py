@@ -1,0 +1,324 @@
+"""DuckDB oracle-SQL generators for the approximate ANN / simhash family.
+
+These produce REAL twins — the oracle replays the full approximate
+computation (hyperplane signatures, Lloyd k-means rounds, banded simhash)
+rather than just spot-checking an invariant — so a candidate-generation
+bug, a banding bug, or a centroid drift all hash-mismatch at the driver's
+correctness gate.
+
+Cross-engine determinism contract (shared with functions/similarity.py):
+
+- hyperplanes are embedded as 16-bit ints and expanded with
+  ``k/65535.0 - 0.5`` (two IEEE double ops — bitwise identical to the
+  Python floats the Spark side embeds via ``F.lit``);
+- multi-probe at Hamming ≤ 2 over b-bit signatures is expressed as
+  ``bit_count(xor(sig, qsig)) <= 2`` (equivalent to enumerating the probe
+  set, which is exactly the radius-2 Hamming ball);
+- all dot products / norms / distances fold sequentially over the array on
+  every engine (Spark ``aggregate``, DuckDB ``list_sum``, Python ``sum``);
+- k-means rounds re-quantize centroids to 6 dp and normalized coords to 9
+  dp via the floor(x*f + 0.5)/f half-up spelling, so float summation-order
+  drift between engines is erased at every round boundary.
+
+The generated SQL is sizeable (unrolled planes / Lloyd rounds) but runs in
+single-digit seconds on the sf0.01 fixture; it exists for correctness
+checking, not production.
+"""
+
+from __future__ import annotations
+
+from extract_permits_spark.functions.similarity import lsh_plane_ints
+
+EMB = "embeddings"
+
+
+def _v_cte(dim: int) -> str:
+    return (
+        f"v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        f"AS e FROM {EMB})"
+    )
+
+
+def _dot(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1,{dim + 1}), i -> {a}[i] * {b}[i]))"
+    )
+
+
+def _cosine(e: str, qe: str, dim: int) -> str:
+    return (
+        f"{_dot(e, qe, dim)} / (sqrt({_dot(e, e, dim)}) * sqrt({_dot(qe, qe, dim)}))"
+    )
+
+
+def _exact_topk_cte(dim: int, k: int, query_id: int) -> str:
+    """exactk: the brute-force cosine top-k vec_ids (same shape as the
+    proven ann_cosine_topk oracle)."""
+    return f"""
+    q AS (SELECT e AS qe FROM v WHERE vec_id = {query_id}),
+    exact_scored AS (
+      SELECT v.vec_id, {_cosine('v.e', 'q.qe', dim)} AS sim FROM v, q
+    ),
+    exactk AS (
+      SELECT vec_id FROM exact_scored ORDER BY sim DESC, vec_id LIMIT {k}
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (twin of similarity.lsh_bucketed_topk)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_sig_expr(ecol: str, table: int, dim: int, num_planes: int, seed: int) -> str:
+    cases = []
+    for p in range(num_planes):
+        ints = lsh_plane_ints(seed, table, p, dim)
+        pl = "[" + ",".join(map(str, ints)) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1,{dim + 1}), "
+            f"i -> {ecol}[i] * ({pl}[i]/65535.0 - 0.5)))"
+        )
+        cases.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(cases) + ")"
+
+
+def _lsh_cand_ctes(
+    dim: int,
+    num_tables: int,
+    num_planes: int,
+    max_probe_distance: int,
+    seed: int,
+    query_id: int,
+) -> str:
+    sig_cols = ", ".join(
+        f"{_lsh_sig_expr('e', t, dim, num_planes, seed)} AS s{t}"
+        for t in range(num_tables)
+    )
+    qsig_cols = ", ".join(
+        f"{_lsh_sig_expr('qe', t, dim, num_planes, seed)} AS qs{t}"
+        for t in range(num_tables)
+    )
+    probe_cond = " OR ".join(
+        f"bit_count(xor(s.s{t}, qs.qs{t})) <= {max_probe_distance}"
+        for t in range(num_tables)
+    )
+    return f"""
+    lq AS (SELECT e AS qe FROM v WHERE vec_id = {query_id}),
+    sigs AS (SELECT vec_id, e, {sig_cols} FROM v),
+    qsigs AS (SELECT {qsig_cols} FROM lq),
+    lsh_scored AS (
+      SELECT s.vec_id, {_cosine('s.e', 'lq.qe', dim)} AS sim
+      FROM sigs s, qsigs qs, lq
+      WHERE {probe_cond}
+    )"""
+
+
+def lsh_topk_sql(
+    dim: int = 64,
+    k: int = 20,
+    num_tables: int = 8,
+    num_planes: int = 8,
+    max_probe_distance: int = 2,
+    seed: int = 42,
+    query_id: int = 0,
+) -> str:
+    return f"""
+    WITH {_v_cte(dim)},
+    {_lsh_cand_ctes(dim, num_tables, num_planes, max_probe_distance, seed, query_id)}
+    SELECT vec_id, round(sim, 6) AS cosine_sim
+    FROM lsh_scored ORDER BY sim DESC, vec_id LIMIT {k}
+    """
+
+
+def lsh_recall_sql(
+    dim: int = 64,
+    k: int = 20,
+    num_tables: int = 8,
+    num_planes: int = 8,
+    max_probe_distance: int = 2,
+    seed: int = 42,
+    query_id: int = 0,
+) -> str:
+    return f"""
+    WITH {_v_cte(dim)},
+    {_exact_topk_cte(dim, k, query_id)},
+    {_lsh_cand_ctes(dim, num_tables, num_planes, max_probe_distance, seed, query_id)},
+    approxk AS (
+      SELECT vec_id FROM lsh_scored ORDER BY sim DESC, vec_id LIMIT {k}
+    )
+    SELECT {k} AS k,
+           CAST((SELECT count(*) FROM exactk
+                 WHERE vec_id IN (SELECT vec_id FROM approxk)) AS DOUBLE)
+           / {k} AS recall
+    """
+
+
+# ---------------------------------------------------------------------------
+# IVF with deterministic Lloyd k-means (twin of similarity.ivf_topk)
+# ---------------------------------------------------------------------------
+
+
+def _sqdist(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1,{dim + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _ivf_ctes(
+    dim: int, num_clusters: int, num_probes: int, rounds: int, query_id: int
+) -> str:
+    mean_list = ", ".join(
+        f"floor(avg(e[{i + 1}]) * 1000000.0 + 0.5)/1000000.0" for i in range(dim)
+    )
+    ctes = [
+        # unit-normalize + round to 9 dp (twin of unit_normalized)
+        "n AS (SELECT vec_id, list_transform(e, x -> "
+        "floor((x / sqrt(list_sum(list_transform(e, y -> y*y)))) * 1000000000.0"
+        " + 0.5)/1000000000.0) AS e FROM v)",
+        # init: k vectors with smallest (md5(id), id) — twin of kmeans_fit init
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cid, e AS c
+      FROM (SELECT vec_id, e FROM n
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {num_clusters})
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"c{r - 1}"
+        ctes.append(
+            f"""a{r} AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT n.vec_id, n.e, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY {_sqdist('n.e', 'c.c', dim)}, c.cid) AS rn
+        FROM n, {prev} c
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""c{r} AS (
+      SELECT p.cid, COALESCE(m.c, p.c) AS c
+      FROM {prev} p LEFT JOIN (
+        SELECT cid, [{mean_list}] AS c FROM a{r} GROUP BY cid
+      ) m ON p.cid = m.cid
+    )"""
+        )
+    final_c = f"c{rounds}"
+    ctes.append(
+        f"""afinal AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY {_sqdist('n.e', 'c.c', dim)}, c.cid) AS rn
+        FROM n, {final_c} c
+      ) WHERE rn = 1
+    )"""
+    )
+    ctes.append(f"qn AS (SELECT e AS qe FROM n WHERE vec_id = {query_id})")
+    ctes.append(
+        f"""probes AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY {_sqdist('q.qe', 'c.c', dim)}, c.cid)
+                 AS rn
+        FROM {final_c} c, qn q
+      ) WHERE rn <= {num_probes}
+    )"""
+    )
+    ctes.append(
+        f"""ivf_scored AS (
+      SELECT a.vec_id, {_cosine('v.e', 'q.qe', dim)} AS sim
+      FROM afinal a
+      JOIN v ON a.vec_id = v.vec_id
+      CROSS JOIN (SELECT e AS qe FROM v WHERE vec_id = {query_id}) q
+      WHERE a.cid IN (SELECT cid FROM probes)
+    )"""
+    )
+    return ",\n    ".join(ctes)
+
+
+def ivf_topk_sql(
+    dim: int = 64,
+    k: int = 20,
+    num_clusters: int = 16,
+    num_probes: int = 4,
+    rounds: int = 3,
+    query_id: int = 0,
+) -> str:
+    return f"""
+    WITH {_v_cte(dim)},
+    {_ivf_ctes(dim, num_clusters, num_probes, rounds, query_id)}
+    SELECT vec_id, round(sim, 6) AS cosine_sim
+    FROM ivf_scored ORDER BY sim DESC, vec_id LIMIT {k}
+    """
+
+
+def ivf_recall_sql(
+    dim: int = 64,
+    k: int = 20,
+    num_clusters: int = 16,
+    num_probes: int = 4,
+    rounds: int = 3,
+    query_id: int = 0,
+) -> str:
+    return f"""
+    WITH {_v_cte(dim)},
+    {_exact_topk_cte(dim, k, query_id)},
+    {_ivf_ctes(dim, num_clusters, num_probes, rounds, query_id)},
+    approxk AS (
+      SELECT vec_id FROM ivf_scored ORDER BY sim DESC, vec_id LIMIT {k}
+    )
+    SELECT {k} AS k,
+           CAST((SELECT count(*) FROM exactk
+                 WHERE vec_id IN (SELECT vec_id FROM approxk)) AS DOUBLE)
+           / {k} AS recall
+    """
+
+
+# ---------------------------------------------------------------------------
+# Portable banded SimHash (twin of similarity.simhash_pairs with
+# token_hash=md5_long60, n_bits=60, band_bits=10, max_hamming=5)
+# ---------------------------------------------------------------------------
+
+
+def simhash_pairs_sql(
+    n_bits: int = 60, band_bits: int = 10, max_hamming: int = 5
+) -> str:
+    n_bands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+    vote_cols = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(n_bits)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(n_bits)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, (sim >> {b * band_bits}) & {mask} "
+        f"AS band_hash FROM sims"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) AS t
+      FROM documents
+      WHERE trim(lower(COALESCE(text,''))) <> ''
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t),1,15))::BIGINT AS h FROM toks),
+    votes AS (SELECT doc_id, {vote_cols} FROM h GROUP BY doc_id),
+    sims AS (SELECT doc_id, CAST({sim_expr} AS BIGINT) AS sim FROM votes),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_idx, band_hash)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(sa.sim, sb.sim)) AS INTEGER) AS hamming
+    FROM cand c
+    JOIN sims sa ON c.id_a = sa.doc_id
+    JOIN sims sb ON c.id_b = sb.doc_id
+    WHERE bit_count(xor(sa.sim, sb.sim)) <= {max_hamming}
+    """
