@@ -63,10 +63,14 @@ def salted_join(
     outer are rejected because an unmatched right-side row exists once per
     salt replica and would surface num_salts duplicate null-extended rows.
     """
-    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "leftsemi", "leftanti"}
-    if how not in allowed:
+    # normalize before checking so every Spark-accepted spelling of a safe
+    # type ('leftouter', 'left_semi', 'semi', ...) passes the same gate
+    normalized = how.lower().replace("_", "")
+    allowed = {"inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"}
+    if normalized not in allowed:
         raise ValueError(
-            f"salted_join supports {sorted(allowed)}; got {how!r} "
+            f"salted_join supports {sorted(allowed)} (any underscore "
+            f"spelling); got {how!r} "
             "(right/full outer would duplicate unmatched right rows per salt)"
         )
     salts = F.array(*[F.lit(i) for i in range(num_salts)])

@@ -1518,6 +1518,7 @@ def s1_socrata_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.path.join(sf_dir, "orders.parquet"),
         ["o_orderkey", "o_orderdate", "o_totalprice"],
         _orders_record,
+        filter_col_map={"issue_date": "o_orderdate"},
     )
     schema = T.StructType(
         [
@@ -2498,7 +2499,7 @@ def sample_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings e JOIN q USING (vec_id)
     )
     SELECT vec_id,
-           round(maxabs / 127.0, 9) AS scale,
+           floor((maxabs / 127.0) * 1000000000.0 + 0.5) / 1000000000.0 AS scale,
            CAST(list_min(qvec) AS INT) AS q_min,
            CAST(list_max(qvec) AS INT) AS q_max,
            CAST(list_sum(qvec) AS BIGINT) AS q_sum
@@ -2509,12 +2510,16 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column
     (functions/similarity.py:int8_quantize) — summarized per vector as
     (scale, min, max, sum of quantized values) so the cross-engine value
-    hash covers every element without comparing array renderings."""
+    hash covers every element without comparing array renderings. The
+    scale is rounded with the floor(x*1e9 + 0.5)/1e9 half-up spelling on
+    BOTH engines — Spark round() is HALF_UP while DuckDB's double round is
+    not, so a tie at the 9th decimal would otherwise flake."""
     emb = load_table(spark, sf_dir, "embeddings")
     q, scale = simfn.int8_quantize(F.col("embedding"))
+    scale9 = F.floor(scale * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
     return emb.select(
         "vec_id",
-        F.round(scale, 9).alias("scale"),
+        scale9.alias("scale"),
         F.array_min(q).alias("q_min"),
         F.array_max(q).alias("q_max"),
         F.aggregate(q, F.lit(0).cast("long"), lambda acc, v: acc + v).alias("q_sum"),

@@ -92,9 +92,12 @@ def save_workbook(
     pin_universe: DataFrame | None = None,
     sheet_name: str = "Permits",
     freeze_cols: int = 3,
+    freeze_rows: int = 1,
 ) -> None:
     """S8: render a (small, already review-sized) DataFrame to a formatted
-    xlsx on the driver — bold frozen header, per-spec column widths,
+    xlsx on the driver — bold frozen header (header ROW frozen too,
+    matching the reference's freeze_panes(1, FREEZE_COLS)), per-spec
+    column widths,
     autofilter, protected sheet, plus the 'Universe of Valid PINs' sheet
     with zero-padded + hyphenated PINs (save_xlsx_file,
     chicago/permit_cleaning.py:911-1135). String cells whose value starts
@@ -128,6 +131,7 @@ def save_workbook(
             rows=rows,
             col_widths=widths,
             freeze_cols=min(freeze_cols, len(header)),
+            freeze_rows=freeze_rows,
             autofilter=True,
             protect=True,
         )

@@ -55,6 +55,7 @@ class SheetSpec:
     # (data_row_idx, col_idx) -> ARGB fill, 0-based over ``rows``
     fills: dict[tuple[int, int], str] = field(default_factory=dict)
     freeze_cols: int = 0
+    freeze_rows: int = 0
     autofilter: bool = False
     protect: bool = False
 
@@ -174,12 +175,24 @@ def _cell_xml(ref: str, value: object, style: int) -> str:
 def _sheet_xml(sheet: SheetSpec, styles: _Styles) -> str:
     n_cols = len(sheet.header)
     parts = [f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?><worksheet xmlns="{_NS}">']
-    if sheet.freeze_cols:
-        top_left = f"{_col_letter(sheet.freeze_cols)}1"
+    if sheet.freeze_cols or sheet.freeze_rows:
+        # both splits ⇒ the active (scrolling) pane is bottomRight; a
+        # single split freezes only columns (topRight) or rows (bottomLeft)
+        top_left = f"{_col_letter(sheet.freeze_cols)}{sheet.freeze_rows + 1}"
+        splits = ""
+        if sheet.freeze_cols:
+            splits += f'xSplit="{sheet.freeze_cols}" '
+        if sheet.freeze_rows:
+            splits += f'ySplit="{sheet.freeze_rows}" '
+        active = (
+            "bottomRight"
+            if sheet.freeze_cols and sheet.freeze_rows
+            else ("topRight" if sheet.freeze_cols else "bottomLeft")
+        )
         parts.append(
             '<sheetViews><sheetView workbookViewId="0">'
-            f'<pane xSplit="{sheet.freeze_cols}" topLeftCell="{top_left}" '
-            'activePane="topRight" state="frozen"/></sheetView></sheetViews>'
+            f'<pane {splits}topLeftCell="{top_left}" '
+            f'activePane="{active}" state="frozen"/></sheetView></sheetViews>'
         )
     if sheet.col_widths:
         cols = "".join(
@@ -382,8 +395,13 @@ def read_xlsx(path: str, sheet_name: str | None = None) -> ReadSheet:
     for row in ws.iter(_q("row")):
         values: list[object] = []
         fills: dict[int, object] = {}
+        # externally-produced workbooks may omit the optional r attribute;
+        # ECMA-376 then places the cell one past the previous cell
+        next_ci = 0
         for c in row.findall(_q("c")):
-            ci = _col_index(c.get("r", ""))
+            ref = c.get("r")
+            ci = _col_index(ref) if ref else next_ci
+            next_ci = ci + 1
             while len(values) <= ci:
                 values.append(None)
             style = int(c.get("s", "0"))
@@ -404,6 +422,10 @@ def read_xlsx(path: str, sheet_name: str | None = None) -> ReadSheet:
                 values[ci] = v.text if v is not None else None
             elif t == "b":
                 values[ci] = v is not None and v.text == "1"
+            elif t == "e":
+                # error cell (#N/A, #DIV/0!, ...) — surface the error
+                # string rather than crashing the numeric branch
+                values[ci] = v.text if v is not None else None
             elif v is not None and v.text is not None:
                 num = float(v.text)
                 if style < len(xf_dates) and xf_dates[style]:

@@ -143,17 +143,43 @@ def fake_fetch_from_parquet(
     path: str,
     columns: Sequence[str],
     make_record: Callable[[dict], dict],
+    filter_col_map: dict[str, str] | None = None,
 ):
     """Partition-side record server: serves SoQL requests from a local
     parquet file — the no-network stand-in for the HTTP endpoint that runs
     INSIDE each Spark partition. Nothing is collected on the driver; at
     scale each date-window partition issues its own bounded "request"
-    exactly like the real fetch would."""
+    exactly like the real fetch would.
+
+    ``filter_col_map`` maps a record-space SoQL filter column (e.g.
+    ``issue_date``) to its parquet source column (e.g. ``o_orderdate``);
+    when provided, the ``$where between`` date bounds are pushed into
+    ``pq.read_table(filters=...)`` so each partition's fetch decodes only
+    its own window's row groups instead of materializing the full table
+    per partition. ``_apply_soql`` still runs on the result for exact
+    boundary and ``$limit`` semantics (the pushdown is a superset: whole
+    end day included).
+    """
 
     def fetch(url: str, params: dict[str, str]) -> list[dict]:
+        from datetime import datetime, timedelta
+
         import pyarrow.parquet as pq
 
-        rows = pq.read_table(path, columns=list(columns)).to_pylist()
+        filters = None
+        where = params.get("$where", "")
+        if filter_col_map and " between '" in where:
+            col, rest = where.split(" between '", 1)
+            pq_col = filter_col_map.get(col.strip())
+            if pq_col:
+                lo, hi = rest.rstrip("'").split("' and '")
+                lo_ts = datetime.fromisoformat(lo[:10])
+                # SoQL date-only bounds include the whole end day
+                hi_ts = datetime.fromisoformat(hi[:10]) + timedelta(days=1)
+                filters = [(pq_col, ">=", lo_ts), (pq_col, "<", hi_ts)]
+        rows = pq.read_table(
+            path, columns=list(columns), filters=filters
+        ).to_pylist()
         return _apply_soql([make_record(r) for r in rows], params)
 
     return fetch

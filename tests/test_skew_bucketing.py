@@ -76,3 +76,17 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_accepts_spark_aliases(spark):
+    """r2-ADVICE: every Spark-accepted safe spelling passes the guard."""
+    import pytest as _pytest
+
+    from extract_permits_spark.operators import skew
+
+    left = spark.createDataFrame([(1, "a")], "k int, lv string")
+    right = spark.createDataFrame([(1, "b")], "k int, rv string")
+    for how in ["leftouter", "left_outer", "semi", "left_semi", "anti", "inner"]:
+        skew.salted_join(left, right, "k", num_salts=2, how=how).collect()
+    with _pytest.raises(ValueError, match="salted_join supports"):
+        skew.salted_join(left, right, "k", how="full")

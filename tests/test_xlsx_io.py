@@ -209,3 +209,62 @@ def test_presentation_frame_order(spark):
     assert out.columns == [
         s.header for s in sorted(PERMIT_COLUMNS, key=lambda s: s.col_idx)
     ]
+
+
+def test_freeze_rows_and_cols_pane(tmp_xlsx):
+    """r2-ADVICE: header ROW must freeze too (reference freeze_panes(1, 3)
+    ⇒ xSplit=3 ySplit=1 topLeftCell=D2 activePane=bottomRight)."""
+    write_xlsx(
+        tmp_xlsx,
+        [
+            SheetSpec(
+                name="S",
+                header=["a", "b", "c", "d"],
+                rows=[["w", "x", "y", "z"]],
+                freeze_cols=3,
+                freeze_rows=1,
+            )
+        ],
+    )
+    with zipfile.ZipFile(tmp_xlsx) as zf:
+        xml = zf.read("xl/worksheets/sheet1.xml").decode()
+    assert 'xSplit="3"' in xml
+    assert 'ySplit="1"' in xml
+    assert 'topLeftCell="D2"' in xml
+    assert 'activePane="bottomRight"' in xml
+    assert 'state="frozen"' in xml
+
+
+def test_reader_error_cells_and_missing_r(tmp_xlsx):
+    """r2-ADVICE: externally-produced workbooks (the real S6 input) may
+    contain t="e" error cells and cells without the optional r attribute —
+    neither may crash or overwrite a neighbor."""
+    import shutil
+
+    write_xlsx(
+        tmp_xlsx,
+        [SheetSpec(name="S", header=["a", "b", "c"], rows=[["x", 1, "y"]])],
+    )
+    # rewrite sheet1 with a hand-built row exercising both shapes
+    hacked = tmp_xlsx + ".hacked.xlsx"
+    with zipfile.ZipFile(tmp_xlsx) as zin, zipfile.ZipFile(
+        hacked, "w", zipfile.ZIP_DEFLATED
+    ) as zout:
+        for item in zin.namelist():
+            data = zin.read(item)
+            if item == "xl/worksheets/sheet1.xml":
+                xml = data.decode()
+                row = (
+                    '<row r="2">'
+                    '<c r="A2" t="e"><v>#N/A</v></c>'
+                    "<c><v>7</v></c>"  # no r attr: implicit column B
+                    '<c t="inlineStr"><is><t>tail</t></is></c>'  # implicit C
+                    "</row>"
+                )
+                start = xml.index('<row r="2">')
+                end = xml.index("</row>", start) + len("</row>")
+                data = (xml[:start] + row + xml[end:]).encode()
+            zout.writestr(item, data)
+    got = read_xlsx(hacked, "S")
+    assert got.rows[0] == ["#N/A", 7, "tail"]
+    shutil.os.remove(hacked)
