@@ -66,18 +66,26 @@ def main() -> None:
     force(qs["s3_scalar_max"](spark, sf_dir))
 
     def run_pipeline_once() -> None:
-        # flagship permit pipeline end-to-end (both partitions)
+        # flagship permit pipeline end-to-end, BOTH partitions, as ONE
+        # job: partitioned parquet write (SURVEY §2.9 E1 "one job, two
+        # filtered writes"). r2 methodology persisted the validated parent
+        # and noop-forced each partition; the single-pass write drops the
+        # full-frame persist serialization (~18.7s -> ~15.2s at sf0.1) and
+        # measures a REAL sink, which noop did not.
+        import shutil
+        import tempfile
+
         from extract_permits_spark.plans.permits import (
             permits_from_tpch,
-            run_pipeline,
+            write_pipeline_partitioned,
         )
 
         permits_raw, universe = permits_from_tpch(spark, sf_dir)
-        upload, review = run_pipeline(permits_raw, universe, cache=True)
-        force(upload)
-        force(review)
-        # drop the pipeline's persisted parent so the next run starts clean
-        spark.catalog.clearCache()
+        out = tempfile.mkdtemp(prefix="bench_pipeline_")
+        try:
+            write_pipeline_partitioned(permits_raw, universe, out)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
 
     def run_simhash_production() -> None:
         # the xxhash64/64-bit production simhash (r01/r02 bench shape).

@@ -175,3 +175,32 @@ def test_golden_legacy_pipeline(spark):
     assert by_pin["12081000060000"]["valid_row"] is True
     assert by_pin["99999999999999"]["valid_amount"] is True
     assert all(r["valid_not_duplicate"] for r in out)
+
+
+def test_partitioned_write_equals_two_output_api(spark, tmp_path):
+    """E1 single-pass shape: the has_error=false/true partitions of
+    write_pipeline_partitioned must equal run_pipeline's upload/review."""
+    from extract_permits_spark.plans.permits import (
+        permits_from_tpch,
+        run_pipeline,
+        write_pipeline_partitioned,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    permits_raw, universe = permits_from_tpch(spark, sf_dir)
+    out = str(tmp_path / "pp")
+    write_pipeline_partitioned(permits_raw, universe, out)
+    written = spark.read.parquet(out)
+
+    upload, review = run_pipeline(permits_raw, universe)
+    assert written.where("has_error = false").count() == upload.count()
+    assert written.where("has_error = true").count() == review.count()
+    # same permit keys in the upload partition (order-insensitive)
+    got = {
+        (r["permit_number"], r["pin"])
+        for r in written.where("has_error = false")
+        .select("permit_number", "pin")
+        .collect()
+    }
+    want = {(r["permit_number"], r["pin"]) for r in upload.select("permit_number", "pin").collect()}
+    assert got == want
