@@ -116,6 +116,30 @@ def main() -> None:
         run()
         times[name] = round(time.time() - t1, 3)
 
+    # scale row (NOT in the headline total, which stays comparable across
+    # rounds): the flagship pipeline at an sf×10-equivalent input — the
+    # sf0.1 fact tables lazily unioned 10× with shifted keys (~6M lineitem
+    # rows, the sf1 shape). Single run: at this size warm-up noise is
+    # negligible and the row costs a minute as it is.
+    times_scale: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        import shutil
+        import tempfile
+
+        from extract_permits_spark.plans.permits import (
+            amplified_permits_from_tpch,
+            write_pipeline_partitioned,
+        )
+
+        permits_raw, universe = amplified_permits_from_tpch(spark, sf_dir, copies=10)
+        out = tempfile.mkdtemp(prefix="bench_pipeline_sf1eq_")
+        t0 = time.time()
+        try:
+            write_pipeline_partitioned(permits_raw, universe, out)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+        times_scale["permit_pipeline_sf1eq"] = round(time.time() - t0, 3)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -125,9 +149,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "queries_cold": times_cold,
+                "queries_scale": times_scale,
                 "sf": sf,
                 "methodology": "each query forced twice; steady-state "
-                "(second) run reported, cold run in queries_cold",
+                "(second) run reported, cold run in queries_cold; "
+                "queries_scale rows are single-run at 10x the bench sf "
+                "and excluded from value",
             }
         )
     )

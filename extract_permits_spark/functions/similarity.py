@@ -37,10 +37,18 @@ def tokens(text: Column | str) -> Column:
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams. Narrow, per-row, codegen'd."""
+    """Distinct word n-grams. Narrow, per-row, codegen'd.
+
+    Shape: n whole-array slices zipped, then one concat per gram —
+    NOT a per-gram ``slice(toks, i, n)`` (which allocates a fresh
+    sub-array per gram inside an interpreted lambda; measured 5.3s vs
+    0.8s at sf0.1 for the explode, identical output)."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    m = F.greatest(F.size(toks) - n + 1, F.lit(0))  # gram count
+    zipped = F.arrays_zip(*[F.slice(toks, k + 1, m) for k in range(n)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
+    )
     return F.array_distinct(
         F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
     )

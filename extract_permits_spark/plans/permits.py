@@ -184,6 +184,45 @@ def permits_from_tpch(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
     n_cust = _pq.ParquetFile(
         _os.path.join(sf_dir, "customer.parquet")
     ).metadata.num_rows
+    return permits_from_frames(orders, lineitem, customer, n_cust)
+
+
+def amplified_permits_from_tpch(
+    spark: SparkSession, sf_dir: str, copies: int = 10, key_stride: int = 10**7
+) -> tuple[DataFrame, DataFrame]:
+    """Scale-amplified pipeline input: the fixture fact tables unioned
+    ``copies`` times with order keys shifted by ``key_stride`` per copy —
+    a LAZY sf×copies-equivalent input (nothing written, nothing
+    collected) for benching the pipeline beyond the largest fixture.
+    Every copy contributes distinct permit numbers; the universe
+    (dimension) side is unchanged, which is exactly the production shape
+    (fact grows, parcel universe doesn't)."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    n_cust = _pq.ParquetFile(
+        _os.path.join(sf_dir, "customer.parquet")
+    ).metadata.num_rows
+
+    def shifted(df: DataFrame, key: str, c: int) -> DataFrame:
+        return df.withColumn(key, F.col(key) + F.lit(c * key_stride))
+
+    amp_orders = orders
+    amp_lineitem = lineitem
+    for c in range(1, copies):
+        amp_orders = amp_orders.unionByName(shifted(orders, "o_orderkey", c))
+        amp_lineitem = amp_lineitem.unionByName(shifted(lineitem, "l_orderkey", c))
+    return permits_from_frames(amp_orders, amp_lineitem, customer, n_cust)
+
+
+def permits_from_frames(
+    orders: DataFrame, lineitem: DataFrame, customer: DataFrame, n_cust: int
+) -> tuple[DataFrame, DataFrame]:
+    """Core fixture→permit-shape adaptation over already-loaded frames."""
     pins = lineitem.groupBy("l_orderkey").agg(
         F.array_join(
             F.array_sort(

@@ -53,8 +53,16 @@ def main() -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     # headline queries that have an oracle twin, plus the flagship
-    # pipeline composite (its oracle is the end-to-end upload partition)
-    names = [n for n in HEADLINE if n in oracles]
+    # pipeline composite (its oracle is the end-to-end upload partition).
+    # Two exclusions keep the comparison honest and r2-comparable:
+    # - dedup_minhash_lsh's oracle is the deliberately-naive exact O(n²)
+    #   all-pairs Jaccard (a recall check, ~15 min at sf0.1) — timing it
+    #   would flatter Spark absurdly;
+    # - the dedup_simhash registry entry is the md5-portable variant while
+    #   bench.py times the xxhash64 production path — different hash
+    #   family, not a like-for-like pair.
+    skip_timing = {"dedup_minhash_lsh", "dedup_simhash"}
+    names = [n for n in HEADLINE if n in oracles and n not in skip_timing]
     if "permit_pipeline_upload" in oracles:
         names.append("permit_pipeline_upload")
 
@@ -65,6 +73,26 @@ def main() -> None:
         t0 = time.time()
         con.execute(sql).fetchall()
         times[name] = round(time.time() - t0, 3)
+
+    # sf×10 equivalent of the flagship pipeline: re-point the fact views
+    # at a UNION ALL of 10 key-shifted copies (mirror of Spark's
+    # amplified_permits_from_tpch) and run the same end-to-end upload SQL.
+    # Single timed run (matches bench.py's single-run methodology for the
+    # sf1eq row — a 6M-row pipeline is past the point where warm-up noise
+    # matters).
+    if "permit_pipeline_upload" in oracles:
+        stride = 10**7
+        for tbl, key in [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]:
+            p = os.path.join(sf_dir, f"{tbl}.parquet")
+            union = " UNION ALL ".join(
+                f"SELECT * REPLACE ({key} + {c * stride} AS {key}) "
+                f"FROM read_parquet('{p}')"
+                for c in range(10)
+            )
+            con.execute(f"CREATE OR REPLACE VIEW {tbl} AS {union}")
+        t0 = time.time()
+        con.execute(oracles["permit_pipeline_upload"]).fetchall()
+        times["permit_pipeline_sf1eq"] = round(time.time() - t0, 3)
 
     print(
         json.dumps(
