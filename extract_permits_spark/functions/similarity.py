@@ -473,24 +473,33 @@ def lsh_bucketed_topk(
     RNG state, reproducible across runs/engines. The query-side signature
     is a sequential Python fold (same IEEE op order as the engine-side
     ``dot`` and the SQL oracle twin), so all three agree bitwise.
+
+    ONE corpus scan: all L table signatures are computed in a single
+    projection and the per-table probes become one OR filter
+    (``bit_count(sig_t ^ qsig_t) <= r`` ≡ membership in the radius-r
+    Hamming ball the probe set enumerates). The earlier spelling unioned
+    L filtered scans + a dropDuplicates shuffle — L× the read and an
+    avoidable exchange. At 100 TB with precomputed signature columns this
+    is one partition-pruned scan per query.
     """
     dim = len(query_vec)
     qf = [float(x) for x in query_vec]
     q = F.array(*[F.lit(x) for x in qf])
 
-    cand = None
+    def table_sig_expr(vec: Column, planes: list[list[float]]) -> Column:
+        out = F.lit(0)
+        for p, pl in enumerate(planes):
+            pv = F.array(*[F.lit(x) for x in pl])
+            out = out + F.when(
+                dot(vec, pv) >= 0, F.shiftleft(F.lit(1), p)
+            ).otherwise(F.lit(0))
+        return out
+
+    sig_cols = []
+    probe_cond = None
     for t in range(num_tables):
         planes = [_lsh_plane(seed, t, p, dim) for p in range(num_planes)]
-
-        def sig_expr(vec: Column) -> Column:
-            out = F.lit(0)
-            for p, pl in enumerate(planes):
-                pv = F.array(*[F.lit(x) for x in pl])
-                out = out + F.when(
-                    dot(vec, pv) >= 0, F.shiftleft(F.lit(1), p)
-                ).otherwise(F.lit(0))
-            return out
-
+        sig_cols.append(table_sig_expr(F.col(vec_col), planes).alias(f"_sig{t}"))
         qsig = 0
         for p, pl in enumerate(planes):
             acc = 0.0
@@ -498,28 +507,129 @@ def lsh_bucketed_topk(
                 acc += a * b
             if acc >= 0:
                 qsig |= 1 << p
-        probe = {qsig}
-        if max_probe_distance >= 1:
-            for p in range(num_planes):
-                probe.add(qsig ^ (1 << p))
-        if max_probe_distance >= 2:
-            for p1 in range(num_planes):
-                for p2 in range(p1 + 1, num_planes):
-                    probe.add(qsig ^ (1 << p1) ^ (1 << p2))
-
-        table_hits = vectors.withColumn("_sig", sig_expr(F.col(vec_col))).where(
-            F.col("_sig").isin(*probe)
-        ).select(id_col, vec_col)
-        cand = table_hits if cand is None else cand.unionByName(table_hits)
+        cond = (
+            F.bit_count(F.col(f"_sig{t}").bitwiseXOR(F.lit(qsig)))
+            <= max_probe_distance
+        )
+        probe_cond = cond if probe_cond is None else probe_cond | cond
 
     return (
-        cand.dropDuplicates([id_col])
+        vectors.select(id_col, vec_col, *sig_cols)
+        .where(probe_cond)
         .select(
             F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
         )
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def lsh_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 8,
+    num_planes: int = 8,
+    pair_hamming: int = 1,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+    min_cosine: float | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via hyperplane-LSH buckets — the
+    SCALE path for what ``dedup_embedding_cosine``'s bounded exact twin
+    demonstrates: O(corpus + candidate pairs), never an all-pairs join.
+
+    Per table, each vector gets a ``num_planes``-bit signature; a pair is
+    a candidate iff its signatures agree within ``pair_hamming`` bits in
+    ANY table (realized as a bucket join: one side explodes the Hamming
+    ball of its signature — (bits choose ≤ r) variants — and joins the
+    other side's exact signature, so no pairwise comparison happens).
+    Candidates are verified with exact cosine. Returns
+    (id_a, id_b, cosine_sim), optionally thresholded.
+
+    Recall: per table P(hamming ≤ 1) = (1-θ/π)^b + b(θ/π)(1-θ/π)^(b-1);
+    OR over L tables. At cosine 0.95 (θ≈0.32) with the defaults the miss
+    probability is ≈2e-6 per pair; pinned by a planted-duplicate test in
+    tests/test_recall.py. Same determinism contract as the ANN family —
+    the DuckDB oracle replays signatures and the Hamming condition
+    pairwise (equivalent by construction).
+    """
+    if pair_hamming > 1:
+        raise ValueError("pair_hamming > 1 not implemented (ball explode grows fast)")
+    dim = len_planes_dim(vectors, vec_col)
+    sig_cols = []
+    for t in range(num_tables):
+        planes = [_lsh_plane(seed, t, p, dim) for p in range(num_planes)]
+        sig = F.lit(0)
+        for p, pl in enumerate(planes):
+            pv = F.array(*[F.lit(x) for x in pl])
+            sig = sig + F.when(
+                dot(F.col(vec_col), pv) >= 0, F.shiftleft(F.lit(1), p)
+            ).otherwise(F.lit(0))
+        sig_cols.append(sig.alias(f"_sig{t}"))
+    with_sigs = vectors.select(id_col, vec_col, *sig_cols)
+
+    bucketed = with_sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"_sig{t}").alias("sig")
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, F.col("_b.t"), F.col("_b.sig"))
+    # cap degenerate buckets (same contract as candidate_pairs_from_buckets)
+    sized = bucketed.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("t", "sig"))
+    ).where(F.col("_n") <= max_bucket_size)
+    # probe side: the Hamming-≤1 ball of each signature (1 + num_planes
+    # variants) — joining variant == exact sig realizes |sig_a ^ sig_b| ≤ 1
+    variants = sized.select(
+        F.col(id_col).alias("id_a"),
+        "t",
+        F.explode(
+            F.array(
+                F.col("sig"),
+                *[
+                    F.col("sig").bitwiseXOR(F.lit(1 << p))
+                    for p in range(num_planes)
+                ],
+            )
+        ).alias("sig"),
+    )
+    cand = (
+        variants.join(
+            sized.select(F.col(id_col).alias("id_b"), "t", "sig"), ["t", "sig"]
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    out = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+        )
+    )
+    if min_cosine is not None:
+        out = out.where(F.col("cosine_sim") >= min_cosine)
+    return out
+
+
+def len_planes_dim(vectors: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the schema when declared, else from one
+    bounded head probe (the planes need a concrete dim)."""
+    row = vectors.select(F.size(F.col(vec_col)).alias("d")).head()
+    return int(row["d"])
 
 
 # ---------------------------------------------------------------------------

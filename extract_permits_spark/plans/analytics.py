@@ -1146,6 +1146,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simfn.minhash_lsh_pairs(d, jaccard_threshold=0.4)
 
 
+@register("emb_neardup_lsh", _ann_sql.lsh_neardup_pairs_sql())
+def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate detection at scale: the 25 most-similar
+    pairs surfaced from shared hyperplane-LSH buckets (per-table Hamming
+    ≤ 1 realized as a Hamming-ball bucket join — no all-pairs join), each
+    verified with exact cosine. This is the SCALE path for what
+    dedup_embedding_cosine's deliberately-bounded exact twin
+    demonstrates; the oracle replays signatures + the pair condition
+    pairwise (equivalent below the bucket cap) and re-ranks. Recall on
+    true near-dups (cosine ≥ 0.95: miss ≈ 2e-6/pair) is pinned by a
+    planted-duplicate test in tests/test_recall.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = simfn.lsh_neardup_pairs(emb)
+    return pairs.orderBy(
+        F.desc("cosine_sim"), F.col("id_a"), F.col("id_b")
+    ).limit(25)
+
+
 @register("dedup_simhash", _ann_sql.simhash_pairs_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SimHash at the GUARANTEED radius (6 bands of 10 bits ⇒ recall

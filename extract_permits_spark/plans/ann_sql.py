@@ -277,6 +277,49 @@ def ivf_recall_sql(
 
 
 # ---------------------------------------------------------------------------
+# Embedding near-dup pairs via LSH buckets (twin of
+# similarity.lsh_neardup_pairs + top-N ranking)
+# ---------------------------------------------------------------------------
+
+
+def lsh_neardup_pairs_sql(
+    dim: int = 64,
+    topn: int = 25,
+    num_tables: int = 8,
+    num_planes: int = 8,
+    pair_hamming: int = 1,
+    seed: int = 42,
+) -> str:
+    """Pairwise replay of the bucketed pair generation: a pair is a
+    candidate iff its per-table signatures agree within ``pair_hamming``
+    bits in ANY table — the Spark side realizes this as a Hamming-ball
+    bucket join, the oracle as the equivalent pairwise bit_count
+    condition (identical result set when no bucket exceeds the cap,
+    which holds on every fixture: 500–2000 vectors < cap 1000 per
+    bucket... buckets are per (table, signature), far smaller)."""
+    sig_cols = ", ".join(
+        f"{_lsh_sig_expr('e', t, dim, num_planes, seed)} AS s{t}"
+        for t in range(num_tables)
+    )
+    pair_cond = " OR ".join(
+        f"bit_count(xor(a.s{t}, b.s{t})) <= {pair_hamming}"
+        for t in range(num_tables)
+    )
+    return f"""
+    WITH {_v_cte(dim)},
+    sigs AS (SELECT vec_id, e, {sig_cols} FROM v),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_cosine('a.e', 'b.e', dim)} AS sim
+      FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+      WHERE {pair_cond}
+    )
+    SELECT id_a, id_b, round(sim, 6) AS cosine_sim
+    FROM pairs ORDER BY sim DESC, id_a, id_b LIMIT {topn}
+    """
+
+
+# ---------------------------------------------------------------------------
 # Portable banded SimHash (twin of similarity.simhash_pairs with
 # token_hash=md5_long60, n_bits=60, band_bits=10, max_hamming=5)
 # ---------------------------------------------------------------------------

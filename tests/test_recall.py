@@ -79,3 +79,42 @@ def test_ann_ivf_recall_floor(spark):
     exact = simfn.brute_force_topk(emb, q, k=20)
     approx = simfn.ivf_topk(emb, q, k=20, num_clusters=16, num_probes=6)
     assert _recall_at_k(approx, exact, 20) >= 0.80
+
+
+def test_lsh_neardup_pairs_planted_duplicates(spark):
+    """Planted near-identical vectors MUST be surfaced by the bucketed
+    pair path (per-table Hamming <= 1, OR over 8 tables: miss prob ~2e-6
+    per pair at cosine ~0.95+)."""
+    import math
+
+    base = load_table(spark, SF_DIR, "embeddings").limit(50)
+    # plant: for each of 5 ids, a near-copy (tiny deterministic nudge)
+    rows = base.collect()
+    planted = []
+    for r in rows[:5]:
+        v = [float(x) for x in r["embedding"]]
+        nudged = [x * 1.001 + (0.0005 if i == 0 else 0.0) for i, x in enumerate(v)]
+        planted.append((int(r["vec_id"]) + 100000, nudged, 0))
+    dup = spark.createDataFrame(
+        planted, "vec_id long, embedding array<double>, label int"
+    )
+    allv = base.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    ).unionByName(dup)
+    got = simfn.lsh_neardup_pairs(allv, min_cosine=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    for r in rows[:5]:
+        vid = int(r["vec_id"])
+        assert (vid, vid + 100000) in pairs, f"planted dup of {vid} missed"
+    # precision: every returned pair is genuinely >= 0.99 by exact cosine
+    # (verification IS exact cosine, so this is structural — check anyway)
+    for row in got.collect():
+        assert row["cosine_sim"] >= 0.99
+    # sanity: math above holds — planted cosine really is ~1
+    v0 = [float(x) for x in rows[0]["embedding"]]
+    n0 = [x * 1.001 + (0.0005 if i == 0 else 0.0) for i, x in enumerate(v0)]
+    dot_ = sum(a * b for a, b in zip(v0, n0))
+    cos = dot_ / (
+        math.sqrt(sum(a * a for a in v0)) * math.sqrt(sum(b * b for b in n0))
+    )
+    assert cos > 0.999
