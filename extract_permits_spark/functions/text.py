@@ -178,3 +178,53 @@ def collapse_whitespace(text: Column | str) -> Column:
 def clean_for_pretraining(text: Column | str) -> Column:
     """strip URLs → mask PII → collapse whitespace, in that order."""
     return collapse_whitespace(mask_pii(strip_urls(text)))
+
+
+def chunk_documents(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """Split documents into token-bounded overlapping chunks — the step
+    between cleaning/dedup and training-shard assembly (context-window
+    packing input). Returns (id, chunk_idx, chunk_text, n_tokens), one
+    row per chunk; chunks start every ``chunk_tokens - overlap`` tokens
+    and the last chunk may be short. Empty documents produce no rows.
+
+    Pure narrow expressions: tokenize once, one ``posexplode`` over the
+    arithmetic start sequence, one slice+join per chunk — no shuffle, no
+    UDF; the grain change is the explode. Tokenization uses the same
+    trim/lower/``\\s+`` contract as the similarity family so chunk text
+    is cross-engine reproducible (DuckDB twin in the registry).
+    """
+    from extract_permits_spark.functions.similarity import tokens
+
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = tokens(F.col(text_col))
+    with_toks = docs.select(F.col(id_col), toks.alias("_t")).where(
+        F.size("_t") > 0
+    )
+    # last start is capped at size - overlap: a later start's chunk would
+    # be a pure suffix retread, fully contained in its predecessor
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("_t") - overlap, F.lit(1)),
+        F.lit(step),
+    )
+    exploded = with_toks.select(
+        id_col, "_t", F.posexplode(starts).alias("chunk_idx", "_start")
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("_t", F.col("_start"), chunk_tokens)).alias(
+            "chunk_text"
+        ),
+        F.least(
+            F.lit(chunk_tokens), F.size("_t") - F.col("_start") + 1
+        ).cast("int").alias("n_tokens"),
+    )

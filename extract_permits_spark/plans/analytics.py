@@ -1497,6 +1497,39 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
+@register(
+    "stream_dedup",
+    """
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming counts over AT-LEAST-ONCE delivery: the
+    stream directory contains the events file TWICE (every event arrives
+    twice, the redelivery failure mode real pipelines face);
+    dropDuplicates("event_id") inside the streaming query collapses
+    redeliveries, so the result must equal the batch COUNT(DISTINCT
+    event_id) per type — which is exactly the oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from extract_permits_spark.streaming.events import run_dedup_available_now
+
+    work = tempfile.mkdtemp(prefix="ev_stream_dedup_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "a.parquet"))
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "b.parquet"))
+    name = f"ev_stream_dedup_{abs(hash(sf_dir)) % 10**8}"
+    q = run_dedup_available_now(
+        spark, src, os.path.join(work, "ckpt"), table_name=name
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 _SOCRATA_SQL = """
     SELECT CAST(o_orderkey AS VARCHAR) AS permit_,
            strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') AS issue_date,
@@ -2118,6 +2151,37 @@ def text_clean_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", textfn.clean_for_pretraining("text").alias("clean_text")
     )
+
+
+@register(
+    "docs_chunk",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(COALESCE(text,''))), '\\s+') AS toks
+      FROM documents
+      WHERE trim(lower(COALESCE(text,''))) <> ''
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 16, 1) + 1, 48)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 48 AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, start, start + 63), ' ') AS chunk_text,
+           CAST(least(64, len(toks) - start + 1) AS INT) AS n_tokens
+    FROM s
+    """,
+)
+def docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bounded overlapping chunking (64-token chunks, 16-token
+    overlap ⇒ a new chunk every 48 tokens) — the context-window prep step
+    between dedup and packing (functions/text.py:chunk_documents). Narrow:
+    tokenize once, posexplode the arithmetic start sequence, slice+join
+    per chunk; the oracle replays it with range()+list_slice."""
+    d = load_table(spark, sf_dir, "documents")
+    return textfn.chunk_documents(d, chunk_tokens=64, overlap=16)
 
 
 @register(

@@ -97,3 +97,31 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_dedup_available_now(
+    spark: SparkSession,
+    dir_path: str,
+    checkpoint: str,
+    table_name: str = "ev_stream_dedup",
+):
+    """Exactly-once counts over AT-LEAST-ONCE delivery: the input
+    directory deliberately contains duplicated files (every event arrives
+    ≥ twice); ``dropDuplicates("event_id")`` collapses redeliveries before
+    the aggregation, so the result equals the batch COUNT(DISTINCT
+    event_id) per type. Unbounded dedup state is the right call for an
+    availableNow drain of a bounded backlog; a continuous job would use
+    ``dropDuplicatesWithinWatermark`` to bound state by event time
+    (at the cost of re-admitting duplicates older than the watermark).
+    """
+    stream = read_events_stream(spark, dir_path)
+    deduped = stream.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

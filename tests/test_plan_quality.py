@@ -85,3 +85,34 @@ def test_no_driver_collect_in_registry():
 
     src = inspect.getsource(analytics)
     assert ".collect()" not in src, "driver-side collect() in a registry entry"
+
+
+def test_lsh_topk_single_scan(spark):
+    """r3: lsh_bucketed_topk computes all L table signatures in ONE
+    projection over ONE corpus scan — the unioned-scans shape read the
+    corpus L times and paid a dropDuplicates exchange."""
+    plan = _plan(spark, "ann_lsh_topk")
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    # no dedup shuffle: the only exchange allowed is the top-k singleton
+    assert "Union" not in plan
+
+
+def test_emb_neardup_bucket_join_not_allpairs(spark):
+    """r3: the embedding near-dup pair path must be an equi-join on
+    (table, signature) buckets, never a nested-loop pairwise compare."""
+    plan = _plan(spark, "emb_neardup_lsh")
+    assert "NestedLoop" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_ivf_assignment_argmin_is_compact(spark):
+    """r3 SCALE.md rule: the centroid-assignment argmin must be the
+    array_position(array_min) form. The least()+when-chain spelling
+    re-embeds every distance subtree O(k) times (~140k-node trees,
+    ~20s driver-side analysis); source-assert the compact spelling."""
+    import inspect
+
+    from extract_permits_spark.functions import similarity
+
+    src = inspect.getsource(similarity._nearest_by_l2)
+    assert "array_position" in src and "array_min" in src

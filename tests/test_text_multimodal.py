@@ -93,3 +93,35 @@ def test_clean_for_pretraining(spark):
         "doc_id", tx.clean_for_pretraining("text").alias("c")).collect()}
     assert out[1] == "see and mail <EMAIL> or <PHONE> now"
     assert out[2] == ""
+
+
+def test_chunk_documents_edges(spark):
+    from extract_permits_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(100))),  # 100 tokens -> 3 chunks
+            (2, "a b c"),  # short: one 3-token chunk
+            (3, ""),  # empty: no rows
+            (4, None),  # null: no rows
+            (5, "x " * 64),  # exactly 64: one chunk, no overlap spill
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: starts at 1 and 49 (start 97 would be a pure suffix retread
+    # of chunk@49, which already reaches token 100) -> chunks of 64, 52
+    assert [rows[(1, i)]["n_tokens"] for i in range(2)] == [64, 52]
+    assert (1, 2) not in rows
+    # full coverage: chunk@49 ends at the last token
+    assert rows[(1, 1)]["chunk_text"].split()[-1] == "w99"
+    # overlap: chunk 1 starts at token 49, i.e. repeats tokens 49..64 (w48..w63)
+    assert rows[(1, 1)]["chunk_text"].split()[0] == "w48"
+    assert rows[(1, 0)]["chunk_text"].split()[-1] == "w63"
+    assert rows[(2, 0)]["n_tokens"] == 3
+    assert not any(d in (3, 4) for (d, _) in rows)
+    assert rows[(5, 0)]["n_tokens"] == 64
+    assert (5, 1) not in rows
+    with __import__("pytest").raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=16, overlap=16)
