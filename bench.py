@@ -140,6 +140,24 @@ def main() -> None:
             shutil.rmtree(out, ignore_errors=True)
         times_scale["permit_pipeline_sf1eq"] = round(time.time() - t0, 3)
 
+        # dedup at 10x: documents unioned with shifted ids — every doc
+        # gains 9 exact twins, the dup-heavy crawl shape LSH exists for.
+        # md5 variant so bench_oracle can run the SAME algorithm in DuckDB.
+        from pyspark.sql import functions as _F
+
+        from extract_permits_spark.functions.similarity import minhash_md5_pairs
+        from extract_permits_spark.sources.readers import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        amp = docs
+        for c in range(1, 10):
+            amp = amp.unionByName(
+                docs.withColumn("doc_id", _F.col("doc_id") + _F.lit(c * 10**7))
+            )
+        t0 = time.time()
+        force(minhash_md5_pairs(amp))
+        times_scale["dedup_minhash_md5_sf1eq"] = round(time.time() - t0, 3)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

@@ -175,6 +175,73 @@ def minhash_lsh_pairs(
     return verified
 
 
+def minhash_md5_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash-LSH with the md5 hash family — the cross-engine-
+    deterministic variant whose banding a DuckDB oracle replays verbatim
+    (registry entry ``dedup_minhash_md5``; xxhash64 ``minhash_lsh_pairs``
+    is the production fast path). Same banded shape: shingle → per-seed
+    min(md5) signature → per-band md5 bucket → candidate join → exact
+    Jaccard verification."""
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("_shingles")
+    ).where(F.size("_shingles") > 0)
+    exploded = sh.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
+    sigs = exploded.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{s}|"), F.col("_sh")).cast("binary"))
+            ).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    rows = num_hashes // bands
+    band_frames = None
+    for b in range(bands):
+        part = sigs.select(
+            F.col(id_col),
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat(
+                    *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                ).cast("binary")
+            ).alias("band_hash"),
+        )
+        band_frames = (
+            part if band_frames is None else band_frames.unionByName(part)
+        )
+    a = band_frames.select(
+        "band_idx", "band_hash", F.col(id_col).alias("id_a")
+    )
+    b = band_frames.select(
+        "band_idx", "band_hash", F.col(id_col).alias("id_b")
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    left = sh.select(F.col(id_col).alias("id_a"), F.col("_shingles").alias("_sa"))
+    right = sh.select(F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sb"))
+    jac = F.size(F.array_intersect("_sa", "_sb")) / F.size(
+        F.array_union("_sa", "_sb")
+    )
+    return (
+        cand.join(left, "id_a")
+        .join(right, "id_b")
+        .where(jac >= jaccard_threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

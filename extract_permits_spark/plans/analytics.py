@@ -1863,51 +1863,9 @@ _MH_BAND_ROWS = " UNION ALL ".join(
     """,
 )
 def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from extract_permits_spark.functions.similarity import word_shingles
-
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", word_shingles("text", 3).alias("shingles")
-    ).where(F.size("shingles") > 0)
-    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    sigs = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")).cast("binary"))
-            ).alias(f"h{s}")
-            for s in range(_MH_SEEDS)
-        ]
-    )
-    bands = None
-    for b in range(_MH_BANDS):
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band_idx"),
-            F.md5(
-                F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).cast("binary")
-            ).alias("band_hash"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    a = bands.select(
-        "band_idx", "band_hash", F.col("doc_id").alias("id_a")
-    )
-    bb = bands.select(
-        "band_idx", "band_hash", F.col("doc_id").alias("id_b")
-    )
-    cand = (
-        a.join(bb, ["band_idx", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    left = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("_sa"))
-    right = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("_sb"))
-    jac = F.size(F.array_intersect("_sa", "_sb")) / F.size(F.array_union("_sa", "_sb"))
-    return (
-        cand.join(left, "id_a")
-        .join(right, "id_b")
-        .where(jac >= 0.2)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    return simfn.minhash_md5_pairs(
+        d, num_hashes=_MH_SEEDS, bands=_MH_BANDS, jaccard_threshold=0.2
     )
 
 

@@ -94,6 +94,20 @@ def main() -> None:
         con.execute(oracles["permit_pipeline_upload"]).fetchall()
         times["permit_pipeline_sf1eq"] = round(time.time() - t0, 3)
 
+    # dedup at 10x: same amplified-documents input, same md5-banded
+    # algorithm both engines (bench.py's dedup_minhash_md5_sf1eq row)
+    if "dedup_minhash_md5" in oracles:
+        p = os.path.join(sf_dir, "documents.parquet")
+        union = " UNION ALL ".join(
+            f"SELECT * REPLACE (doc_id + {c * 10**7} AS doc_id) "
+            f"FROM read_parquet('{p}')"
+            for c in range(10)
+        )
+        con.execute(f"CREATE OR REPLACE VIEW documents AS {union}")
+        t0 = time.time()
+        con.execute(oracles["dedup_minhash_md5"]).fetchall()
+        times["dedup_minhash_md5_sf1eq"] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
