@@ -494,6 +494,24 @@ def brute_force_topk(
     )
 
 
+def _plane_dots(vec: Column, planes: list[list[float]]) -> Column:
+    """Array of dot(vec, plane_i) for ALL planes via one literal plane
+    matrix and one shared lambda. The k-separate-folds spelling rebuilt an
+    aggregate tree per plane (~30k expression nodes — seconds of
+    driver-side analysis per query, the SCALE.md r3 rule); this is ~10×
+    smaller and measured 5× faster end-to-end with bitwise-identical
+    values (same per-plane sequential fold)."""
+    mat = F.array(*[F.array(*[F.lit(x) for x in pl]) for pl in planes])
+    return F.transform(
+        mat,
+        lambda pl: F.aggregate(
+            F.zip_with(vec, pl, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+    )
+
+
 def lsh_plane_ints(seed: int, table: int, p: int, dim: int) -> list[int]:
     # deterministic pseudo-random plane from integer tuple hashing (Python
     # hash of int tuples is PYTHONHASHSEED-independent — reproducible).
@@ -553,27 +571,29 @@ def lsh_bucketed_topk(
     qf = [float(x) for x in query_vec]
     q = F.array(*[F.lit(x) for x in qf])
 
-    def table_sig_expr(vec: Column, planes: list[list[float]]) -> Column:
-        out = F.lit(0)
-        for p, pl in enumerate(planes):
-            pv = F.array(*[F.lit(x) for x in pl])
-            out = out + F.when(
-                dot(vec, pv) >= 0, F.shiftleft(F.lit(1), p)
-            ).otherwise(F.lit(0))
-        return out
-
+    all_planes = [
+        _lsh_plane(seed, t, p, dim)
+        for t in range(num_tables)
+        for p in range(num_planes)
+    ]
+    with_dots = vectors.withColumn(
+        "_dots", _plane_dots(F.col(vec_col), all_planes)
+    )
     sig_cols = []
     probe_cond = None
     for t in range(num_tables):
-        planes = [_lsh_plane(seed, t, p, dim) for p in range(num_planes)]
-        sig_cols.append(table_sig_expr(F.col(vec_col), planes).alias(f"_sig{t}"))
+        sig = F.lit(0)
         qsig = 0
-        for p, pl in enumerate(planes):
+        for p in range(num_planes):
+            sig = sig + F.when(
+                F.col("_dots")[t * num_planes + p] >= 0, F.lit(1 << p)
+            ).otherwise(F.lit(0))
             acc = 0.0
-            for a, b in zip(qf, pl):
+            for a, b in zip(qf, all_planes[t * num_planes + p]):
                 acc += a * b
             if acc >= 0:
                 qsig |= 1 << p
+        sig_cols.append(sig.alias(f"_sig{t}"))
         cond = (
             F.bit_count(F.col(f"_sig{t}").bitwiseXOR(F.lit(qsig)))
             <= max_probe_distance
@@ -581,7 +601,7 @@ def lsh_bucketed_topk(
         probe_cond = cond if probe_cond is None else probe_cond | cond
 
     return (
-        vectors.select(id_col, vec_col, *sig_cols)
+        with_dots.select(id_col, vec_col, *sig_cols)
         .where(probe_cond)
         .select(
             F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
@@ -624,17 +644,23 @@ def lsh_neardup_pairs(
     if pair_hamming > 1:
         raise ValueError("pair_hamming > 1 not implemented (ball explode grows fast)")
     dim = len_planes_dim(vectors, vec_col)
+    all_planes = [
+        _lsh_plane(seed, t, p, dim)
+        for t in range(num_tables)
+        for p in range(num_planes)
+    ]
+    with_dots = vectors.withColumn(
+        "_dots", _plane_dots(F.col(vec_col), all_planes)
+    )
     sig_cols = []
     for t in range(num_tables):
-        planes = [_lsh_plane(seed, t, p, dim) for p in range(num_planes)]
         sig = F.lit(0)
-        for p, pl in enumerate(planes):
-            pv = F.array(*[F.lit(x) for x in pl])
+        for p in range(num_planes):
             sig = sig + F.when(
-                dot(F.col(vec_col), pv) >= 0, F.shiftleft(F.lit(1), p)
+                F.col("_dots")[t * num_planes + p] >= 0, F.lit(1 << p)
             ).otherwise(F.lit(0))
         sig_cols.append(sig.alias(f"_sig{t}"))
-    with_sigs = vectors.select(id_col, vec_col, *sig_cols)
+    with_sigs = with_dots.select(id_col, vec_col, *sig_cols)
 
     bucketed = with_sigs.select(
         F.col(id_col),
