@@ -774,25 +774,23 @@ def _nearest_by_l2(vec: Column, centroids: list[list[float]]) -> Column:
     cluster id) — k fused distance expressions inside codegen; no shuffle,
     no UDF.
 
-    Shape matters: each distance expression appears exactly ONCE, in an
-    array, and the argmin is ``array_position(d, array_min(d)) - 1``
+    Shape matters twice over: the distances come from ONE literal
+    centroid matrix and one shared lambda (not one fold tree per
+    centroid), and the argmin is ``array_position(d, array_min(d)) - 1``
     (first match ⇒ lowest cluster id on ties, same rule as the SQL twin's
     ``ORDER BY dist, cid``). The earlier least()+when-chain spelling
     duplicated every distance subtree O(k) times — a ~140k-node expression
-    tree that cost ~20s of driver-side analysis per query."""
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(x) for x in c]),
-                lambda x, y: (x - y) * (x - y),
-            ),
+    tree that cost ~20s of driver-side analysis per query. Values are
+    bitwise-unchanged (same per-centroid sequential (x-y)² fold)."""
+    mat = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    d_arr = F.transform(
+        mat,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda a, v: a + v,
-        )
-        for c in centroids
-    ]
-    d_arr = F.array(*dists)
+        ),
+    )
     return (F.array_position(d_arr, F.array_min(d_arr)) - 1).cast("int")
 
 
