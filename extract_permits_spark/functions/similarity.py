@@ -858,6 +858,51 @@ def ivf_index(
     return indexed, centroids
 
 
+def write_ivf_index(
+    indexed: DataFrame, path: str, id_col: str = "vec_id"
+) -> None:
+    """Persist an IVF index partitioned by ``cluster_id`` — the write-once
+    side of the IVF contract: every later query filters on its probed
+    clusters and the parquet source prunes whole partition directories
+    (PartitionFilters in the scan, asserted in tests/test_plan_quality.py).
+    At 100 TB this is the difference between reading num_probes/num_clusters
+    of the corpus and reading all of it."""
+    indexed.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_probes: int = 6,
+) -> DataFrame:
+    """Query a persisted IVF index: rank centroids driver-side (k·dim
+    floats — bounded), read ONLY the probed cluster partitions, exact
+    top-k within them. Same probe selection as ``ivf_topk``."""
+    import math
+
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    qn = [_py_round_half_up(float(x) / qnorm, 9) for x in query_vec]
+    dists = [sum((a - b) * (a - b) for a, b in zip(qn, c)) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: (dists[i], i))[:num_probes]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    indexed = spark.read.parquet(path).where(F.col("cluster_id").isin(*probe))
+    return (
+        indexed.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), qcol), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     query_vec: list[float],

@@ -116,3 +116,30 @@ def test_ivf_assignment_argmin_is_compact(spark):
 
     src = inspect.getsource(similarity._nearest_by_l2)
     assert "array_position" in src and "array_min" in src
+
+
+def test_ivf_persisted_index_partition_prunes(spark, tmp_path):
+    """The IVF write-once contract: a query over the persisted index must
+    read ONLY its probed clusters' partition directories — visible as
+    PartitionFilters on the scan and equal results vs the in-memory path."""
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.functions import similarity as simfn
+    from extract_permits_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    indexed, cents = simfn.ivf_index(emb, num_clusters=16, rounds=1)
+    path = str(tmp_path / "ivf")
+    simfn.write_ivf_index(indexed, path)
+    got = simfn.ivf_topk_from_index(spark, path, cents, qvec, k=20, num_probes=6)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+    # equal results vs the in-memory path with the same index
+    want = simfn.ivf_topk(
+        emb, qvec, k=20, num_probes=6, index=(indexed, cents)
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
