@@ -820,17 +820,21 @@ def kmeans_fit(
     dim = len(cents[0])
     for _ in range(rounds):
         assigned = n.select(_nearest_by_l2(F.col("e"), cents).alias("_cid"), "e")
+        # per-dimension means via posexplode + one narrow (cid, pos)
+        # groupBy — compiles much faster than a 64-column avg aggregate
+        # and rounds to the same 6-dp centroids (verified identical)
         means = (
-            assigned.groupBy("_cid")
-            .agg(*[F.avg(F.col("e")[i]).alias(f"m{i}") for i in range(dim)])
+            assigned.select("_cid", F.posexplode("e").alias("_pos", "_x"))
+            .groupBy("_cid", "_pos")
+            .agg(F.avg("_x").alias("_m"))
             .collect()
         )
-        new = {
-            int(r["_cid"]): [
-                _py_round_half_up(float(r[f"m{i}"]), 6) for i in range(dim)
-            ]
-            for r in means
-        }
+        new: dict[int, list[float]] = {}
+        for r in means:
+            cid = int(r["_cid"])
+            if cid not in new:
+                new[cid] = [0.0] * dim
+            new[cid][int(r["_pos"])] = _py_round_half_up(float(r["_m"]), 6)
         cents = [new.get(i, cents[i]) for i in range(k)]
     return cents
 

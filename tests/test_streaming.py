@@ -106,3 +106,43 @@ def test_watermark_drops_late_data_across_runs(spark):
         got = {r["window_start"]: r["n"] for r in final.collect()}
         assert got["2024-01-01 00:00:00"] == 3  # late row dropped
         assert got["2024-01-01 02:00:00"] == 1  # newly finalized window
+
+
+def test_stream_dedup_exactly_once_across_restart(spark):
+    """Exactly-once over at-least-once delivery AND a restart: run 1 sees
+    the events file once; run 2 (same checkpoint) sees a redelivered copy.
+    The dedup state must survive the restart, so final counts equal the
+    batch COUNT(DISTINCT event_id) — not double it."""
+    import os
+    import shutil
+    import tempfile
+
+    sf_dir = "/root/testdata/sf0.001"
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.sources.readers import load_events
+
+    batch = load_events(spark, sf_dir)
+    expected = {
+        (r["event_type"], r["n_events"])
+        for r in batch.groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("n_events"))
+        .collect()
+    }
+
+    with tempfile.TemporaryDirectory() as work:
+        src_dir = os.path.join(work, "in")
+        ckpt = os.path.join(work, "ckpt")
+        os.makedirs(src_dir)
+        shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src_dir, "a.parquet"))
+        q = ev.run_dedup_available_now(spark, src_dir, ckpt, table_name="ev_dedup_t1")
+        q.awaitTermination(120)
+        # redelivery arrives while the job is down
+        shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src_dir, "b.parquet"))
+        q = ev.run_dedup_available_now(spark, src_dir, ckpt, table_name="ev_dedup_t2")
+        q.awaitTermination(120)
+        got = {
+            (r["event_type"], r["n_events"])
+            for r in spark.sql("SELECT * FROM ev_dedup_t2").collect()
+        }
+    assert got == expected
