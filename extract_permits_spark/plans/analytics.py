@@ -2112,6 +2112,49 @@ def text_clean_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_hll_region_distinct",
+    """
+    SELECT n_regionkey AS region_key,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_distinct,
+           true AS within_5pct
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_regionkey
+    """,
+)
+def sketch_hll_region_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the re-aggregatable shape that
+    matters at 100 TB: per-nation HLL sketches (partial aggregation,
+    map-side combinable) are UNIONED to region grain without touching raw
+    rows again, exactly how a warehouse rolls daily sketches into monthly
+    distincts. The oracle pins the exact distinct per region plus a
+    5%-error gate on the sketch estimate: Apache DataSketches HLL is
+    deterministic for fixed input, so a regression (wrong merge, wrong
+    lgConfigK) flips within_5pct and hash-mismatches."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("_sk"),
+        F.countDistinct("c_custkey").alias("_exact_nat"),
+    )
+    j = per_nation.join(F.broadcast(n), per_nation.c_nationkey == n.n_nationkey)
+    per_region = j.groupBy("n_regionkey").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est"),
+        # customers belong to exactly one nation, so the exact regional
+        # distinct is the sum of per-nation distincts — no re-scan
+        F.sum("_exact_nat").alias("_exact"),
+    )
+    return per_region.select(
+        F.col("n_regionkey").alias("region_key"),
+        F.col("_exact").cast("bigint").alias("exact_distinct"),
+        (
+            F.abs(F.col("_est") - F.col("_exact"))
+            / F.col("_exact")
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
+    )
+
+
+@register(
     "docs_chunk",
     """
     WITH t AS (
