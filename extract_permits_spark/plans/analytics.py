@@ -2112,6 +2112,56 @@ def text_clean_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_approx_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS exact_p50,
+           round(quantile_cont(value, 0.95), 6) AS exact_p95,
+           true AS p50_rank_ok,
+           true AS p95_rank_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile SKETCH audited by its own rank guarantee:
+    ``percentile_approx`` (Greenwald-Khanna, accuracy 10000 ⇒ rank error
+    ≤ n/10000) per group, then a second declarative pass computes the
+    ACTUAL rank of each sketch output — the fraction of values ≤ it must
+    sit within ±1% of the target quantile. The oracle pins the exact
+    quantiles plus the two gates as constants, so a sketch regression
+    (merge bug, accuracy misconfig) flips a gate and hash-mismatches.
+    The sketch is the scale shape: mergeable partials, one pass, bounded
+    memory — exact percentile needs a full sort per group."""
+    e = load_table(spark, sf_dir, "events")
+    appr = e.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("_a50"),
+        F.percentile_approx("value", F.lit(0.95), F.lit(10000)).alias("_a95"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("exact_p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("exact_p95"),
+    )
+    joined = e.select("event_type", "value").join(
+        F.broadcast(appr), "event_type"
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.avg((F.col("value") <= F.col("_a50")).cast("double")).alias("_r50"),
+            F.avg((F.col("value") <= F.col("_a95")).cast("double")).alias("_r95"),
+            F.first("exact_p50").alias("exact_p50"),
+            F.first("exact_p95").alias("exact_p95"),
+        )
+        .select(
+            "event_type",
+            "exact_p50",
+            "exact_p95",
+            (F.abs(F.col("_r50") - 0.5) <= F.lit(0.01)).alias("p50_rank_ok"),
+            (F.abs(F.col("_r95") - 0.95) <= F.lit(0.01)).alias("p95_rank_ok"),
+        )
+    )
+
+
+@register(
     "sketch_hll_region_distinct",
     """
     SELECT n_regionkey AS region_key,
