@@ -49,12 +49,45 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+# The driver's correctness check covers the first 50 registry entries per
+# round. Rounds 2-5 all recorded the identical name-prefix, so 20 entries
+# (including the only xlsx §2 surface) never earned a driver row. These go
+# first now; the remainder keep registration order (all driver-green in r4).
+_CHECK_FIRST = [
+    "ev_rollup",
+    "j8_range_join",
+    "sample_hash_split",
+    "sample_stratified",
+    "a7_quantiles",
+    "text_clean_mask",
+    "sketch_approx_quantiles",
+    "sketch_hll_region_distinct",
+    "docs_chunk",
+    "dedup_exact_keep_first",
+    "docs_pretrain_filter",
+    "x4_pivot",
+    "w5_rolling",
+    "u3_intersect",
+    "xlsx_review_roundtrip",
+    "dedup_cluster_components",
+    "dedup_cluster_canonical",
+    "pack_sequences",
+    "sample_interleave",
+    "emb_quantize",
+]
+
+
+def _reordered(d: dict) -> dict:
+    head = {k: d[k] for k in _CHECK_FIRST if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return _reordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _reordered(_ORACLES)
 
 
 def _dec(c, scale: int = 2):

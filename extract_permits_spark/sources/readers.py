@@ -65,25 +65,62 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read nanos as long and rebuild a TIMESTAMP_NTZ at
-    microsecond precision (matching DuckDB's nanos→micros truncation).
+def probe_events_ts_unit(path: str) -> str:
+    """Inspect the parquet footer and return the ts column's time unit
+    ('ns' | 'us' | 'ms' | 's' | 'int64').
 
-    Session timezone is pinned to UTC for the conversion so the wall-clock
-    values are environment-independent (timestamp_micros yields LTZ; the
-    NTZ cast renders it in session tz)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    The driver's fixture has changed precision across rounds (TIMESTAMP(NANOS)
+    → timestamp[us]); hard-coding either breaks loudly in batch and —
+    far worse — silently in streaming. Schema assumptions about external
+    data are verified at read time, never assumed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # a directory of part files or a single file both appear in the wild
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        probe = os.path.join(path, parts[0])
+    field = pq.read_schema(probe).field("ts")
+    if pa.types.is_timestamp(field.type):
+        return field.type.unit  # 'ns' | 'us' | 'ms' | 's'
+    if pa.types.is_int64(field.type):
+        return "int64"
+    raise TypeError(f"unsupported events.ts type {field.type} in {probe}")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table with a footer-probed ts strategy.
+
+    - timestamp[us]/[ms]/[s] (isAdjustedToUTC=false): Spark 4 reads it as
+      TIMESTAMP_NTZ natively (inferTimestampNTZ); cast pins the type.
+    - timestamp[ns]: Spark's vectorized reader rejects TIMESTAMP(NANOS);
+      read nanos as long and rebuild TIMESTAMP_NTZ at microsecond
+      precision (matching DuckDB's nanos→micros truncation).
+    - plain int64: treated as epoch nanos (the legacy fixture layout).
+
+    Session timezone is pinned to UTC so any LTZ↔NTZ rendering is
+    environment-independent."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn(
-        "ts",
-        F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).cast(
-            "timestamp_ntz"
-        ),
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    unit = probe_events_ts_unit(path)
+    if unit in ("ns", "int64"):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    df = spark.read.parquet(path)
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -21,35 +21,55 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# the fixture stores ts as TIMESTAMP(NANOS) — read as long, convert below
-# (same dance as sources.readers.load_events)
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
-    """File-source stream over the events parquet directory."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over the events parquet directory.
+
+    readStream needs a static schema, so the ts precision is probed from
+    the parquet footer first (sources.readers.probe_events_ts_unit) —
+    the fixture has shipped both TIMESTAMP(NANOS) and timestamp[us]
+    across rounds, and a wrong static schema here fails *silently*
+    (timestamps 1000x off collapse every window)."""
+    from ..sources.readers import probe_events_ts_unit
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    unit = probe_events_ts_unit(dir_path)
+    if unit in ("ns", "int64"):
+        # TIMESTAMP(NANOS): vectorized reader rejects it — read the raw
+        # int64 nanos and rebuild micros. LTZ output; session tz pinned to
+        # UTC so wall-clock matches the batch (NTZ) path exactly.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_events_schema(T.LongType()))
+            .format("parquet")
+            .option("path", dir_path)
+            .load()
+        )
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    # micro/milli/second precision: read natively as NTZ (the fixture is
+    # written isAdjustedToUTC=false), then cast to LTZ for the watermark;
+    # UTC session tz keeps the wall clock identical to batch.
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(T.TimestampNTZType()))
         .format("parquet")
         .option("path", dir_path)
         .load()
     )
-    # LTZ (not NTZ): watermarks require TIMESTAMP; session tz is pinned to
-    # UTC above so wall-clock values match the batch path exactly
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(
