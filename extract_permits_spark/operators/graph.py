@@ -70,10 +70,16 @@ def connected_components(
         .repartition(F.col("v"))
         .localCheckpoint(eager=True)
     )
+    # seed with the first propagation hop folded in: label(u) = min(u,
+    # min neighbor) — one groupBy instead of a distinct + a full round
+    # (shallow LSH-bucket cliques then converge in 1-2 checked rounds)
     labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("component"))
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_nm"))
+        .select(
+            F.col("u").alias("id"),
+            F.least(F.col("u"), F.col("_nm")).alias("component"),
+        )
         .localCheckpoint(eager=True)
     )
 
