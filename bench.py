@@ -6,10 +6,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with the noop sink (full execution, no driver
 collect) — measures the engine, not result transfer.
 
-Methodology (r2): every query runs TWICE and the second (steady-state)
-time is reported — the first run absorbs scan-cache/JIT warm-up and made
-sub-second numbers noisy (VERDICT r1). Cold times ride along under
-"queries_cold" for reference; "value" sums the steady-state times.
+Methodology (r6): every query runs FOUR times — one cold run (reported
+under "queries_cold") then three steady-state runs; "queries" holds the
+per-query MEDIAN of the steady runs and "queries_min" the minimum, so
+round-over-round drift (r3->r4 moved +9% on identical code) is
+distinguishable from real regressions. "value" sums the medians.
 """
 
 from __future__ import annotations
@@ -37,7 +38,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
-    "dedup_embedding_cosine",
+    # embedding near-dup headline is the LSH bucket join (the scale path);
+    # the BroadcastNestedLoop brute-force twin (dedup_embedding_cosine)
+    # stays registry-only as the recall oracle (r5-VERDICT ask #5)
+    "emb_neardup_lsh",
     "text_quality",
     "text_language_id",
     "ev_sessionize",
@@ -107,14 +111,21 @@ def main() -> None:
     runnables.append(("permit_pipeline", run_pipeline_once))
 
     times: dict[str, float] = {}
+    times_min: dict[str, float] = {}
     times_cold: dict[str, float] = {}
+    steady_runs = 3
     for name, run in runnables:
         t0 = time.time()
         run()
         times_cold[name] = round(time.time() - t0, 3)
-        t1 = time.time()
-        run()
-        times[name] = round(time.time() - t1, 3)
+        samples = []
+        for _ in range(steady_runs):
+            t1 = time.time()
+            run()
+            samples.append(time.time() - t1)
+        samples.sort()
+        times[name] = round(samples[len(samples) // 2], 3)
+        times_min[name] = round(samples[0], 3)
 
     # scale row (NOT in the headline total, which stays comparable across
     # rounds): the flagship pipeline at an sf×10-equivalent input — the
@@ -166,13 +177,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_min": times_min,
                 "queries_cold": times_cold,
                 "queries_scale": times_scale,
                 "sf": sf,
-                "methodology": "each query forced twice; steady-state "
-                "(second) run reported, cold run in queries_cold; "
-                "queries_scale rows are single-run at 10x the bench sf "
-                "and excluded from value",
+                "methodology": "each query forced 4x: 1 cold run "
+                "(queries_cold) + 3 steady runs; queries = per-query "
+                "median of steady runs, queries_min = min; value sums "
+                "the medians; queries_scale rows are single-run at 10x "
+                "the bench sf and excluded from value",
             }
         )
     )

@@ -143,3 +143,16 @@ def test_ivf_persisted_index_partition_prunes(spark, tmp_path):
         emb, qvec, k=20, num_probes=6, index=(indexed, cents)
     )
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_no_bnlj_in_headline_plans(spark):
+    # r5-VERDICT ask #5: the headline bench set must contain no
+    # BroadcastNestedLoopJoin — the brute-force recall-oracle twins
+    # (dedup_embedding_cosine et al.) are registry-only surface
+    import bench
+
+    qs = analytics.queries()
+    for name in bench.HEADLINE:
+        if name not in qs:
+            continue
+        assert "BroadcastNestedLoopJoin" not in _plan(spark, name), name
