@@ -41,9 +41,42 @@ from extract_permits_spark import specs
 
 
 def clean_permits(permits_raw: DataFrame, universe: DataFrame) -> DataFrame:
-    """Steps P12→X1/X2→P4→P1/P2/P3→P7→P8→A2/J1→P10/P11→P9 as one plan."""
+    """Steps P12→P2/P3/P7/P8→A2/J1→P10/P17→X1/X2→P4→P1→P11 as one plan.
+
+    Staging (r5-VERDICT ask #6): every permit-level expression — the
+    regexp-heavy address assembly, date parse/display, applicant
+    abbreviation, amount rounding, and the suggested-PINs broadcast probe
+    — is computed BEFORE the multi-PIN explode. The Generate node is a
+    CollapseProject barrier, so Catalyst cannot re-inline these below-
+    explode expressions into the post-explode projections: each evaluates
+    once per PERMIT, and the explode fan-out (~4 PINs/permit in the
+    fixtures) copies attribute values instead of re-running regexps.
+    Only the genuinely per-PIN steps (P4 format, P1 registry projection,
+    P11 pin link, validation) run on the exploded grain."""
     permits = permits_raw.withColumn("city_state", F.lit("CHICAGO, IL"))  # P12
-    exploded = explode_multi_value(permits, "pin_list", out_col="solo_pin")  # X1+X2
+    # permit-level cleaning, in place on the src columns so the registry
+    # rename (organize_columns) picks them up unchanged
+    pre = (
+        permits.withColumn(
+            "address",
+            assemble_address("street_number", "street_direction", "street_name"),  # P2
+        )
+        .withColumn("issue_date", parse_and_display_date("issue_date"))  # P3
+        .withColumn("contact_1_name", abbreviate("contact_1_name"))  # P7
+        .withColumn("reported_cost", round_amount("reported_cost"))  # P8
+    )
+    pre = suggested_values_join(  # A2+J1 — permit-level key, pre-fan-out probe
+        pre,
+        universe.where(F.col("triad_name") == "City"),
+        fact_key="address",
+        dim_key="prop_address_full",
+        dim_value="pin",
+        out_col="suggested_pins",
+    )
+    pre = pre.withColumn("property_address", F.col("address")).withColumn(  # P17
+        "cookviewer_link", cookviewer_link("property_address")  # P10
+    )
+    exploded = explode_multi_value(pre, "pin_list", out_col="solo_pin")  # X1+X2
     # P4 staged: the stripped form feeds three branches of format_pin —
     # materialize it once instead of three regexp_replace evaluations per
     # row (Catalyst doesn't CSE across branches; see SCALE.md)
@@ -58,28 +91,19 @@ def clean_permits(permits_raw: DataFrame, universe: DataFrame) -> DataFrame:
             F.lit(""),
         ),
     ).drop("_stripped")
-    with_addr = formatted.withColumn(
-        "address",
-        assemble_address("street_number", "street_direction", "street_name"),  # P2
-    ).withColumn("issue_date", parse_and_display_date("issue_date"))  # P3
-    organized = specs.organize_columns(with_addr, keep_extra=["pin_type"])  # P1
-    organized = organized.withColumn(
-        "applicant", abbreviate("applicant")  # P7
-    ).withColumn("amount", round_amount("amount"))  # P8
-    enriched = suggested_values_join(  # A2+J1
-        organized,
-        universe.where(F.col("triad_name") == "City"),
-        fact_key="applicant_street_address",
-        dim_key="prop_address_full",
-        dim_value="pin",
-        out_col="suggested_pins",
+    organized = specs.organize_columns(  # P1 — registry projection + renames
+        formatted,
+        keep_extra=[
+            "pin_type",
+            "suggested_pins",
+            "property_address",
+            "cookviewer_link",
+        ],
     )
     enriched = (
-        enriched.withColumn("property_address", F.col("applicant_street_address"))  # P17
-        .withColumn("cookviewer_link", cookviewer_link("property_address"))  # P10
         # P11 staged: digits-only form used by both the length test and the
         # formula — one regexp per row instead of two
-        .withColumn("_digits", F.regexp_replace("pin", r"\D", ""))
+        organized.withColumn("_digits", F.regexp_replace("pin", r"\D", ""))
         .withColumn(
             "pin_link",
             F.when(F.col("pin").isNull() | (F.col("pin") == ""), F.lit("NO PIN FOUND"))
