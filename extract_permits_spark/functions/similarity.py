@@ -616,7 +616,7 @@ def lsh_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_tables: int = 8,
-    num_planes: int = 8,
+    num_planes: int = 16,
     pair_hamming: int = 1,
     seed: int = 42,
     max_bucket_size: int = 1000,
@@ -635,9 +635,12 @@ def lsh_neardup_pairs(
     (id_a, id_b, cosine_sim), optionally thresholded.
 
     Recall: per table P(hamming ≤ 1) = (1-θ/π)^b + b(θ/π)(1-θ/π)^(b-1);
-    OR over L tables. At cosine 0.95 (θ≈0.32) with the defaults the miss
-    probability is ≈2e-6 per pair; pinned by a planted-duplicate test in
-    tests/test_recall.py. Same determinism contract as the ANN family —
+    OR over L tables. Defaults are 16 planes × 8 tables (r6: widened from
+    8 planes — at 8 bits a near-uniform corpus put ~33% of ALL pairs into
+    shared buckets, 664k candidates from 2k vectors; at 16 bits the random
+    collision rate drops ~150× while true near-dups still hit: miss ≈
+    2e-17 per pair at cosine 0.999, ≈3e-3 at cosine 0.95). Pinned by a
+    planted-duplicate test in tests/test_recall.py. Same determinism contract as the ANN family —
     the DuckDB oracle replays signatures and the Hamming condition
     pairwise (equivalent by construction).
     """
@@ -679,6 +682,11 @@ def lsh_neardup_pairs(
     sized = bucketed.withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy("t", "sig"))
     ).where(F.col("_n") <= max_bucket_size)
+    # materialize once: `sized` feeds BOTH sides of the bucket self-join,
+    # and without a cut the whole 128-dot signature pipeline is computed
+    # twice (measured 2× the dominant stage). The checkpointed frame is
+    # (id, table, sig) triples — tiny at any corpus scale.
+    sized = sized.localCheckpoint(eager=True)
     # probe side: the Hamming-≤1 ball of each signature (1 + num_planes
     # variants) — joining variant == exact sig realizes |sig_a ^ sig_b| ≤ 1
     variants = sized.select(

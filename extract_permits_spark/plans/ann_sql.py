@@ -70,15 +70,21 @@ def _exact_topk_cte(dim: int, k: int, query_id: int) -> str:
 
 
 def _lsh_sig_expr(ecol: str, table: int, dim: int, num_planes: int, seed: int) -> str:
+    # Unrolled flat multiply-add chain, NOT list_transform lambdas: DuckDB
+    # evaluates list HOFs with a per-element allocation that made the
+    # 128-dot signature CTE ~60s at sf0.01; the unrolled form is <1s.
+    # Coefficients are emitted as repr(float) literals — repr round-trips
+    # the exact IEEE double of k/65535.0 - 0.5, and the left-associated
+    # `+` chain reproduces the Spark side's sequential fold order, so the
+    # signatures stay bitwise identical across engines.
     cases = []
     for p in range(num_planes):
         ints = lsh_plane_ints(seed, table, p, dim)
-        pl = "[" + ",".join(map(str, ints)) + "]"
-        dot = (
-            f"list_sum(list_transform(range(1,{dim + 1}), "
-            f"i -> {ecol}[i] * ({pl}[i]/65535.0 - 0.5)))"
+        coefs = [(k / 0xFFFF) - 0.5 for k in ints]
+        dot = " + ".join(
+            f"{ecol}[{i + 1}]*{coefs[i]!r}" for i in range(dim)
         )
-        cases.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+        cases.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(cases) + ")"
 
 
@@ -286,7 +292,7 @@ def lsh_neardup_pairs_sql(
     dim: int = 64,
     topn: int = 25,
     num_tables: int = 8,
-    num_planes: int = 8,
+    num_planes: int = 16,
     pair_hamming: int = 1,
     seed: int = 42,
 ) -> str:

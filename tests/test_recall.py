@@ -83,8 +83,8 @@ def test_ann_ivf_recall_floor(spark):
 
 def test_lsh_neardup_pairs_planted_duplicates(spark):
     """Planted near-identical vectors MUST be surfaced by the bucketed
-    pair path (per-table Hamming <= 1, OR over 8 tables: miss prob ~2e-6
-    per pair at cosine ~0.95+)."""
+    pair path (per-table Hamming <= 1, OR over 8 tables of 16 planes:
+    miss prob ~2e-17 per pair at the planted cosine ~0.999)."""
     import math
 
     base = load_table(spark, SF_DIR, "embeddings").limit(50)
