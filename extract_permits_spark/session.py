@@ -50,6 +50,12 @@ def get_spark(app_name: str = "extract-permits-spark") -> SparkSession:
         .config("spark.sql.codegen.maxFields", "16")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode: ALL task threads share the driver JVM heap, so this
+        # is the de-facto executor memory. 8g on this 125 GB box caused GC
+        # storms on the heavy dedup jobs — measured 20s -> 45s -> (after
+        # full GC) 12.5s for the SAME amplified minhash query; 48g holds
+        # the working set. On a real cluster executors size independently
+        # (spark.executor.memory) and this only governs the driver.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .getOrCreate()
     )
