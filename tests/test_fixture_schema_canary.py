@@ -68,3 +68,32 @@ def test_stream_schema_matches_batch_wallclock(spark, tmp_path):
         "SELECT min(s) AS lo, max(s) AS hi FROM canary_ts"
     ).first()
     assert got["lo"] == want["lo"] and got["hi"] == want["hi"]
+
+
+def test_all_fixture_tables_load_with_expected_columns(spark):
+    """Every fixture table must load through its reader with exactly the
+    documented columns and >0 rows — any driver-side schema/encoding shift
+    (the round-5 failure mode) surfaces here as one red test naming the
+    table, instead of N cryptic downstream query failures."""
+    from extract_permits_spark.sources.readers import TABLES, load_table
+
+    for name, cols in TABLES.items():
+        df = load_table(spark, SF_DIR, name)
+        assert df.columns == cols, f"{name}: {df.columns} != {cols}"
+        assert df.limit(1).count() == 1, f"{name}: empty"
+
+
+def test_temporal_columns_stay_temporal(spark):
+    """The date/timestamp columns the query surface formats and filters on
+    must keep temporal types after load — a silent string/int regression
+    would flip every date-formatting oracle."""
+    from extract_permits_spark.sources.readers import load_table
+
+    expect = {
+        ("orders", "o_orderdate"): ("date", "timestamp", "timestamp_ntz"),
+        ("lineitem", "l_shipdate"): ("date", "timestamp", "timestamp_ntz"),
+        ("events", "ts"): ("timestamp_ntz",),
+    }
+    for (tbl, col), allowed in expect.items():
+        dt = dict(load_table(spark, SF_DIR, tbl).dtypes)[col]
+        assert dt in allowed, f"{tbl}.{col} is {dt}, expected one of {allowed}"

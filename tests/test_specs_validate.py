@@ -109,3 +109,18 @@ def test_legacy_flags_conjunction(spark):
     assert [r["valid_row"] for r in out] == [True, False, False]
     assert [r["valid_pin"] for r in out] == [True, False, True]
     assert [r["valid_not_duplicate"] for r in out] == [True, True, False]
+
+
+def test_registry_order_covers_previously_unchecked_entries():
+    """r5-VERDICT ask #2: the driver's correctness window covers the first
+    50 queries() entries; the 20 entries that had never earned a driver row
+    (xlsx family included) must stay inside that window."""
+    import __spark_entry__ as mod
+    from extract_permits_spark.plans.analytics import _CHECK_FIRST
+
+    names = list(mod.queries())
+    first50 = set(names[:50])
+    for n in _CHECK_FIRST:
+        assert n in first50, f"{n} fell outside the driver's 50-entry window"
+    # and every oracle key still pairs with a query
+    assert set(mod.oracle_sql()) <= set(names)
