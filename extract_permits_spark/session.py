@@ -38,16 +38,18 @@ def get_spark(app_name: str = "extract-permits-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.python.filterPushdown.enabled", "true")
-        # Whole-stage codegen only for stages of <=16 fields. Wide stages
-        # (the ~28-column permit frame: explode -> cleaning -> 2 broadcast
-        # joins -> validation -> keyword tag) fuse into ONE generated method
-        # far past the JVM JIT HugeMethodLimit (8 KB) and execute as
-        # interpreted bytecode; per-operator codegen compiles each Project
-        # into its own JIT-able class instead. Measured at sf0.1 local[32]:
-        # permit pipeline 26s -> 15.8s, headline-total 22.9s -> 18.6s, no
-        # query regresses (SCALE.md "Codegen method size"). The JIT limit is
-        # per-executor-JVM, so the same knob carries to a real cluster.
-        .config("spark.sql.codegen.maxFields", "16")
+        # Codegen field cap: r2 measured maxFields=16 winning (the wide
+        # permit stage fused past the JVM JIT HugeMethodLimit and ran
+        # interpreted). After r6 staged the permit-level expressions below
+        # the explode, the hot stage is narrow again and Spark's default
+        # (100) wins across the board: headline 31.2s -> 28.9s, pipeline
+        # 9.6s -> 7.7s at sf0.1, no query regresses (SCALE.md "Codegen
+        # method size" records both measurements). Env-overridable for
+        # re-testing if the stage shapes change again.
+        .config(
+            "spark.sql.codegen.maxFields",
+            os.environ.get("SPARK_GRAFT_CODEGEN_MAXFIELDS", "100"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # local-mode: ALL task threads share the driver JVM heap, so this
