@@ -1,6 +1,9 @@
 """Corpus-assembly operators for training-data pipelines.
 
-Two ops a pretraining pipeline runs after cleaning/dedup:
+Ops a pretraining pipeline runs around cleaning/dedup — sub-document
+dedup (``segment_dedup``), benchmark decontamination (``decontaminate``),
+temperature-scaled source mixing (``mixture_weights``), plus the two
+assembly steps:
 
 - **Sequence packing** (``next_fit_pack``): concatenate documents into
   fixed-budget bins (context windows) so batches carry minimal padding.
@@ -76,6 +79,118 @@ def next_fit_pack(
         F.col(weight_col).cast("long").alias("_w"),
     )
     return prepared.groupBy("_shard").applyInPandas(pack, out_schema)
+
+
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """Sub-document exact dedup (the paragraph-level pass of RefinedWeb-style
+    pipelines, at segment grain): split each document into consecutive
+    ``seg_tokens``-token segments, drop every segment whose exact text
+    appeared earlier in the corpus (first occurrence in ``(id, position)``
+    order survives), and reassemble the remaining text in original order.
+
+    Returns ``(id, n_segs, n_kept, clean_text)``.
+
+    Shape: one narrow explode (tokenize + arithmetic starts), one shuffle on
+    the segment text for the global keep-first window, one shuffle back on
+    the document id to reassemble. Both keys hash-distribute; no driver
+    state, no all-pairs work — the same plan at 100 TB just widens. A
+    pathologically hot segment (e.g. boilerplate appearing in every crawl
+    page) skews the window key; AQE skew-split handles it because rank
+    only needs the per-key minimum, which partial-aggregates.
+    """
+    from extract_permits_spark.functions.similarity import tokens
+
+    toks = tokens(F.col(text_col))
+    with_toks = docs.select(F.col(id_col), toks.alias("_t")).where(F.size("_t") > 0)
+    starts = F.sequence(F.lit(1), F.size("_t"), F.lit(seg_tokens))
+    segs = with_toks.select(
+        id_col, "_t", F.posexplode(starts).alias("seg_idx", "_start")
+    ).select(
+        id_col,
+        "seg_idx",
+        F.concat_ws(" ", F.slice("_t", F.col("_start"), seg_tokens)).alias("seg"),
+    )
+    w = Window.partitionBy("seg").orderBy(id_col, "seg_idx")
+    ranked = segs.withColumn("_keep", F.row_number().over(w) == 1)
+    kept_struct = F.when(F.col("_keep"), F.struct("seg_idx", "seg"))
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(kept_struct)), lambda s: s["seg"]
+            ),
+        ).alias("clean_text"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    ``n``-gram with the evaluation set (the n-gram-overlap rule used for
+    pretraining-corpus hygiene). Returns every training document as
+    ``(id, n_hits, is_contaminated)`` where ``n_hits`` counts the training
+    document's n-gram occurrences that appear anywhere in the eval set.
+
+    Shape: the distinct eval n-gram set is small relative to the corpus
+    (eval suites are fixed-size) — broadcast it, so the contamination
+    check is a map-side hash probe over the exploded training n-grams
+    with zero shuffle of the 100-TB side; the per-doc count then
+    partial-aggregates on the id key."""
+    from extract_permits_spark.functions.similarity import tokens
+    from extract_permits_spark.functions.text import _word_ngrams
+
+    def grams(df: DataFrame) -> DataFrame:
+        g = _word_ngrams(tokens(F.col(text_col)), n)
+        return df.select(F.col(id_col), F.explode(g).alias("g"))
+
+    ev = grams(eval_docs).select("g").distinct()
+    hits = (
+        grams(train)
+        .join(F.broadcast(ev), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
+def mixture_weights(
+    docs: DataFrame, source_col: str = "source", alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-scaled source mixture weights: ``w_s ∝ n_s^alpha``
+    normalized to sum 1 (alpha < 1 upweights small sources — the standard
+    multi-source sampling temperature). One aggregation plus a scalar
+    normalizer; returns ``(source, n_docs, weight)``."""
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = Window.partitionBy()
+    return counts.select(
+        source_col,
+        "n_docs",
+        F.round(
+            F.pow("n_docs", F.lit(alpha))
+            / F.sum(F.pow("n_docs", F.lit(alpha))).over(total),
+            6,
+        ).alias("weight"),
+    )
 
 
 def interleave_sources(

@@ -180,6 +180,137 @@ def clean_for_pretraining(text: Column | str) -> Column:
     return collapse_whitespace(mask_pii(strip_urls(text)))
 
 
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality filters): fraction of repeated
+# tokens / lines and the share of the document covered by its most frequent
+# word n-gram. Pure per-document array expressions — embarrassingly parallel,
+# no shuffle; per-doc cost is bounded by document length, not corpus size.
+# ---------------------------------------------------------------------------
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Overlapping word n-grams of a token array as space-joined strings;
+    empty array when fewer than ``n`` tokens (guards Spark's descending
+    ``sequence`` when stop < start)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dup_token_fraction(text: Column | str) -> Column:
+    """Fraction of whitespace tokens that are repeats of an earlier token
+    (1 − distinct/total); 0.0 for empty. Normalization (trim/lower/``\\s+``)
+    matches the similarity family so the DuckDB twin reproduces it."""
+    from extract_permits_spark.functions.similarity import tokens
+
+    toks = tokens(_c(text))
+    n = F.size(toks)
+    d = F.size(F.array_distinct(toks))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round((n - d).cast("double") / n.cast("double"), 6)
+    )
+
+
+def dup_line_fraction(text: Column | str) -> Column:
+    """Gopher duplicate-line filter: fraction of non-empty lines that are
+    exact repeats of an earlier line."""
+    t = F.coalesce(_c(text), F.lit(""))
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n = F.size(lines)
+    d = F.size(F.array_distinct(lines))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round((n - d).cast("double") / n.cast("double"), 6)
+    )
+
+
+def _max_equal_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    array == the max multiplicity of any element. Single ``aggregate``
+    pass with a (prev, run, best) accumulator — O(n) per row, one array
+    reference. (The naive nested count-each-distinct form is O(n²) AND
+    re-expands the array expression per element — measured 50× slower.)"""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def top_ngram_fraction(text: Column | str, n: int = 2) -> Column:
+    """Share of a document's word n-grams taken by its single most frequent
+    n-gram — the Gopher "top n-gram fraction" repetition signal. Sort the
+    gram array once, then one linear max-run pass: O(len·log len) per
+    document, still a narrow codegen'd scan with no shuffle.
+
+    NOTE: as a standalone Column this re-derives the token array inside
+    each lambda reference; for multi-metric scans use
+    ``repetition_metrics`` (staged projections, measured 16× faster)."""
+    from extract_permits_spark.functions.similarity import tokens
+
+    toks = tokens(_c(text))
+    grams = _word_ngrams(toks, n)
+    frac = _max_equal_run(F.array_sort(grams)).cast("double") / F.size(
+        grams
+    ).cast("double")
+    return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(F.round(frac, 6))
+
+
+def repetition_metrics(df, id_col: str = "doc_id", text_col: str = "text"):
+    """All repetition metrics in one staged scan: tokenize once, build the
+    sorted gram arrays once (each in its own projection so lambda bodies
+    reference a BOUND column, not the whole token-split subtree — letting
+    Catalyst inline the arrays into every lambda re-evaluates the regex
+    split per array element, measured 16× slower at sf0.1), then compute
+    the fractions. Returns (id, dup_token_frac, top_bigram_frac,
+    top_trigram_frac); still a narrow no-shuffle plan."""
+    from extract_permits_spark.functions.similarity import tokens
+
+    def frac_over(arr: str) -> Column:
+        return F.when(F.size(arr) == 0, F.lit(0.0)).otherwise(
+            F.round(
+                _max_equal_run(F.col(arr)).cast("double")
+                / F.size(arr).cast("double"),
+                6,
+            )
+        )
+
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            id_col,
+            "_toks",
+            F.array_sort(_word_ngrams(F.col("_toks"), 2)).alias("_big"),
+            F.array_sort(_word_ngrams(F.col("_toks"), 3)).alias("_tri"),
+        )
+        .select(
+            id_col,
+            F.when(F.size("_toks") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (F.size("_toks") - F.size(F.array_distinct("_toks"))).cast(
+                        "double"
+                    )
+                    / F.size("_toks").cast("double"),
+                    6,
+                )
+            )
+            .alias("dup_token_frac"),
+            frac_over("_big").alias("top_bigram_frac"),
+            frac_over("_tri").alias("top_trigram_frac"),
+        )
+    )
+
+
 def chunk_documents(
     docs,
     id_col: str = "doc_id",

@@ -100,6 +100,60 @@ def tumbling_counts(
     )
 
 
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time session windows per user: events within ``gap`` of the
+    previous event merge into one session — Spark merges sessions whose
+    windows overlap or touch, so a gap of exactly ``gap`` still merges.
+    Works on both batch and streaming frames — the batch run is the
+    oracle for the streaming one, and both match the gaps-and-islands SQL
+    formulation (``new session when ts − lag(ts) > gap``).
+
+    Streaming state is bounded by the watermark: a session closes (and
+    emits) once the watermark passes its end, so state size tracks the
+    number of users active within the watermark horizon, not history."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_sessions_available_now(
+    spark: SparkSession,
+    dir_path: str,
+    checkpoint: str,
+    table_name: str = "ev_stream_sessions",
+):
+    """Drain the events backlog through streaming session windows into a
+    memory sink (availableNow). Complete mode keeps every closed-or-open
+    session visible for the batch comparison."""
+    stream = read_events_stream(spark, dir_path)
+    agg = session_counts(stream)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     spark: SparkSession, dir_path: str, checkpoint: str, table_name: str = "ev_stream_out"
 ):

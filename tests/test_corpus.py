@@ -56,3 +56,109 @@ def test_int8_quantize_known_vector(spark):
     # scale = 2/127; 2.0 -> 127, -1.0 -> floor(-63.5+0.5) = -63, 0.5 -> 32
     assert rows[1] == ([127, -63, 32], round(2.0 / 127.0, 9))
     assert rows[2] == ([0, 0, 0], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# r6: segment dedup, decontamination, mixture weights, repetition metrics.
+# ---------------------------------------------------------------------------
+
+
+def test_segment_dedup_drops_repeated_segment(spark):
+    from extract_permits_spark.functions.corpus import segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),          # segs: "a..h", "i j"
+            (2, "a b c d e f g h x y"),          # first seg duplicates doc 1's
+            (3, ""),                               # empty -> no output row
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs, seg_tokens=8).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_segs"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == "a b c d e f g h i j"
+    assert out[2]["n_segs"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == "x y"
+
+
+def test_segment_dedup_keep_first_is_positional(spark):
+    from extract_permits_spark.functions.corpus import segment_dedup
+
+    # the SAME segment twice within one doc: first occurrence survives
+    docs = spark.createDataFrame([(7, "p q r s p q r s")], ["doc_id", "text"])
+    row = segment_dedup(docs, seg_tokens=4).collect()[0]
+    assert row["n_segs"] == 2 and row["n_kept"] == 1
+    assert row["clean_text"] == "p q r s"
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from extract_permits_spark.functions.corpus import decontaminate
+
+    ev = spark.createDataFrame([(100, "the quick brown fox jumps over")], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [
+            (1, "something the quick brown fox jumps here"),  # shares a 5-gram
+            (2, "totally unrelated content with no overlap at all"),
+            (3, "tiny"),                                       # < n tokens
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, ev, n=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["is_contaminated"] and out[1]["n_hits"] == 1
+    assert not out[2]["is_contaminated"] and out[2]["n_hits"] == 0
+    assert not out[3]["is_contaminated"]
+
+
+def test_mixture_weights_sqrt_temperature(spark):
+    from extract_permits_spark.functions.corpus import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, "web") for i in range(9)] + [(90, "books")], ["doc_id", "source"]
+    )
+    out = {r["source"]: r for r in mixture_weights(docs, "source", 0.5).collect()}
+    # sqrt(9)=3, sqrt(1)=1 -> web 0.75, books 0.25
+    assert out["web"]["weight"] == 0.75
+    assert out["books"]["weight"] == 0.25
+    assert out["web"]["n_docs"] == 9
+
+
+def test_repetition_metrics_known_values(spark):
+    from extract_permits_spark.functions.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),        # 4 tokens, 1 distinct; bigrams: 3x "a a"
+            (2, "w x y z"),        # all unique
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert out[1]["dup_token_frac"] == 0.75
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[1]["top_trigram_frac"] == 1.0
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == round(1 / 3, 6)
+    assert out[3]["dup_token_frac"] == 0.0 and out[3]["top_bigram_frac"] == 0.0
+
+
+def test_dup_line_fraction(spark):
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.functions.text import dup_line_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "header\nbody one\nheader\n\n  \nbody two"),  # 4 non-empty, 1 dup
+            (2, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["f"]
+        for r in docs.select("doc_id", dup_line_fraction(F.col("text")).alias("f")).collect()
+    }
+    assert out[1] == 0.25
+    assert out[2] == 0.0

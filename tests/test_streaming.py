@@ -146,3 +146,60 @@ def test_stream_dedup_exactly_once_across_restart(spark):
             for r in spark.sql("SELECT * FROM ev_dedup_t2").collect()
         }
     assert got == expected
+
+
+def test_streaming_sessions_match_batch(spark):
+    """Session windows through the streaming engine (availableNow) must
+    equal the batch session_window aggregation on the same input."""
+    sf_dir = "/root/testdata/sf0.001"
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.sources.readers import load_events
+
+    batch = load_events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    expected = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in ev.session_counts(batch).collect()
+    }
+    assert expected
+
+    with tempfile.TemporaryDirectory() as work:
+        import os
+        import shutil
+
+        src_dir = os.path.join(work, "in")
+        os.makedirs(src_dir)
+        shutil.copy(f"{sf_dir}/events.parquet", src_dir)
+        q = ev.run_sessions_available_now(
+            spark, src_dir, os.path.join(work, "ckpt"), table_name="ev_test_sessions"
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM ev_test_sessions").collect()
+        }
+    assert got == expected
+
+
+def test_session_window_gap_boundary(spark):
+    """Spark merges sessions that overlap OR touch: a gap of exactly the
+    session gap still merges; only a strictly larger gap starts a new
+    session — the semantics the gaps-and-islands oracle mirrors with >."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "a", 1.0, "{}"),
+        (2, "2024-01-01 00:29:59", 10, "a", 1.0, "{}"),  # < gap: same session
+        (3, "2024-01-01 00:59:59", 10, "a", 1.0, "{}"),  # < gap from prev: same
+        (4, "2024-01-01 01:29:59", 10, "a", 1.0, "{}"),  # exactly 30m: MERGES
+        (5, "2024-01-01 02:00:00", 10, "a", 1.0, "{}"),  # 30m 1s: NEW
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = sorted(
+        (r["session_start"], r["n_events"]) for r in ev.session_counts(df).collect()
+    )
+    assert got == [("2024-01-01 00:00:00", 4), ("2024-01-01 02:00:00", 1)]
