@@ -115,3 +115,27 @@ def test_ivf_topk_contains_self_and_overlaps_brute_force(spark):
     indexed, centroids = index
     clusters = {r["cluster_id"] for r in indexed.select("cluster_id").distinct().collect()}
     assert clusters <= set(range(len(centroids)))
+
+
+def test_plane_dots_arrow_matches_jvm_fold_bitwise(spark):
+    """The Arrow/NumPy plane-dot kernel must reproduce the interpreted
+    JVM fold BITWISE (cumsum = same left-to-right adds, same per-step
+    rounding): signatures derive from the SIGN of these doubles, so even
+    a last-ulp difference could flip a bucket."""
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.functions import similarity as S
+
+    v = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = [S._lsh_plane(42, t, p, 64) for t in range(2) for p in range(4)]
+    jvm = v.select("vec_id", S._plane_dots(F.col("embedding"), planes).alias("d"))
+    arrow = v.select(
+        "vec_id", S._plane_dots_arrow(F.col("embedding"), planes).alias("d")
+    )
+    diff = (
+        jvm.alias("j")
+        .join(arrow.alias("a"), "vec_id")
+        .where(F.expr("j.d != a.d"))
+        .count()
+    )
+    assert diff == 0
