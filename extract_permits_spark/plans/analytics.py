@@ -55,6 +55,7 @@ def register(name: str, sql: str | None = None):
 # first now; the remainder keep registration order (all driver-green in r4).
 _CHECK_FIRST = [
     # r6 additions first — no driver row exists for them yet
+    "docs_url_dedup",
     "text_repetition",
     "docs_segment_dedup",
     "docs_decontaminate",
@@ -3044,3 +3045,85 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_sessions_available_now(spark, src, os.path.join(work, "ckpt"), table_name=name)
     q.awaitTermination(300)
     return spark.sql(f"SELECT * FROM {name}")
+
+
+# ===========================================================================
+# URL-level dedup — the first pass of every crawl pipeline (CCNet,
+# RefinedWeb, Dolma): canonicalize the URL, keep the best document per
+# canonical key. The fixture corpus has no URL column, so the entry
+# synthesizes three deterministic URL *variants* per document (https+www
+# +utm tracking / HTTP+trailing-slash+ref+fragment / bare+utm_campaign)
+# from doc_id — documents agreeing on (source, doc_id%23, doc_id%7)
+# collide after canonicalization, exercising scheme/www/fragment/tracking
+# stripping, trailing-slash removal, and query-parameter sorting at once.
+# ===========================================================================
+
+_URL_DEDUP_SQL = r"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+        CASE doc_id % 3 WHEN 0 THEN 'https://www.' WHEN 1 THEN 'HTTP://' ELSE 'https://' END
+        || source || '.Example.com/Docs/' || CAST(doc_id % 23 AS VARCHAR)
+        || CASE doc_id % 3
+             WHEN 0 THEN '?z=9&utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+             WHEN 1 THEN '/?z=9&id=' || CAST(doc_id % 7 AS VARCHAR) || '&ref=tw#frag'
+             ELSE '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&z=9&utm_campaign=x'
+           END AS url
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_chars,
+             regexp_replace(regexp_replace(url, '^https?://', '', 'i'), '#.*$', '') AS u1
+      FROM u
+    ), parts AS (
+      SELECT doc_id, n_chars,
+        regexp_replace(lower(regexp_extract(u1, '^([^/?]+)', 1)), '^www\.', '') AS host,
+        regexp_replace(regexp_extract(regexp_replace(u1, '^[^/?]+', ''), '^([^?]*)', 1), '/+$', '') AS path,
+        CASE WHEN instr(regexp_replace(u1, '^[^/?]+', ''), '?') > 0
+             THEN regexp_replace(regexp_replace(u1, '^[^/?]+', ''), '^[^?]*\?', '')
+             ELSE '' END AS q
+      FROM c
+    ), keyed AS (
+      SELECT doc_id, n_chars,
+        host || path || CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS canonical_url
+      FROM (
+        SELECT doc_id, n_chars, host, path,
+          array_to_string(list_sort(list_filter(string_split(q, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+              '^(utm_[a-z]+|ref|fbclid|gclid|msclkid|mc_cid|mc_eid)=', 'i'))), '&') AS qq
+        FROM parts
+      )
+    )
+    SELECT doc_id, canonical_url,
+           COUNT(*) OVER (PARTITION BY canonical_url) AS n_dups,
+           row_number() OVER (PARTITION BY canonical_url
+                              ORDER BY n_chars DESC, doc_id) = 1 AS is_canonical
+    FROM keyed
+"""
+
+
+@register("docs_url_dedup", _URL_DEDUP_SQL)
+def docs_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + keep-best-per-canonical-URL
+    (functions/web.py). Pure expressions end to end: the canonical key is
+    one codegen'd regexp chain, the dedup one hash shuffle on a short
+    near-uniform string key — the cheapest dedup pass available at crawl
+    scale, run before any content hashing."""
+    from extract_permits_spark.functions.web import url_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    variant = F.col("doc_id") % 3
+    idq = (F.col("doc_id") % 7).cast("string")
+    url = F.concat(
+        F.when(variant == 0, F.lit("https://www."))
+        .when(variant == 1, F.lit("HTTP://"))
+        .otherwise(F.lit("https://")),
+        F.col("source"),
+        F.lit(".Example.com/Docs/"),
+        (F.col("doc_id") % 23).cast("string"),
+        F.when(variant == 0, F.concat(F.lit("?z=9&utm_source=feed&id="), idq))
+        .when(variant == 1, F.concat(F.lit("/?z=9&id="), idq, F.lit("&ref=tw#frag")))
+        .otherwise(F.concat(F.lit("?id="), idq, F.lit("&z=9&utm_campaign=x"))),
+    )
+    deduped = url_dedup(
+        d.withColumn("url", url), "doc_id", "url", quality_col="n_chars"
+    )
+    return deduped.select("doc_id", "canonical_url", "n_dups", "is_canonical")
