@@ -221,3 +221,71 @@ def interleave_sources(
         .where(F.col("mix_rank") <= F.col("_quota"))
         .drop("_quota")
     )
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score each raw document
+    by the log-likelihood ratio of its hashed-unigram features under
+    add-1-smoothed bag-of-words models of the target corpus vs the raw
+    corpus. High weight ⇒ the document looks like the target domain;
+    selection is then top-k or Gumbel resampling on the weight.
+
+    Shape at scale: tokens hash into ``n_buckets`` (cross-engine md5), so
+    model state is a BOUNDED ``n_buckets``-row table regardless of corpus
+    size — it broadcasts; the per-document score is then a map-side probe
+    plus one partial-aggregating shuffle on the id. The only full-corpus
+    shuffles are the two bucket-count aggregations, each over compact
+    (bucket, count) pairs with perfect partial (map-side) combine.
+    """
+    from extract_permits_spark.functions.similarity import md5_long60, tokens
+
+    def buckets(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+        ).select(
+            id_col, F.pmod(md5_long60("_tok"), F.lit(n_buckets)).alias("bucket")
+        )
+
+    raw_b = buckets(raw)
+    stats = (
+        raw_b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("rc"))
+        .join(
+            buckets(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("tc")),
+            "bucket",
+            "full_outer",
+        )
+        .select(
+            "bucket",
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+        )
+    )
+    totals = stats.agg(F.sum("rc").alias("R"), F.sum("tc").alias("T"))
+    # 1×1-row scalar join (same pattern as the registry's scalar
+    # normalizers) — never a data-sized crossJoin
+    ratio = stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("tc") + F.lit(1.0)) / (F.col("T") + F.lit(float(n_buckets))))
+            - F.log((F.col("rc") + F.lit(1.0)) / (F.col("R") + F.lit(float(n_buckets))))
+        ).alias("lr"),
+    )
+    return (
+        raw_b.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # no engine-side rounding: the comparison harness normalizes
+            # floats identically on both sides; double-rounding with two
+            # different engines' modes is the only way to lose
+            F.sum("lr").alias("importance_weight"),
+        )
+    )

@@ -56,6 +56,7 @@ def register(name: str, sql: str | None = None):
 _CHECK_FIRST = [
     # r6 additions first — no driver row exists for them yet
     "docs_url_dedup",
+    "docs_dsir_weights",
     "text_repetition",
     "docs_segment_dedup",
     "docs_decontaminate",
@@ -3127,3 +3128,58 @@ def docs_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("url", url), "doc_id", "url", quality_col="n_chars"
     )
     return deduped.select("doc_id", "canonical_url", "n_dups", "is_canonical")
+
+
+# ===========================================================================
+# DSIR-style importance weighting (Xie et al. 2023): hashed-unigram
+# log-likelihood ratio of target vs raw bag-of-words models. The target
+# slice reuses the decontamination convention (doc_id % 10 == 0 plays the
+# target domain); raw = the rest. Model state is a bounded 1024-row
+# bucket table (broadcast), so the scoring pass is map-side regardless of
+# corpus size.
+# ===========================================================================
+
+_DSIR_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 10 = 0 AS is_target,
+             unnest(string_split_regex(trim(lower(COALESCE(text,''))), '\s+')) AS tok
+      FROM documents
+      WHERE trim(COALESCE(text,'')) <> ''
+    ), b AS (
+      SELECT doc_id, is_target,
+             CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 1024 AS bucket
+      FROM toks
+    ), stats AS (
+      SELECT bucket,
+             SUM(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS rc,
+             SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc
+      FROM b GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(rc) AS r_total, SUM(tc) AS t_total FROM stats
+    ), ratio AS (
+      SELECT bucket,
+             ln((tc + 1.0) / (t_total + 1024.0)) - ln((rc + 1.0) / (r_total + 1024.0)) AS lr
+      FROM stats, tot
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(ratio.lr) AS importance_weight
+    FROM b JOIN ratio USING (bucket)
+    WHERE NOT b.is_target
+    GROUP BY b.doc_id
+"""
+
+
+@register("docs_dsir_weights", _DSIR_SQL)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resampling weights for data selection
+    (functions/corpus.py:importance_weights). The bucket LM table is
+    bounded (1024 rows) and broadcast; only compact (bucket, count) pairs
+    shuffle. Cross-engine md5 bucket hash, oracle replays the full model
+    fit + scoring."""
+    from extract_permits_spark.functions.corpus import importance_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.where(F.col("doc_id") % 10 == 0)
+    raw = d.where(F.col("doc_id") % 10 != 0)
+    return importance_weights(raw, target, "doc_id", "text")

@@ -162,3 +162,21 @@ def test_dup_line_fraction(spark):
     }
     assert out[1] == 0.25
     assert out[2] == 0.0
+
+
+def test_importance_weights_ranks_target_like_docs(spark):
+    """A raw doc written in the target's vocabulary must outscore a raw
+    doc with disjoint vocabulary (DSIR's defining property)."""
+    from extract_permits_spark.functions.corpus import importance_weights
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma alpha beta"), (101, "alpha gamma delta")],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "zig zag zoom quux")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in importance_weights(raw, target).collect()}
+    assert out[1]["importance_weight"] > out[2]["importance_weight"]
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 4
