@@ -57,6 +57,8 @@ _CHECK_FIRST = [
     # r6 additions first — no driver row exists for them yet
     "docs_url_dedup",
     "docs_dsir_weights",
+    "emb_pq_codes",
+    "emb_pq_adc_topk",
     "text_repetition",
     "docs_segment_dedup",
     "docs_decontaminate",
@@ -3183,3 +3185,55 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = d.where(F.col("doc_id") % 10 == 0)
     raw = d.where(F.col("doc_id") % 10 != 0)
     return importance_weights(raw, target, "doc_id", "text")
+
+
+# ===========================================================================
+# Product quantization (Jégou et al. 2011) — the compression layer that
+# makes 100-TB embedding stores searchable: 64-dim float32 → 8 codes
+# (32× smaller). Deterministic per-subspace Lloyd fit; both entries are
+# REAL twins (plans/ann_sql.py replays fit + encode + ADC end to end).
+# ===========================================================================
+
+_PQ_BOOK_CACHE: dict = {}
+
+
+def _pq_book_cached(spark: SparkSession, emb: DataFrame, sf_dir: str):
+    from extract_permits_spark.functions.pq import pq_fit
+
+    key = (id(spark), sf_dir)
+    if key not in _PQ_BOOK_CACHE:
+        _PQ_BOOK_CACHE[key] = pq_fit(emb, m=8, k=16, rounds=1)
+    return _PQ_BOOK_CACHE[key]
+
+
+@register("emb_pq_codes", _ann_sql.pq_codes_sql())
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ fit + encode: per-subspace codes and per-coordinate squared
+    reconstruction error. Encoding is a zero-shuffle narrow map (literal
+    codebook in codegen); driver state is the bounded m×k×(d/m)
+    codebook."""
+    from extract_permits_spark.functions.pq import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = _pq_book_cached(spark, emb, sf_dir)
+    return pq_encode(emb, book).drop("_code_arr")
+
+
+@register("emb_pq_adc_topk", _ann_sql.pq_adc_sql())
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes: the query stays raw, the corpus is only
+    touched through its 8-byte codes — per-subspace literal distance
+    table indexed by code, left-associated sum (the oracle mirrors the
+    fold order via list_sum(list(... ORDER BY sub)))."""
+    from extract_permits_spark.functions.pq import pq_adc_topk
+    from extract_permits_spark.functions.similarity import _py_round_half_up
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = _pq_book_cached(spark, emb, sf_dir)
+    raw = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    norm = sum(x * x for x in raw) ** 0.5
+    qvec = [_py_round_half_up(x / norm, 9) for x in raw]
+    return pq_adc_topk(emb, book, qvec, topk=20)

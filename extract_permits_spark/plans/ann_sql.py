@@ -371,3 +371,114 @@ def simhash_pairs_sql(
     JOIN sims sb ON c.id_b = sb.doc_id
     WHERE bit_count(xor(sa.sim, sb.sim)) <= {max_hamming}
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (twin of functions/pq.py) — per-subspace Lloyd fit,
+# encode, and ADC search, replayed in full. Same determinism contract:
+# md5-ordered init, half-up 6-dp centroid re-quantization per round,
+# sequential-fold distances; the ADC per-vector distance folds in
+# ascending-subspace order via list_sum(list(... ORDER BY sub)) to mirror
+# the Spark side's left-associated + chain.
+# ---------------------------------------------------------------------------
+
+
+def _pq_ctes(dim: int, m: int, k: int, rounds: int) -> str:
+    sd = dim // m
+    mean_list = ", ".join(
+        f"floor(avg(sv[{i + 1}]) * 1000000.0 + 0.5)/1000000.0" for i in range(sd)
+    )
+    ctes = [
+        "n AS (SELECT vec_id, list_transform(e, x -> "
+        "floor((x / sqrt(list_sum(list_transform(e, y -> y*y)))) * 1000000000.0"
+        " + 0.5)/1000000000.0) AS e FROM v)",
+        f"""subs AS (
+      SELECT vec_id, j.sub AS sub, e[j.sub*{sd}+1 : j.sub*{sd}+{sd}] AS sv
+      FROM n, (SELECT unnest(range(0, {m})) AS sub) j
+    )""",
+        f"""cb0 AS (
+      SELECT sub, cid, sv AS c FROM (
+        SELECT sub,
+               row_number() OVER (PARTITION BY sub
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+               sv
+        FROM subs
+      ) WHERE cid < {k}
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"cb{r - 1}"
+        ctes.append(
+            f"""a{r} AS (
+      SELECT vec_id, sub, sv, cid FROM (
+        SELECT s.vec_id, s.sub, s.sv, cb.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY {_sqdist('s.sv', 'cb.c', sd)}, cb.cid) AS rn
+        FROM subs s JOIN {prev} cb ON s.sub = cb.sub
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""cb{r} AS (
+      SELECT p.sub, p.cid, COALESCE(mm.c, p.c) AS c
+      FROM {prev} p LEFT JOIN (
+        SELECT sub, cid, [{mean_list}] AS c FROM a{r} GROUP BY sub, cid
+      ) mm ON p.sub = mm.sub AND p.cid = mm.cid
+    )"""
+        )
+    ctes.append(
+        f"""afinal AS (
+      SELECT vec_id, sub, cid, d FROM (
+        SELECT s.vec_id, s.sub, cb.cid,
+               {_sqdist('s.sv', 'cb.c', sd)} AS d,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY {_sqdist('s.sv', 'cb.c', sd)}, cb.cid) AS rn
+        FROM subs s JOIN cb{rounds} cb ON s.sub = cb.sub
+      ) WHERE rn = 1
+    )"""
+    )
+    return ",\n    ".join(ctes)
+
+
+def pq_codes_sql(dim: int = 64, m: int = 8, k: int = 16, rounds: int = 1) -> str:
+    return f"""
+    WITH {_v_cte(dim)},
+    {_pq_ctes(dim, m, k, rounds)}
+    SELECT vec_id,
+           string_agg(CAST(cid AS VARCHAR), '-' ORDER BY sub) AS codes,
+           SUM(d) / {float(dim)} AS recon_mse
+    FROM afinal GROUP BY vec_id
+    """
+
+
+def pq_adc_sql(
+    dim: int = 64, m: int = 8, k: int = 16, rounds: int = 1,
+    query_id: int = 0, topk: int = 20,
+) -> str:
+    sd = dim // m
+    return f"""
+    WITH {_v_cte(dim)},
+    {_pq_ctes(dim, m, k, rounds)},
+    qsubs AS (
+      SELECT j.sub AS sub, e[j.sub*{sd}+1 : j.sub*{sd}+{sd}] AS qsv
+      FROM n, (SELECT unnest(range(0, {m})) AS sub) j
+      WHERE vec_id = {query_id}
+    ),
+    dt AS (
+      SELECT cb.sub, cb.cid, {_sqdist('q.qsv', 'cb.c', sd)} AS qd
+      FROM cb{rounds} cb JOIN qsubs q ON cb.sub = q.sub
+    ),
+    scored AS (
+      SELECT a.vec_id,
+             list_sum(list(dt.qd ORDER BY a.sub)) AS adc_dist
+      FROM afinal a JOIN dt ON a.sub = dt.sub AND a.cid = dt.cid
+      GROUP BY a.vec_id
+    ),
+    codes AS (
+      SELECT vec_id, string_agg(CAST(cid AS VARCHAR), '-' ORDER BY sub) AS codes
+      FROM afinal GROUP BY vec_id
+    )
+    SELECT s.vec_id, c.codes, s.adc_dist
+    FROM scored s JOIN codes c ON s.vec_id = c.vec_id
+    ORDER BY s.adc_dist, s.vec_id LIMIT {topk}
+    """
