@@ -59,6 +59,8 @@ _CHECK_FIRST = [
     "docs_dsir_weights",
     "emb_pq_codes",
     "emb_pq_adc_topk",
+    "docs_shard_shuffle",
+    "docs_quality_bins",
     "text_repetition",
     "docs_segment_dedup",
     "docs_decontaminate",
@@ -3237,3 +3239,97 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = sum(x * x for x in raw) ** 0.5
     qvec = [_py_round_half_up(x / norm, 9) for x in raw]
     return pq_adc_topk(emb, book, qvec, topk=20)
+
+
+# ===========================================================================
+# Training-run data layout: deterministic global shuffle + fixed shard
+# assignment, and quality-score curriculum binning. Both are pure
+# relational plans — the "shuffle" is an md5 sort key (reproducible
+# across runs and engines), sharding is modulo on the rank.
+# ===========================================================================
+
+
+@register(
+    "docs_shard_shuffle",
+    r"""
+    WITH ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+               AS shuffle_rank
+      FROM documents
+    )
+    SELECT doc_id,
+           shuffle_rank,
+           CAST(shuffle_rank % 8 AS INT) AS shard_id,
+           CAST(shuffle_rank // 8 AS BIGINT) AS pos_in_shard
+    FROM ranked
+    """,
+)
+def docs_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + round-robin shard assignment for a
+    training run: order by md5(id) (reproducible, engine-independent,
+    uncorrelated with any data attribute), then stripe ranks across 8
+    shards. Round-robin on the *shuffled* rank gives every shard an
+    unbiased sample AND equal size (±1) by construction.
+
+    At 100 TB the single global row_number window is the one piece that
+    must change shape: the production spelling is the two-pass
+    distributed-offset rank (operators/windows.py:global_line_numbers
+    offers exactly that path); the md5 sort keys are near-uniform so the
+    range partitioning behind the sort is skew-free."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id")
+    return d.select(
+        "doc_id", (F.row_number().over(w) - 1).cast("long").alias("shuffle_rank")
+    ).select(
+        "doc_id",
+        "shuffle_rank",
+        F.pmod("shuffle_rank", F.lit(8)).cast("int").alias("shard_id"),
+        (F.col("shuffle_rank") / 8).cast("bigint").alias("pos_in_shard"),
+    )
+
+
+@register(
+    "docs_quality_bins",
+    r"""
+    WITH q AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(COALESCE(text,''))) = 0 THEN 0.0
+                  ELSE round(
+                    CAST(len(list_filter(string_split_regex(trim(lower(COALESCE(text,''))), '\s+'),
+                         t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                    / len(string_split_regex(trim(lower(COALESCE(text,''))), '\s+')), 6)
+             END AS stopword_ratio,
+             n_chars
+      FROM documents
+    )
+    SELECT doc_id, stopword_ratio,
+           ntile(4) OVER (ORDER BY stopword_ratio DESC, doc_id) AS quality_bin
+    FROM q
+    """,
+)
+def docs_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: quartile buckets over a quality signal
+    (stopword ratio — natural-language-likeness), highest-quality bin
+    first. ntile over a global order; at scale the same two-pass
+    distributed-offset trick as docs_shard_shuffle applies (or
+    percentile_approx cutpoints + a map-side CASE, which avoids the
+    global sort entirely)."""
+    d = load_table(spark, sf_dir, "documents")
+    from extract_permits_spark.functions.similarity import tokens
+
+    stop = F.array(*[F.lit(s) for s in
+                     ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]])
+    tk = tokens(F.col("text"))
+    ratio = F.when(F.size(tk) == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.size(F.filter(tk, lambda t: F.array_contains(stop, t)))
+            / F.size(tk),
+            6,
+        )
+    )
+    w = Window.orderBy(F.col("stopword_ratio").desc(), "doc_id")
+    return (
+        d.select("doc_id", ratio.alias("stopword_ratio"))
+        .withColumn("quality_bin", F.ntile(4).over(w).cast("long"))
+    )

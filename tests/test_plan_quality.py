@@ -156,3 +156,11 @@ def test_no_bnlj_in_headline_plans(spark):
         if name not in qs:
             continue
         assert "BroadcastNestedLoopJoin" not in _plan(spark, name), name
+
+
+def test_dsir_model_probe_is_broadcast(spark):
+    """docs_dsir_weights: the bounded bucket-LM table must broadcast —
+    the scoring pass is a map-side probe, never a shuffle of the corpus
+    side on the bucket key."""
+    plan = _plan(spark, "docs_dsir_weights")
+    assert "BroadcastHashJoin" in plan
