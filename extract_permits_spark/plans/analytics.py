@@ -69,6 +69,14 @@ _CHECK_FIRST = [
     "ev_hopping_agg",
     "ev_session_window",
     "stream_session_agg",
+    # the five entries the driver recorded RED in r5 (events-loader
+    # regression, fixed in r6) — they must sit inside the 50-entry window
+    # so the fix earns a driver row this round
+    "ev_tumbling_agg",
+    "ev_json_extract",
+    "ev_sessionize",
+    "stream_tumbling_agg",
+    "j7_asof_join",
     # then the entries that sat past the driver's 50-entry window in r2-r5
     "ev_rollup",
     "j8_range_join",
