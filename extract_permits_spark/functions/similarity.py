@@ -903,6 +903,68 @@ def kmeans_fit(
     return cents
 
 
+def semdedup_flags(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_clusters: int = 16,
+    rounds: int = 3,
+    threshold: float = 0.35,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering first, comparing only within clusters.
+
+    1. deterministic Lloyd k-means over unit-normalized vectors
+       (``kmeans_fit`` — bounded driver state, centroids broadcast as
+       literals);
+    2. nearest-centroid assignment as one codegen'd argmin — no shuffle;
+    3. pairwise cosine ONLY within a cluster via an equi-join on
+       ``cluster_id`` (a hash shuffle on the cluster key — never an
+       all-pairs product);
+    4. greedy keep-lowest-id: a vector is a semantic duplicate iff some
+       lower-id vector in its cluster has cosine ≥ threshold.
+
+    Returns (id, cluster_id, is_semdup) for every input vector.
+
+    Scale: the paper sizes k ∝ n/⟨cluster⟩, which bounds within-cluster
+    pairwise work to n·⟨cluster⟩ comparisons regardless of corpus size; at
+    100 TB the fit runs on a sample and the assignment/join shape is
+    unchanged. Cosine over unit vectors is a plain dot product, so the
+    join's fold expression stays inside whole-stage codegen.
+    """
+    if centroids is None:
+        centroids = kmeans_fit(vectors, id_col, vec_col, num_clusters, rounds)
+    n = unit_normalized(vectors, id_col, vec_col)
+    assigned = n.select(
+        F.col(id_col),
+        _nearest_by_l2(F.col("e"), centroids).alias("cluster_id"),
+        "e",
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_id_a"), "cluster_id", F.col("e").alias("_ea")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_id_b"), "cluster_id", F.col("e").alias("_eb")
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .where(F.col("_id_a") < F.col("_id_b"))
+        .where(dot(F.col("_ea"), F.col("_eb")) >= F.lit(threshold))
+        .select(F.col("_id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_semdup"),
+        )
+    )
+
+
 def ivf_index(
     vectors: DataFrame,
     id_col: str = "vec_id",

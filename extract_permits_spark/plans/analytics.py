@@ -55,6 +55,7 @@ def register(name: str, sql: str | None = None):
 # first now; the remainder keep registration order (all driver-green in r4).
 _CHECK_FIRST = [
     # r6 additions first — no driver row exists for them yet
+    "dedup_semantic",
     "docs_url_dedup",
     "docs_dsir_weights",
     "emb_pq_codes",
@@ -3340,4 +3341,27 @@ def docs_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", ratio.alias("stopword_ratio"))
         .withColumn("quality_bin", F.ntile(4).over(w).cast("long"))
+    )
+
+
+# ===========================================================================
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup by
+# clustering first: k-means over the embeddings, pairwise cosine only
+# WITHIN a cluster, greedy keep-lowest-id above the threshold. The oracle
+# replays the full Lloyd fit (shared CTEs with the IVF twin), so the
+# driver hash-checks the clustering itself, not just the final flags.
+# ===========================================================================
+
+
+@register("dedup_semantic", _ann_sql.semdedup_sql())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-compare semantic dedup over the embeddings table.
+    Reuses the deterministic IVF centroids (bounded driver state,
+    broadcast as literals); the intra-cluster pair generation is an
+    equi-join on cluster_id — a hash shuffle on the cluster key, never an
+    all-pairs product. The paper sizes k ∝ n/⟨cluster⟩, which keeps the
+    per-cluster pairwise work constant as the corpus grows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return simfn.semdedup_flags(
+        emb, num_clusters=16, centroids=_ivf_centroids_cached(spark, emb, sf_dir)
     )

@@ -171,9 +171,10 @@ def _sqdist(a: str, b: str, dim: int) -> str:
     )
 
 
-def _ivf_ctes(
-    dim: int, num_clusters: int, num_probes: int, rounds: int, query_id: int
-) -> str:
+def _kmeans_ctes(dim: int, num_clusters: int, rounds: int) -> list[str]:
+    """CTEs n, c0..c{rounds}, afinal — the deterministic Lloyd fit plus the
+    final nearest-centroid assignment (twin of similarity.kmeans_fit +
+    _nearest_by_l2). Shared by the IVF and SemDeDup oracles."""
     mean_list = ", ".join(
         f"floor(avg(e[{i + 1}]) * 1000000.0 + 0.5)/1000000.0" for i in range(dim)
     )
@@ -221,6 +222,14 @@ def _ivf_ctes(
       ) WHERE rn = 1
     )"""
     )
+    return ctes
+
+
+def _ivf_ctes(
+    dim: int, num_clusters: int, num_probes: int, rounds: int, query_id: int
+) -> str:
+    final_c = f"c{rounds}"
+    ctes = _kmeans_ctes(dim, num_clusters, rounds)
     ctes.append(f"qn AS (SELECT e AS qe FROM n WHERE vec_id = {query_id})")
     ctes.append(
         f"""probes AS (
@@ -279,6 +288,44 @@ def ivf_recall_sql(
            CAST((SELECT count(*) FROM exactk
                  WHERE vec_id IN (SELECT vec_id FROM approxk)) AS DOUBLE)
            / {k} AS recall
+    """
+
+
+def semdedup_sql(
+    dim: int = 64,
+    num_clusters: int = 16,
+    rounds: int = 3,
+    threshold: float = 0.35,
+) -> str:
+    """Twin of similarity.semdedup_flags (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the corpus, compute pairwise cosine
+    ONLY within each cluster, and greedily drop every vector that has a
+    lower-id neighbour above the threshold in its own cluster. The oracle
+    replays the full deterministic Lloyd fit (same CTEs as the IVF twin),
+    so a centroid drift or an assignment bug hash-mismatches — not just a
+    wrong dup flag. Cosine over the 9-dp unit-normalized coords is a plain
+    sequential-fold dot product on both engines."""
+    ctes = _kmeans_ctes(dim, num_clusters, rounds)
+    ctes.append(
+        f"""pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_dot('na.e', 'nb.e', dim)} AS sim
+      FROM afinal a
+      JOIN afinal b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN n na ON na.vec_id = a.vec_id
+      JOIN n nb ON nb.vec_id = b.vec_id
+    )""",
+    )
+    ctes.append(
+        f"dropped AS (SELECT DISTINCT id_b FROM pairs WHERE sim >= {threshold!r})"
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {_v_cte(dim)},
+    {body}
+    SELECT a.vec_id, CAST(a.cid AS INT) AS cluster_id,
+           a.vec_id IN (SELECT id_b FROM dropped) AS is_semdup
+    FROM afinal a
     """
 
 

@@ -158,6 +158,20 @@ def test_no_bnlj_in_headline_plans(spark):
         assert "BroadcastNestedLoopJoin" not in _plan(spark, name), name
 
 
+def test_semdedup_intra_cluster_join_not_allpairs(spark):
+    """dedup_semantic: the pairwise-cosine stage must be an equi-join on
+    cluster_id (hash shuffle on the cluster key) — never a nested-loop
+    all-pairs product. This is the whole point of SemDeDup's
+    cluster-then-compare shape."""
+    plan = _plan(spark, "dedup_semantic")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+
+
 def test_dsir_model_probe_is_broadcast(spark):
     """docs_dsir_weights: the bounded bucket-LM table must broadcast —
     the scoring pass is a map-side probe, never a shuffle of the corpus

@@ -139,3 +139,30 @@ def test_plane_dots_arrow_matches_jvm_fold_bitwise(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_semdedup_flags_greedy_keep_lowest_id(spark):
+    """semdedup_flags: identical vectors in one cluster keep only the
+    lowest id; a far-away vector is never flagged; every vector gets
+    exactly one row with a valid cluster id."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # dup of 0
+        (2, [0.999, 0.001, 0.0, 0.0]),  # near-dup of 0
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal — never a dup of 0/1/2
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in sim.semdedup_flags(
+            df, num_clusters=2, rounds=1, threshold=0.9
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[0]["is_semdup"] is False          # lowest id survives
+    assert out[1]["is_semdup"] is True           # exact dup of 0
+    assert out[2]["is_semdup"] is True           # cos(0,2) > 0.9
+    # 3 and 4 can only be flagged against each other (cos 0) — never
+    assert out[3]["is_semdup"] is False and out[4]["is_semdup"] is False
+    assert all(0 <= r["cluster_id"] < 2 for r in out.values())
