@@ -289,3 +289,122 @@ def importance_weights(
             F.sum("lr").alias("importance_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) dedup with a Bloom prefilter — the
+# continuous-crawl refresh op: a new snapshot arrives, and only documents
+# whose content key *might* exist in the base corpus pay the exact
+# anti-join. The Bloom filter is an m-bit bitmask built once from the base
+# side (bounded driver state: m/8 bytes regardless of corpus size),
+# shipped to every executor as literals, and probed entirely map-side —
+# this is the hand-rolled, oracle-replayable form of the runtime bloom
+# filters Spark itself injects under AQE.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS_PER_WORD = 32  # packed into longs; 32 bits/word sidesteps the
+# sign bit of both IntegerType and (bit 63 of) LongType literals
+
+
+def bloom_positions(key, m: int, k_hashes: int):
+    """array<long> of ``k_hashes`` bit positions for a string key.
+
+    Position_i = first 60 bits of md5(i || key) mod m — the repo's
+    cross-engine hash (similarity.md5_long60), so DuckDB replays the
+    positions digit-identically via ('0x' || substr(md5(...),1,15))."""
+    from extract_permits_spark.functions.similarity import md5_long60
+
+    k = F.col(key) if isinstance(key, str) else key
+    return F.array(
+        *[
+            F.pmod(md5_long60(F.concat(F.lit(str(i)), k)), F.lit(m))
+            for i in range(k_hashes)
+        ]
+    )
+
+
+def bloom_bitmask_words(
+    base: DataFrame, key_col: str, m: int = 4096, k_hashes: int = 2
+) -> list[int]:
+    """Build the m-bit Bloom bitmask from the base corpus' keys.
+
+    One distinct over ≤ m positions — the collect is bounded by the filter
+    size (m/32 words), never the corpus, same legitimacy class as the
+    k-means centroid state. At 100 TB this runs as a partial-agg shuffle
+    of at most m distinct longs."""
+    rows = (
+        base.select(
+            F.explode(bloom_positions(key_col, m, k_hashes)).alias("p")
+        )
+        .where(F.col("p").isNotNull())
+        .distinct()
+        .collect()
+    )
+    words = [0] * ((m + _BLOOM_BITS_PER_WORD - 1) // _BLOOM_BITS_PER_WORD)
+    for r in rows:
+        p = int(r["p"])
+        words[p // _BLOOM_BITS_PER_WORD] |= 1 << (p % _BLOOM_BITS_PER_WORD)
+    return words
+
+
+def bloom_member(key, words: list[int], m: int, k_hashes: int):
+    """Boolean probe: all k bit positions set in the literal bitmask.
+
+    Pure codegen — element_at into a words-array literal + getbit with a
+    computed bit index. No join, no shuffle, no driver round-trip."""
+    mask = F.array(*[F.lit(w).cast("long") for w in words])
+    k = F.col(key) if isinstance(key, str) else key
+    conds = []
+    for i in range(k_hashes):
+        from extract_permits_spark.functions.similarity import md5_long60
+
+        p = F.pmod(md5_long60(F.concat(F.lit(str(i)), k)), F.lit(m))
+        word = F.element_at(mask, (p / _BLOOM_BITS_PER_WORD).cast("int") + 1)
+        conds.append(
+            F.getbit(word, F.pmod(p, F.lit(_BLOOM_BITS_PER_WORD))) == 1
+        )
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def incremental_dedup(
+    base: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str = "key",
+    m: int = 4096,
+    k_hashes: int = 2,
+    words: list[int] | None = None,
+) -> DataFrame:
+    """Flag incoming-snapshot documents already present in the base corpus.
+
+    Returns (id, bloom_candidate, is_dup) for every incoming row:
+    ``bloom_candidate`` is the map-side Bloom probe (false ⇒ definitely
+    new — those rows NEVER enter the key join); ``is_dup`` is the exact
+    verdict, computed by joining ONLY the candidate subset against the
+    base keys. The join input shrinks from |incoming| to
+    |dups| + |false positives| — at a ~5 % FP rate the exact-check
+    shuffle carries ~5 % of the snapshot instead of all of it."""
+    if words is None:
+        words = bloom_bitmask_words(base, key_col, m, k_hashes)
+    flagged = incoming.select(
+        id_col, key_col, bloom_member(key_col, words, m, k_hashes).alias(
+            "bloom_candidate"
+        )
+    )
+    base_keys = base.select(key_col).distinct().withColumn("_hit", F.lit(True))
+    cand = (
+        flagged.where(F.col("bloom_candidate"))
+        .join(base_keys, key_col, "left")
+        .select(
+            id_col,
+            "bloom_candidate",
+            F.coalesce(F.col("_hit"), F.lit(False)).alias("is_dup"),
+        )
+    )
+    fresh = flagged.where(~F.col("bloom_candidate")).select(
+        id_col, "bloom_candidate", F.lit(False).alias("is_dup")
+    )
+    return cand.unionByName(fresh)

@@ -55,6 +55,7 @@ def register(name: str, sql: str | None = None):
 # first now; the remainder keep registration order (all driver-green in r4).
 _CHECK_FIRST = [
     # r6 additions first — no driver row exists for them yet
+    "docs_incremental_dedup",
     "dedup_semantic",
     "docs_url_dedup",
     "docs_dsir_weights",
@@ -3351,6 +3352,72 @@ def docs_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replays the full Lloyd fit (shared CTEs with the IVF twin), so the
 # driver hash-checks the clustering itself, not just the final flags.
 # ===========================================================================
+
+
+# ===========================================================================
+# Incremental (cross-snapshot) dedup with a Bloom prefilter — the
+# continuous-crawl refresh: the fixture corpus plays the base snapshot; the
+# incoming snapshot is synthesized deterministically from it (doc_id%3==0 →
+# re-crawled exact copy, %3==1 → updated page, %3==2 → dropped). Only
+# Bloom candidates enter the exact key join; false positives (bloom says
+# maybe, exact says new) are part of the checked output.
+# ===========================================================================
+
+_INC_DEDUP_SQL = r"""
+    WITH base AS (SELECT md5(COALESCE(text,'')) AS key FROM documents),
+    inc AS (
+      SELECT d0 + 100000 AS doc_id, md5(t) AS key FROM (
+        SELECT doc_id AS d0,
+               CASE WHEN doc_id % 3 = 0 THEN COALESCE(text,'')
+                    ELSE COALESCE(text,'') || ' updated edition' END AS t
+        FROM documents WHERE doc_id % 3 < 2)
+    ),
+    h AS (SELECT 0 AS i UNION ALL SELECT 1),
+    bpos AS (
+      SELECT DISTINCT
+        CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || key), 1, 15)) AS BIGINT)
+          % 4096 AS pos
+      FROM base CROSS JOIN h
+    ),
+    ipos AS (
+      SELECT doc_id, key,
+        CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || key), 1, 15)) AS BIGINT)
+          % 4096 AS pos
+      FROM inc CROSS JOIN h
+    ),
+    cand AS (
+      SELECT doc_id, key,
+             bool_and(pos IN (SELECT pos FROM bpos)) AS bloom_candidate
+      FROM ipos GROUP BY doc_id, key
+    )
+    SELECT doc_id, bloom_candidate,
+           bloom_candidate AND key IN (SELECT key FROM base) AS is_dup
+    FROM cand
+"""
+
+
+@register("docs_incremental_dedup", _INC_DEDUP_SQL)
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup (functions/corpus.py:incremental_dedup): the
+    Bloom bitmask is built once from the base side (bounded driver state,
+    m/8 bytes), probed map-side as pure codegen (element_at + getbit on
+    literal words — no join, no shuffle), and only candidates pay the
+    exact key join. The hand-rolled twin of AQE's runtime bloom-filter
+    injection, made oracle-replayable via the md5 position hash."""
+    from extract_permits_spark.functions.corpus import incremental_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    base = d.select(F.md5(txt.cast("binary")).alias("key"))
+    inc = d.where(F.col("doc_id") % 3 < 2).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.md5(
+            F.when(F.col("doc_id") % 3 == 0, txt)
+            .otherwise(F.concat(txt, F.lit(" updated edition")))
+            .cast("binary")
+        ).alias("key"),
+    )
+    return incremental_dedup(base, inc)
 
 
 @register("dedup_semantic", _ann_sql.semdedup_sql())

@@ -180,3 +180,57 @@ def test_importance_weights_ranks_target_like_docs(spark):
     out = {r["doc_id"]: r for r in importance_weights(raw, target).collect()}
     assert out[1]["importance_weight"] > out[2]["importance_weight"]
     assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 4
+
+
+def test_bloom_no_false_negatives_and_some_rejections(spark):
+    """Bloom contract: every base key is a candidate (no false negatives
+    — the filter would otherwise drop true duplicates); keys far outside
+    the base mostly probe false. m=256 with 20 keys keeps FP low but >0
+    possible — only the no-false-negative side is a hard guarantee."""
+    from extract_permits_spark.functions.corpus import (
+        bloom_bitmask_words,
+        bloom_member,
+    )
+
+    base = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(20)], "key string"
+    )
+    words = bloom_bitmask_words(base, "key", m=256, k_hashes=2)
+    # membership of the base keys themselves: all true
+    hits = base.select(
+        bloom_member("key", words, 256, 2).alias("hit")
+    ).collect()
+    assert all(r["hit"] for r in hits)
+    # probe 200 unseen keys: at least half must be rejected (expected FP
+    # ~ (1-exp(-40/256))^2 ≈ 2% — 50% is a generous flake margin)
+    probe = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(200)], "key string"
+    )
+    n_cand = probe.where(bloom_member("key", words, 256, 2)).count()
+    assert n_cand < 100
+
+
+def test_incremental_dedup_flags(spark):
+    """Exact copies are dups; fresh text is not; every incoming row gets
+    exactly one verdict and non-candidates are never dups."""
+    from extract_permits_spark.functions.corpus import incremental_dedup
+
+    base = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "ccc")], "doc_id long, key string"
+    ).select("doc_id", "key")
+    inc = spark.createDataFrame(
+        [(11, "aaa"), (12, "zzz"), (13, "ccc"), (14, "yyy")],
+        "doc_id long, key string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_dedup(
+            base.select("key"), inc, m=512, k_hashes=2
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[11]["is_dup"] and out[13]["is_dup"]
+    assert not out[12]["is_dup"] and not out[14]["is_dup"]
+    for r in out.values():
+        if not r["bloom_candidate"]:
+            assert not r["is_dup"]

@@ -172,6 +172,16 @@ def test_semdedup_intra_cluster_join_not_allpairs(spark):
     )
 
 
+def test_incremental_dedup_bloom_probe_is_codegen(spark):
+    """docs_incremental_dedup: the Bloom probe must be a literal-bitmask
+    getbit expression (map-side, zero-shuffle), and only the candidate
+    subset may reach the exact key join — the definite-new branch carries
+    no join at all."""
+    plan = _plan(spark, "docs_incremental_dedup")
+    assert "getbit" in plan.lower()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_dsir_model_probe_is_broadcast(spark):
     """docs_dsir_weights: the bounded bucket-LM table must broadcast —
     the scoring pass is a map-side probe, never a shuffle of the corpus
