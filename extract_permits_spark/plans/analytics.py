@@ -55,6 +55,7 @@ def register(name: str, sql: str | None = None):
 # first now; the remainder keep registration order (all driver-green in r4).
 _CHECK_FIRST = [
     # r6 additions first — no driver row exists for them yet
+    "docs_host_cap",
     "docs_incremental_dedup",
     "dedup_semantic",
     "docs_url_dedup",
@@ -3352,6 +3353,53 @@ def docs_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replays the full Lloyd fit (shared CTEs with the IVF twin), so the
 # driver hash-checks the clustering itself, not just the final flags.
 # ===========================================================================
+
+
+# ===========================================================================
+# Per-host crawl cap (docs_host_cap) — the Gopher/RefinedWeb-style
+# frequency cap: no single host may contribute more than N documents,
+# keeping the best N by quality. The fixture has no URL column, so the
+# host is synthesized deterministically (source × doc_id%7 → 140 hosts).
+# Filtering on the rank (not flagging) lets Catalyst insert
+# WindowGroupLimit: each map task pre-prunes to its local top-N per host
+# BEFORE the shuffle, so the exchange carries ≤ N·hosts·tasks rows —
+# the mega-host skew killer at crawl scale (plan-asserted).
+# ===========================================================================
+
+_HOST_CAP_SQL = r"""
+    SELECT doc_id, host, host_rank FROM (
+      SELECT doc_id, host,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY n_chars DESC, doc_id) AS host_rank
+      FROM (
+        SELECT doc_id, n_chars,
+               source || '-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                 AS host
+        FROM documents
+      )
+    ) WHERE host_rank <= 3
+"""
+
+
+@register("docs_host_cap", _HOST_CAP_SQL)
+def docs_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the best 3 documents per host (quality = n_chars, determinism
+    tiebreak doc_id). The rank filter plans as WindowGroupLimit — a
+    map-side partial top-N per host before the exchange — so a host with
+    10^8 pages ships at most 3 rows per input task instead of all of
+    them. This is the shape that survives adversarial host skew."""
+    d = load_table(spark, sf_dir, "documents")
+    host = F.concat(
+        F.col("source"), F.lit("-"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com"),
+    )
+    w = Window.partitionBy("host").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.select("doc_id", "n_chars", host.alias("host"))
+        .withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("host_rank") <= 3)
+        .select("doc_id", "host", "host_rank")
+    )
 
 
 # ===========================================================================

@@ -172,6 +172,14 @@ def test_semdedup_intra_cluster_join_not_allpairs(spark):
     )
 
 
+def test_host_cap_uses_window_group_limit(spark):
+    """docs_host_cap: the rank-≤-N filter must plan as WindowGroupLimit —
+    map-side partial top-N per host before the exchange. Without it a
+    mega-host ships every page through the shuffle."""
+    plan = _plan(spark, "docs_host_cap")
+    assert "WindowGroupLimit" in plan
+
+
 def test_incremental_dedup_bloom_probe_is_codegen(spark):
     """docs_incremental_dedup: the Bloom probe must be a literal-bitmask
     getbit expression (map-side, zero-shuffle), and only the candidate
