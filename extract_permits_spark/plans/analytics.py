@@ -55,6 +55,8 @@ def register(name: str, sql: str | None = None):
 # first now; the remainder keep registration order (all driver-green in r4).
 _CHECK_FIRST = [
     # r6 additions first — no driver row exists for them yet
+    "stream_stateful_totals",
+    "a8_salted_agg",
     "docs_host_cap",
     "docs_incremental_dedup",
     "dedup_semantic",
@@ -1559,6 +1561,68 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_available_now(spark, src, os.path.join(work, "ckpt"), table_name=name)
     q.awaitTermination(300)
     return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "stream_stateful_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_value_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (streaming/stateful.py): per-user running
+    totals via applyInPandasWithState — explicit keyed state (count +
+    exact integer cents, no float drift), Arrow-batched, update output
+    mode, availableNow drain. Checked against the batch GROUP BY oracle:
+    the explicit state machine must agree with the declarative
+    aggregation. State is O(active users) and expirable by timeout in
+    continuous mode."""
+    import os
+    import shutil
+    import tempfile
+
+    from extract_permits_spark.streaming.stateful import run_available_now
+
+    work = tempfile.mkdtemp(prefix="ev_stream_stateful_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+    name = f"ev_stream_stateful_{abs(hash(sf_dir)) % 10**8}"
+    q = run_available_now(spark, src, os.path.join(work, "ckpt"), name)
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "a8_salted_agg",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a8_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py:salted_agg) over a
+    hot grouping key: phase 1 aggregates on (key, random salt) spreading
+    a dominant key over 16 reducers, phase 2 merges partials on the true
+    key. Results are identical to the direct groupBy (the oracle), which
+    is the whole point — the salt changes the shuffle layout, never the
+    answer. This is the manual fallback for skew AQE can't re-plan
+    (hot keys in aggregations)."""
+    from extract_permits_spark.operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        e.withColumn("value", _dec("value")),
+        ["event_type"],
+        {"n_events": ("event_id", "count"), "sum_value": ("value", "sum")},
+    )
+    return out.select(
+        "event_type", "n_events", F.col("sum_value").cast("double").alias("sum_value")
+    )
 
 
 @register(
