@@ -965,6 +965,52 @@ def semdedup_flags(
     )
 
 
+def prototypicality_flags(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_clusters: int = 16,
+    rounds: int = 3,
+    prune_frac: float = 0.1,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """The SSL-prototypes half of D4 (Tirumala et al. 2023,
+    arXiv:2308.12284): score every vector by cosine to its OWN cluster
+    centroid and flag the top ``prune_frac`` most prototypical per
+    cluster for pruning — the most-redundant region of each semantic
+    neighbourhood, complementing ``semdedup_flags`` (which removes
+    pairwise near-dups). Together they are the D4 recipe.
+
+    Shape: centroid lookup is ``element_at`` into the literal centroid
+    matrix by cluster id (zero-shuffle codegen); the rank is one window
+    shuffle on cluster_id. Returns (id, cluster_id, proto_sim,
+    is_pruned)."""
+    if centroids is None:
+        centroids = kmeans_fit(vectors, id_col, vec_col, num_clusters, rounds)
+    n = unit_normalized(vectors, id_col, vec_col)
+    mat = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    cid = _nearest_by_l2(F.col("e"), centroids)
+    cvec = F.element_at(mat, F.col("cluster_id") + 1)
+    scored = n.select(
+        F.col(id_col), cid.alias("cluster_id"), "e"
+    ).select(
+        id_col,
+        "cluster_id",
+        (dot(F.col("e"), cvec) / F.sqrt(dot(cvec, cvec))).alias("_sim"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("_sim").desc(), id_col)
+    wc = Window.partitionBy("cluster_id")
+    return scored.select(
+        id_col,
+        "cluster_id",
+        F.round("_sim", 6).alias("proto_sim"),
+        (
+            F.row_number().over(w)
+            <= F.ceil(F.lit(prune_frac) * F.count(F.lit(1)).over(wc))
+        ).alias("is_pruned"),
+    )
+
+
 def ivf_index(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -57,6 +57,7 @@ _CHECK_FIRST = [
     # r6 additions first — no driver row exists for them yet
     "stream_stateful_totals",
     "a8_salted_agg",
+    "emb_prototypicality",
     "docs_host_cap",
     "docs_incremental_dedup",
     "dedup_semantic",
@@ -3530,6 +3531,20 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key"),
     )
     return incremental_dedup(base, inc)
+
+
+@register("emb_prototypicality", _ann_sql.prototypicality_sql())
+def emb_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SSL-prototypes half of D4 (arXiv:2308.12284): rank every
+    vector by cosine to its own cluster centroid, flag the top 10 % most
+    prototypical per cluster — the most-redundant region of each semantic
+    neighbourhood. With dedup_semantic this completes the D4 recipe.
+    Centroid lookup is element_at into the literal matrix (zero-shuffle
+    codegen); the only exchange is the per-cluster rank window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return simfn.prototypicality_flags(
+        emb, num_clusters=16, centroids=_ivf_centroids_cached(spark, emb, sf_dir)
+    )
 
 
 @register("dedup_semantic", _ann_sql.semdedup_sql())

@@ -329,6 +329,46 @@ def semdedup_sql(
     """
 
 
+def prototypicality_sql(
+    dim: int = 64,
+    num_clusters: int = 16,
+    rounds: int = 3,
+    prune_frac: float = 0.1,
+) -> str:
+    """Twin of similarity.prototypicality_flags (the SSL-prototypes half
+    of D4, Tirumala et al. 2023, arXiv:2308.12284): cosine of each vector
+    to its OWN cluster centroid, ranked within the cluster; the top
+    ``prune_frac`` most prototypical (most redundant) are flagged for
+    pruning. Replays the full Lloyd fit like the IVF/SemDeDup twins."""
+    final_c = f"c{rounds}"
+    ctes = _kmeans_ctes(dim, num_clusters, rounds)
+    ctes.append(
+        f"""scored AS (
+      SELECT a.vec_id, a.cid,
+             {_dot('n.e', 'c.c', dim)}
+               / sqrt({_dot('c.c', 'c.c', dim)}) AS proto_sim
+      FROM afinal a
+      JOIN n ON n.vec_id = a.vec_id
+      JOIN {final_c} c ON c.cid = a.cid
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {_v_cte(dim)},
+    {body}
+    SELECT vec_id, CAST(cid AS INT) AS cluster_id,
+           round(proto_sim, 6) AS proto_sim,
+           rnk <= CAST(ceil({prune_frac!r} * csize) AS BIGINT) AS is_pruned
+    FROM (
+      SELECT vec_id, cid, proto_sim,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY proto_sim DESC, vec_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY cid) AS csize
+      FROM scored
+    )
+    """
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-dup pairs via LSH buckets (twin of
 # similarity.lsh_neardup_pairs + top-N ranking)

@@ -166,3 +166,29 @@ def test_semdedup_flags_greedy_keep_lowest_id(spark):
     # 3 and 4 can only be flagged against each other (cos 0) — never
     assert out[3]["is_semdup"] is False and out[4]["is_semdup"] is False
     assert all(0 <= r["cluster_id"] < 2 for r in out.values())
+
+
+def test_prototypicality_prune_fraction_and_scores(spark):
+    """prototypicality_flags: ~prune_frac of each cluster is flagged
+    (ceil per cluster), scores lie in [-1, 1], every vector appears
+    once."""
+    from pyspark.sql import functions as F
+
+    v = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = sim.prototypicality_flags(v, num_clusters=4, rounds=1,
+                                    prune_frac=0.25)
+    rows = out.collect()
+    assert len(rows) == v.count()
+    assert all(-1.000001 <= r["proto_sim"] <= 1.000001 for r in rows)
+    per = (
+        out.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_pruned").cast("int")).alias("p"),
+        )
+        .collect()
+    )
+    import math
+
+    for r in per:
+        assert r["p"] == math.ceil(0.25 * r["n"]), (r["cluster_id"], r["n"], r["p"])
