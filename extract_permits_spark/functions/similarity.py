@@ -54,6 +54,95 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003 — the MOSS
+    algorithm): hash every positional word k-gram, slide a w-window over
+    the hash sequence, keep each window's minimum. Guarantees: any shared
+    substring of ≥ w+k-1 words produces at least one shared fingerprint
+    (detection floor), and fingerprint density is ~2/(w+1) — a fixed-rate
+    sample of the document, robust to insertions/deletions around the
+    match (unlike fixed-stride sampling).
+
+    Returns (id, fingerprint) — the inverted-index shape; pairs sharing
+    ≥ m fingerprints are substring-overlap candidates.
+
+    Shape: grams AND window minima are both zip-of-shifted-slices + one
+    per-element expression (concat / least) — never a per-window
+    ``slice()`` allocation inside an interpreted lambda (the same measured
+    ~6× trap word_shingles documents). Hashing is the cross-engine
+    md5-60-bit so DuckDB replays fingerprints digit-identically. Narrow
+    until the final explode; no shuffle at all in this function."""
+    toks = tokens(text_col)
+    m = F.greatest(F.size(toks) - k + 1, F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(k)])
+    gram_strs = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
+    )
+    hashes = F.transform(
+        gram_strs,
+        lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+    )
+    hashes = F.when(F.size(toks) >= k, hashes).otherwise(
+        F.array().cast("array<long>")
+    )
+    nw = F.greatest(F.size(hashes) - w + 1, F.lit(0))
+    zipped_w = F.arrays_zip(*[F.slice(hashes, j + 1, nw) for j in range(w)])
+    mins = F.transform(
+        zipped_w, lambda s: F.least(*[s[str(j)] for j in range(w)])
+    )
+    fps = (
+        F.when(F.size(hashes) >= w, mins)
+        .when(F.size(hashes) > 0, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(fps)).alias("fingerprint")
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    topn: int | None = 25,
+) -> DataFrame:
+    """Substring-overlap candidate pairs: join the winnowing inverted
+    index with itself on fingerprint, count shared prints per pair, keep
+    pairs sharing ≥ min_shared. One equi-join on a near-uniform long key
+    + one pair groupBy — O(corpus + shared-fingerprint pairs), never
+    all-pairs. At 100 TB, cap bucket sizes first (a fingerprint shared by
+    millions of docs is boilerplate, not plagiarism — drop it like a
+    stop-shingle)."""
+    fp = winnow_fingerprints(docs, id_col, text_col, k, w)
+    pairs = (
+        fp.alias("a")
+        .join(fp.alias("b"), ["fingerprint"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    if topn is not None:
+        pairs = pairs.orderBy(
+            F.col("n_shared").desc(), "id_a", "id_b"
+        ).limit(topn)
+    return pairs
+
+
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH
 # ---------------------------------------------------------------------------

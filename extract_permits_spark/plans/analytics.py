@@ -58,6 +58,7 @@ _CHECK_FIRST = [
     "stream_stateful_totals",
     "a8_salted_agg",
     "emb_prototypicality",
+    "dedup_winnowing",
     "docs_host_cap",
     "docs_incremental_dedup",
     "dedup_semantic",
@@ -3531,6 +3532,58 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key"),
     )
     return incremental_dedup(base, inc)
+
+
+# ===========================================================================
+# Winnowing fingerprints (Schleimer et al. 2003 — MOSS): fixed-density
+# substring fingerprints robust to insert/delete shift. Any shared word
+# substring of ≥ w+k-1 = 7 words yields ≥ 1 shared fingerprint.
+# ===========================================================================
+
+_WINNOW_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(COALESCE(text,''))), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 4 THEN
+          list_transform(range(1, len(toks) - 4 + 2),
+            i -> CAST(('0x' || substring(md5(
+                   array_to_string(list_slice(toks, i, i + 3), ' ')), 1, 15))
+                 AS BIGINT))
+        ELSE CAST([] AS BIGINT[]) END AS h
+      FROM t
+    ), fp AS (
+      SELECT doc_id,
+        list_distinct(
+          CASE WHEN len(h) >= 4 THEN
+                 list_transform(range(1, len(h) - 4 + 2),
+                                j -> list_min(list_slice(h, j, j + 3)))
+               WHEN len(h) > 0 THEN [list_min(h)]
+               ELSE CAST([] AS BIGINT[]) END) AS fps
+      FROM g
+    ), ex AS (SELECT doc_id, unnest(fps) AS fingerprint FROM fp)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM ex a JOIN ex b ON a.fingerprint = b.fingerprint
+                       AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY n_shared DESC, id_a, id_b
+    LIMIT 25
+"""
+
+
+@register("dedup_winnowing", _WINNOW_SQL)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing substring-overlap candidates
+    (functions/similarity.py:winnow_pairs): positional k-gram hashes →
+    sliding-window minima → inverted-index self-join. Detects *partial*
+    overlap (a lifted paragraph) that whole-document MinHash dilutes
+    away; fingerprint density is a fixed ~2/(w+1) sample of the corpus,
+    so the index is ~25x smaller than the full shingle set."""
+    d = load_table(spark, sf_dir, "documents")
+    return simfn.winnow_pairs(d, k=4, w=4, min_shared=2, topn=25)
 
 
 @register("emb_prototypicality", _ann_sql.prototypicality_sql())

@@ -192,3 +192,29 @@ def test_prototypicality_prune_fraction_and_scores(spark):
 
     for r in per:
         assert r["p"] == math.ceil(0.25 * r["n"]), (r["cluster_id"], r["n"], r["p"])
+
+
+def test_winnowing_detects_lifted_passage(spark):
+    """Winnowing guarantee: any shared word substring of >= w+k-1 = 7
+    words yields >= 1 shared fingerprint; disjoint docs share none."""
+    lifted = "one two three four five six seven"  # exactly 7 shared words
+    a = "intro words here " + lifted + " closing remarks"
+    b = "completely different opening " + lifted + " and another ending"
+    c = "no overlap with anything else at all in this document body"
+    df = _docs(spark, [(1, a), (2, b), (3, c)])
+    fp = sim.winnow_fingerprints(df, k=4, w=4)
+    shared = (
+        fp.alias("x")
+        .join(fp.alias("y"), ["fingerprint"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+        .collect()
+    )
+    got = {(r["a"], r["b"]) for r in shared}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+    # short doc still fingerprints (single min) and empty doc yields none
+    tiny = _docs(spark, [(9, "just four words here"), (10, "")])
+    n = {r["doc_id"]: 1 for r in sim.winnow_fingerprints(tiny, k=4, w=4).collect()}
+    assert 9 in n and 10 not in n
