@@ -59,6 +59,7 @@ _CHECK_FIRST = [
     "a8_salted_agg",
     "emb_prototypicality",
     "dedup_winnowing",
+    "vocab_bpe_pairs",
     "docs_host_cap",
     "docs_incremental_dedup",
     "dedup_semantic",
@@ -3532,6 +3533,68 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key"),
     )
     return incremental_dedup(base, inc)
+
+
+# ===========================================================================
+# BPE vocabulary induction, the distributed step: adjacent-symbol pair
+# counts over the word-frequency table (Sennrich et al. 2016). One merge
+# round = argmax of this output; the expensive part at corpus scale is
+# exactly these two map-side-combined shuffles (word freq, pair freq) —
+# the iterative merge loop then runs on the bounded vocab table.
+# ===========================================================================
+
+_BPE_PAIRS_SQL = r"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(lower(COALESCE(text,''))), '\s+'))
+               AS word
+      FROM documents
+      WHERE trim(COALESCE(text,'')) <> ''
+    ), wf AS (
+      SELECT word, COUNT(*) AS freq FROM words WHERE word <> '' GROUP BY word
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, length(word)),
+                    i -> substring(word, CAST(i AS INT), 2))) AS pair,
+             freq
+      FROM wf WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+"""
+
+
+@register("vocab_bpe_pairs", _BPE_PAIRS_SQL)
+def vocab_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE pair statistics: corpus → word-frequency table
+    (first shuffle, map-side combine collapses the corpus to its
+    vocabulary) → adjacent char-pair counts weighted by word frequency
+    (second shuffle over the *vocab*, not the corpus). The top pair is
+    the next BPE merge; at 100 TB the vocab table is ~10^6 rows, so
+    every merge round after this costs vocabulary-scale, not
+    corpus-scale."""
+    from extract_permits_spark.functions.similarity import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokens(F.col("text"))).alias("word")).where(
+        F.col("word") != ""
+    )
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.where(F.length("word") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
 
 
 # ===========================================================================
