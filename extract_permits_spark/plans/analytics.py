@@ -106,6 +106,16 @@ _CHECK_FIRST = [
     "pack_sequences",
     "sample_interleave",
     "emb_quantize",
+    # r6b additions (no driver row yet; the first three land inside the
+    # 50-entry window, the rest carry local check_queries evidence)
+    "ev_funnel",
+    "ev_retention",
+    "text_tfidf",
+    "docs_pii_redact",
+    "ev_cube",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "w6_rank_family",
 ]
 
 
@@ -3674,4 +3684,394 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return simfn.semdedup_flags(
         emb, num_clusters=16, centroids=_ivf_centroids_cached(spark, emb, sf_dir)
+    )
+
+
+# ===========================================================================
+# Batch r6b — event-sequence analytics (funnel, retention, cube), two more
+# TPC-H shapes (Q6, Q10), TF-IDF term scoring, PII redaction, and the
+# remaining rank-family window functions. Each is the engine-native form
+# of an operation the reference's consumers run downstream of extraction
+# (ordered-sequence checks, cohort counts, ranked review lists).
+# ===========================================================================
+
+
+@register(
+    "ev_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id
+    ), s4 AS (
+      SELECT e.user_id, min(e.ts) AS t4
+      FROM events e JOIN s3 ON e.user_id = s3.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_num, 'signup' AS stage, count(*) AS n_users FROM s1
+      UNION ALL SELECT 2, 'view', count(*) FROM s2
+      UNION ALL SELECT 3, 'click', count(*) FROM s3
+      UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+    )
+    """,
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: signup → view → click → purchase, each
+    stage's event strictly after the user's previous-stage timestamp.
+
+    Expressed as a chain of (filter → per-user min-ts aggregate → equi-join
+    on user_id): every join/agg shuffles on the SAME key, so after the
+    first exchange the stages are co-partitioned and AQE keeps reusing the
+    layout; the surviving-user set shrinks monotonically, so each later
+    join's build side is smaller (AQE flips them to broadcast at runtime).
+    No window over the full event log and no per-user event collection —
+    state per stage is one timestamp per surviving user, which is what a
+    1000-executor funnel over 100 TB of events needs.
+    """
+    from functools import reduce
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    stages = ["signup", "view", "click", "purchase"]
+    survivors: list[DataFrame] = []
+    prev = None
+    for i, stage in enumerate(stages):
+        cur = e.where(F.col("event_type") == stage)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").where(F.col("ts") > F.col("_prev_ts"))
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias("_prev_ts"))
+        survivors.append(
+            cur.groupBy().agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("stage_num"),
+                F.lit(stage).alias("stage"),
+                "n_users",
+            )
+        )
+        prev = cur
+    return reduce(DataFrame.unionByName, survivors)
+
+
+@register(
+    "ev_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort, a.active_day) AS BIGINT) AS day_offset,
+           count(*) AS n_users
+    FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each later day they return. Two aggregates and one join, all keyed
+    on user_id (co-partitioned, single logical shuffle under AQE); the
+    output is O(active-days²) regardless of event volume, so the result
+    stays tiny even when the input is 100 TB. The distinct-day projection
+    happens BEFORE the join — the join carries (user, day) pairs, never raw
+    events."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("active_day")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("active_day").alias("cohort"))
+    activity = e.distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("active_day", "cohort").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "ev_cube",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(strftime(CAST(ts AS DATE), '%Y-%m-%d'), 'ALL') AS day,
+           CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS BIGINT) AS gid,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    """,
+)
+def ev_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all four grouping sets of type × day) with
+    GROUPING() disambiguation — complements ev_rollup's hierarchy. Spark
+    expands the sets map-side and shuffles once; sums stay in
+    decimal(18,2) so every grand-total is exact and engine-independent."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("_day"), "value"
+    )
+    return (
+        e.cube("event_type", "_day")
+        .agg(
+            F.grouping("event_type").cast("int").alias("_gt"),
+            F.grouping("_day").cast("int").alias("_gd"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.date_format("_day", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+            (F.col("_gt") * 2 + F.col("_gd")).cast("long").alias("gid"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue shape: pure filter + scalar aggregate.
+    All three predicates push down to the parquet scan (min/max row-group
+    skipping on l_shipdate makes this a partial-file read when the table
+    is date-sorted/partitioned — the 100 TB case); the aggregate is a
+    map-side partial + 1-row exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .groupBy()
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: who returned the most revenue in
+    a quarter. Orders is filtered to one quarter BEFORE the lineitem join
+    (the selective side drives), nation broadcasts, and the final top-20
+    is a TakeOrderedAndProject — no global sort materializes. Revenue sums
+    in decimal so the DESC order (and therefore the LIMIT cut) is
+    identical across engines; ties break on c_custkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .join(li.where(F.col("l_returnflag") == "R"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_tfidf",
+    """
+    WITH tok AS (
+      SELECT doc_id, t.term
+      FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      WHERE length(t.term) > 0
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+      ) AS rn
+      FROM scored
+    )
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword extractor.
+
+    Plan shape: explode → (doc,term) count → term document-frequency →
+    broadcast the DF table back (vocabulary ≪ corpus, so the join is a
+    broadcast, never a sort-merge over the token stream) → per-doc top-3
+    via row_number. The corpus count is a 1-row cross join (bounded
+    driver-independent scalar). ln() argument is an exact small-int
+    ratio and the score is rounded to 6dp before ranking, so the order —
+    and therefore the top-3 cut — is engine-independent (ties break on
+    the term string, binary collation both sides)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.length("term") > 0)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+# PII patterns shared by the Spark path and the DuckDB oracle. Both engines
+# treat these identically (no lookaround, no backreferences — the RE2-safe
+# subset). Order matters: emails first so their digits aren't half-eaten by
+# the phone pattern.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d[\d() .-]{7,}\d", "[PHONE]"),
+]
+
+
+def redact_pii(df: DataFrame, col: str) -> DataFrame:
+    """Scrub emails / IPv4s / phone-shaped digit runs from ``col``,
+    appending ``n_pii`` (total redaction count). Pure regexp expressions —
+    codegen'd, no UDF, order-preserving; at 100 TB this is a narrow map
+    stage with zero shuffle."""
+    out = df
+    counts = []
+    cleaned = F.col(col)
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(cleaned, F.lit(pat)).cast("long"))
+        cleaned = F.regexp_replace(cleaned, pat, token)
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return out.withColumn("n_pii", total).withColumn(col, cleaned)
+
+
+@register(
+    "docs_pii_redact",
+    """
+    WITH staged AS (
+      SELECT doc_id, text,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS c1,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g')
+               AS t1
+      FROM documents
+    ), staged2 AS (
+      SELECT doc_id, c1,
+             CAST(len(regexp_extract_all(t1,
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS c2,
+             regexp_replace(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g') AS t2
+      FROM staged
+    )
+    SELECT doc_id,
+           c1 + c2 + CAST(len(regexp_extract_all(t2,
+             '\\+?\\d[\\d() .-]{7,}\\d')) AS BIGINT) AS n_pii,
+           regexp_replace(t2, '\\+?\\d[\\d() .-]{7,}\\d', '[PHONE]', 'g') AS text
+    FROM staged2
+    """,
+)
+def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus (Dolma-style regex taggers: email,
+    IPv4, phone). The synthetic corpus is PII-free, so this doubles as a
+    false-positive check — the real positive-path behavior is pinned by
+    tests/test_text_multimodal.py with planted PII strings."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return redact_pii(d, "text").select("doc_id", "n_pii", "text")
+
+
+@register(
+    "w6_rank_family",
+    """
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w6_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-family window functions (percent_rank,
+    cume_dist, ntile) over a unique ordering — one shuffle on the
+    partition key, sort within. percent_rank is an exact small-int
+    rational so the 6dp rounding is engine-independent."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
     )

@@ -125,3 +125,38 @@ def test_chunk_documents_edges(spark):
     assert (5, 1) not in rows
     with __import__("pytest").raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=16, overlap=16)
+
+
+def test_pii_redaction_positive_path(spark):
+    """The registry entry runs over a PII-free corpus (false-positive
+    check); this pins the positive path with planted PII."""
+    from extract_permits_spark.plans.analytics import redact_pii
+
+    rows = [
+        (1, "contact me at jane.doe+spam@example.co.uk for details"),
+        (2, "server at 192.168.1.254 went down, call +1 (312) 555-0199"),
+        (3, "no pii here at all"),
+        (4, "a@b.io and c.d@e-f.org in one line"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
+
+    assert out[1]["n_pii"] == 1
+    assert out[1]["text"] == "contact me at [EMAIL] for details"
+    assert out[2]["n_pii"] == 2
+    assert "[IP]" in out[2]["text"] and "[PHONE]" in out[2]["text"]
+    assert "192.168" not in out[2]["text"] and "555" not in out[2]["text"]
+    assert out[3]["n_pii"] == 0 and out[3]["text"] == "no pii here at all"
+    assert out[4]["n_pii"] == 2
+    assert out[4]["text"] == "[EMAIL] and [EMAIL] in one line"
+    assert out[5]["n_pii"] is None and out[5]["text"] is None
+
+
+def test_pii_redaction_no_udf(spark):
+    """Redaction must stay codegen'd (regexp expressions, no Python)."""
+    from extract_permits_spark.plans.analytics import redact_pii
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    plan = redact_pii(df, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
