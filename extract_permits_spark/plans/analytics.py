@@ -116,6 +116,11 @@ _CHECK_FIRST = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "w6_rank_family",
+    "ev_transitions",
+    "x5_scd2_intervals",
+    "j9_fuzzy_symspell",
+    "graph_pagerank",
+    "stream_stream_join",
 ]
 
 
@@ -4075,3 +4080,298 @@ def w6_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.ntile(10).over(w).cast("long").alias("decile"),
     )
+
+
+# ===========================================================================
+# Batch r6c — sequence/transition analytics, SCD2 intervals, SymSpell
+# fuzzy join (exact recall at distance 1), and fixed-point PageRank over
+# the near-dup graph. PageRank and SymSpell use integer-only arithmetic so
+# the DuckDB replay is bit-exact (no float summation-order drift).
+# ===========================================================================
+
+
+@register(
+    "ev_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def ev_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts per user stream (lead() over a
+    unique (ts, event_id) ordering, then a 25-cell aggregate). One shuffle
+    on user_id for the window, one map-side-combined shuffle for the tiny
+    transition matrix — the standard sessionless sequence-mining shape."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "x5_scd2_intervals",
+    """
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           coalesce(strftime(lead(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                    ), '%Y-%m-%d %H:%M:%S.%f'),
+                    '9999-12-31 00:00:00.000000') AS valid_to
+    FROM events
+    """,
+)
+def x5_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 validity intervals from an event log: each row's
+    valid_to is the next change's timestamp (open intervals get the
+    sentinel high date). The warehouse-standard lead() formulation — one
+    shuffle on the business key; at 100 TB this runs per key partition
+    with no driver state and writes straight to the dimension table."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(w), fmt),
+            F.lit("9999-12-31 00:00:00.000000"),
+        ).alias("valid_to"),
+    )
+
+
+def symspell_keys(col) -> "F.Column":
+    """SymSpell distance-1 blocking keys: the string itself plus every
+    single-character deletion. Two strings within Levenshtein distance 1
+    ALWAYS share at least one key (substitution at i → both i-deletions
+    equal; insert/delete → the shorter string is itself a deletion of the
+    longer), so the blocked join has recall 1.0 by construction — no
+    all-pairs product, index size Σ|s| keys."""
+    c = F.col(col) if isinstance(col, str) else col
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.concat(c.substr(F.lit(1), i - 1), c.substr(i + 1, F.length(c))),
+    )
+    return F.array_distinct(F.concat(F.array(c), dels))
+
+
+@register(
+    "j9_fuzzy_symspell",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    keyed AS (
+      SELECT p_name, unnest(list_distinct(
+               [p_name] || list_transform(
+                 range(1, length(p_name) + 1),
+                 i -> substr(p_name, 1, i - 1) || substr(p_name, i + 1)
+               ))) AS k
+      FROM names
+    ),
+    cand AS (
+      SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+      FROM keyed a JOIN keyed b ON a.k = b.k AND a.p_name < b.p_name
+    )
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(name_a, name_b) <= 1
+    """,
+)
+def j9_fuzzy_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join on part names at Levenshtein distance ≤ 1 via
+    SymSpell deletion-neighborhood blocking (public algorithm: Garbe's
+    symmetric delete). The reference fuzzy-matches permit addresses by
+    normalization only (chicago/permit_cleaning.py:618-667); this is the
+    engine-native generalization: generate ≤ |s|+1 deletion keys per
+    string (narrow explode), equi-join on the key, verify with exact
+    levenshtein on the candidates. Recall 1.0 at distance 1 by
+    construction; never an all-pairs product, so it scales as Σ|s|, not
+    n²."""
+    p = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    keyed = p.select("p_name", F.explode(symspell_keys("p_name")).alias("k"))
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["k"])
+        .where(F.col("a.p_name") < F.col("b.p_name"))
+        .select(
+            F.col("a.p_name").alias("name_a"), F.col("b.p_name").alias("name_b")
+        )
+        .distinct()
+    )
+    return cand.where(F.levenshtein("name_a", "name_b") <= 1).select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+    )
+
+
+# --- fixed-point PageRank over the n-gram near-dup graph -------------------
+
+_PR_SCALE = 1_000_000_000_000  # 1e12: BIGINT-safe through 85x multiplies
+_PR_ITERS = 5
+
+_PR_EDGES_SQL = """
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) - 2, 0) + 1),
+               i -> array_to_string(list_slice(
+                      string_split_regex(trim(lower(COALESCE(text,''))), '\\s+'), i, i + 2), ' ')
+             )) AS shingles
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) >= 3
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS sh FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+      HAVING CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg)
+"""
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled fixed-point PageRank oracle: the Spark loop replayed as
+    chained CTEs. Integer-only arithmetic (// floor division) makes every
+    iteration bit-exact across engines."""
+    s = _PR_SCALE
+    cte = [f"WITH {_PR_EDGES_SQL},"]
+    cte.append(
+        f"r0 AS (SELECT d.node, ({s} // nn.n) AS rank FROM deg d CROSS JOIN nn)"
+    )
+    for i in range(1, _PR_ITERS + 1):
+        cte.append(
+            f""",
+    s{i} AS (
+      SELECT e.dst AS node, sum(r.rank // dg.deg) AS s
+      FROM edges e
+      JOIN r{i - 1} r ON e.src = r.node
+      JOIN deg dg ON e.src = dg.node
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT d.node,
+             ((15 * ({s} // nn.n)) // 100)
+             + ((85 * coalesce(s{i}.s, 0)) // 100) AS rank
+      FROM deg d CROSS JOIN nn
+      LEFT JOIN s{i} ON d.node = s{i}.node
+    )"""
+        )
+    cte.append(
+        f"\nSELECT node AS doc_id, CAST(rank AS BIGINT) AS rank_fp FROM r{_PR_ITERS}"
+    )
+    return "".join(cte)
+
+
+@register("graph_pagerank", _pagerank_oracle_sql())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 iterations) over the undirected near-dup
+    graph from the shared n-gram pair list — ranks the most-connected
+    duplicate hubs, the docs whose removal dissolves the most pairs.
+
+    Fixed-point integer arithmetic throughout (rank scaled by 1e12, floor
+    division): BIGINT sums are associative, so the result is bit-exact
+    and engine-independent — the honest way to oracle an iterative float
+    algorithm. Per iteration: one equi-join rank→edges on src and one
+    map-side-combined sum on dst; the edge list reuses the memoized pair
+    scan (localCheckpoint'ed), so lineage stays flat across iterations.
+    At 100 TB this is the standard Pregel-as-joins shape, co-partitioned
+    on the node key."""
+    pairs = _jaccard_pairs_cached(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    nn = deg.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    base = F.expr(f"15 * ({_PR_SCALE} div n) div 100")
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"{_PR_SCALE} div n").alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = ranks.join(deg, "node").select(
+            "node", F.expr("rank div deg").alias("contrib")
+        )
+        in_sum = (
+            edges.join(contrib, edges.src == contrib.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            deg.select("node")
+            .join(in_sum, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (base + F.expr("85 * coalesce(s, 0) div 100")).alias("rank"),
+            )
+        )
+    return ranks.select(F.col("node").alias("doc_id"), F.col("rank").alias("rank_fp"))
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c ON p.user_id = c.user_id
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click-before-purchase attribution
+    pairs) executed through Structured Streaming — two watermarked file
+    streams, event-time-bounded inner join, availableNow drain — checked
+    against the batch range-join SQL oracle. The time bound in the join
+    predicate is what makes 100 TB viable: it lets the engine evict
+    buffered state as the watermarks advance instead of holding both
+    streams forever."""
+    import os
+    import shutil
+    import tempfile
+
+    from extract_permits_spark.streaming.events import run_interval_join_available_now
+
+    work = tempfile.mkdtemp(prefix="ev_stream_ssj_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+    name = f"ev_stream_ssj_{abs(hash(sf_dir)) % 10**8}"
+    # a stream-stream join holds TWO keyed state stores per shuffle
+    # partition; at local-test scale 32 partitions is pure state-store
+    # setup overhead (23s → ~8s at 8). Production sizing follows state
+    # volume, not this constant.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = run_interval_join_available_now(
+            spark, src, os.path.join(work, "ckpt"), table_name=name
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT * FROM {name}")

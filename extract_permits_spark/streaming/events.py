@@ -199,3 +199,74 @@ def run_dedup_available_now(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def interval_join_clicks_before_purchases(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: every (purchase, click) pair for the same
+    user where the click lands inside the ``lookback`` window strictly
+    before the purchase — last-touch attribution's candidate set.
+
+    Both sides carry watermarks and the join predicate bounds c_ts in
+    [p_ts − lookback, p_ts), so the engine can prove when a buffered row
+    can never match again and evict it: state is O(events inside the
+    watermark + lookback horizon), not O(stream). Works identically on
+    batch frames (no watermark, plain range join) — the batch run is the
+    oracle for the streaming one."""
+    if purchases.isStreaming:
+        purchases = purchases.withWatermark("p_ts", watermark)
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("c_ts", watermark)
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"user_id = c_user AND c_ts >= p_ts - interval {lookback} AND c_ts < p_ts"
+        ),
+    ).select("purchase_id", "click_id", "user_id")
+
+
+def _purchase_click_streams(spark: SparkSession, dir_path: str):
+    purchases = (
+        read_events_stream(spark, dir_path)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        read_events_stream(spark, dir_path)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return purchases, clicks
+
+
+def run_interval_join_available_now(
+    spark: SparkSession,
+    dir_path: str,
+    checkpoint: str,
+    table_name: str = "ev_stream_ssjoin",
+):
+    """Drain the backlog through the stream-stream interval join into a
+    memory sink. Append mode — stream-stream inner joins emit exactly the
+    matched pairs, each once, after both sides' watermarks pass."""
+    purchases, clicks = _purchase_click_streams(spark, dir_path)
+    joined = interval_join_clicks_before_purchases(purchases, clicks)
+    return (
+        joined.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

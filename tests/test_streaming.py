@@ -203,3 +203,44 @@ def test_session_window_gap_boundary(spark):
         (r["session_start"], r["n_events"]) for r in ev.session_counts(df).collect()
     )
     assert got == [("2024-01-01 00:00:00", 4), ("2024-01-01 02:00:00", 1)]
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Stream-stream interval join (clicks before purchases) must emit
+    exactly the batch range-join's pair set — each pair once (append
+    mode), state evicted by the watermark + join bound."""
+    import os
+    import shutil
+
+    sf_dir = "/root/testdata/sf0.001"
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.sources.readers import load_events
+
+    batch = load_events(spark, sf_dir)
+    p = batch.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = batch.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    expected = {
+        (r["purchase_id"], r["click_id"])
+        for r in ev.interval_join_clicks_before_purchases(p, c).collect()
+    }
+    assert expected  # non-empty fixture
+
+    with tempfile.TemporaryDirectory() as work:
+        src_dir = os.path.join(work, "in")
+        os.makedirs(src_dir)
+        shutil.copy(f"{sf_dir}/events.parquet", src_dir)
+        q = ev.run_interval_join_available_now(
+            spark, src_dir, os.path.join(work, "ckpt"), table_name="ev_test_ssj"
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM ev_test_ssj").collect()
+        got = {(r["purchase_id"], r["click_id"]) for r in rows}
+        assert len(rows) == len(got)  # appended exactly once each
+    assert got == expected
