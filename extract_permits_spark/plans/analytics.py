@@ -121,6 +121,8 @@ _CHECK_FIRST = [
     "j9_fuzzy_symspell",
     "graph_pagerank",
     "stream_stream_join",
+    "basket_brand_pairs",
+    "ev_time_weighted_avg",
 ]
 
 
@@ -4375,3 +4377,91 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "basket_brand_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+    HAVING count(*) >= 50
+    """,
+)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: brand pairs bought in the same order
+    (support ≥ 50 orders). The self-join is keyed on the basket id, and a
+    basket holds ≤ 13 items (TPC-H order shape), so the fan-out is a
+    bounded quadratic per basket — the classic a-priori candidate
+    generation that stays linear in order count at 100 TB. Distinct
+    (order, brand) first, so multi-quantity lines don't inflate support;
+    the brand dimension joins broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    return (
+        items.alias("a")
+        .join(items.alias("b"), "l_orderkey")
+        .where(F.col("a.p_brand") < F.col("b.p_brand"))
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 50)
+    )
+
+
+@register(
+    "ev_time_weighted_avg",
+    """
+    WITH seg AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_ms(ts) AS dur_ms
+      FROM events
+    )
+    SELECT user_id,
+           round(CAST(sum(cents * dur_ms) AS DOUBLE)
+                 / CAST(sum(dur_ms) AS DOUBLE) / 100.0, 6) AS tw_avg,
+           CAST(sum(dur_ms) AS BIGINT) AS total_ms
+    FROM seg WHERE dur_ms IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled signal per user —
+    each reading holds until the next one (right-open step function), the
+    metric sensors/prices need where plain AVG over-weights bursts.
+    Exact integer core: value in cents × duration in ms, both BIGINT, so
+    the sums are associative and the single final division is the only
+    float op (deterministic across engines and partitionings). One window
+    shuffle + one agg, both on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ltz = F.col("ts").cast("timestamp")
+    seg = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            F.unix_millis(F.lead(ltz).over(w)) - F.unix_millis(ltz)
+        ).alias("dur_ms"),
+    ).where(F.col("dur_ms").isNotNull())
+    return seg.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("cents") * F.col("dur_ms")).cast("double")
+            / F.sum("dur_ms").cast("double")
+            / F.lit(100.0),
+            6,
+        ).alias("tw_avg"),
+        F.sum("dur_ms").cast("long").alias("total_ms"),
+    )
