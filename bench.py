@@ -49,6 +49,13 @@ HEADLINE = [
     "mm_binary_features",
     "q3_shipping_priority",
     "q5_nation_volume",
+    # r6b/r6c additions — the new analytics surface earns bench rows too
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "ev_funnel",
+    "ev_transitions",
+    "text_tfidf",
+    "basket_brand_pairs",
 ]
 
 

@@ -3971,21 +3971,21 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.length("term") > 0)
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            "tf",
-            "df",
-            F.round(
-                F.col("tf")
-                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
-                6,
-            ).alias("tfidf"),
-        )
+    # Corpus size is a bounded O(1) driver scalar (one long, like the
+    # k-means centroid state) — folding it into the IDF literal keeps the
+    # plan join-free here. A 1-row crossJoin (or a constant-key equi-join,
+    # which ConstantFolding collapses right back) would plan as
+    # BroadcastNestedLoopJoin and trip the headline no-BNLJ guard.
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1.0))),
+            6,
+        ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
@@ -4308,12 +4308,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
-    )
-    nn = deg.groupBy().agg(F.count(F.lit(1)).alias("n"))
-    base = F.expr(f"15 * ({_PR_SCALE} div n) div 100")
-    ranks = deg.crossJoin(F.broadcast(nn)).select(
-        "node", F.expr(f"{_PR_SCALE} div n").alias("rank")
-    )
+    ).localCheckpoint(eager=True)
+    # node count is a bounded O(1) driver scalar; folding it into literal
+    # integers keeps every iteration's plan join-shaped (a 1-row
+    # crossJoin would plan as BroadcastNestedLoopJoin). Exact Python int
+    # arithmetic — identical to the oracle's // on the SQL scalar.
+    n = deg.count()
+    init_rank = _PR_SCALE // n
+    base = 15 * init_rank // 100
+    ranks = deg.select("node", F.lit(init_rank).alias("rank"))
     for _ in range(_PR_ITERS):
         contrib = ranks.join(deg, "node").select(
             "node", F.expr("rank div deg").alias("contrib")
@@ -4326,10 +4329,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = (
             deg.select("node")
             .join(in_sum, "node", "left")
-            .crossJoin(F.broadcast(nn))
             .select(
                 "node",
-                (base + F.expr("85 * coalesce(s, 0) div 100")).alias("rank"),
+                (F.lit(base) + F.expr("85 * coalesce(s, 0) div 100")).alias("rank"),
             )
         )
     return ranks.select(F.col("node").alias("doc_id"), F.col("rank").alias("rank_fp"))

@@ -196,3 +196,50 @@ def test_dsir_model_probe_is_broadcast(spark):
     side on the bucket key."""
     plan = _plan(spark, "docs_dsir_weights")
     assert "BroadcastHashJoin" in plan
+
+
+def test_q6_full_pushdown(spark):
+    """TPC-H Q6: all three predicates must reach the parquet scan as
+    PushedFilters, and the scan must read only the 4 touched columns."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters:" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or col in plan.split("PushedFilters:")[1].split("]")[0], col
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" not in read and "l_tax" not in read
+
+
+def test_q10_top20_no_global_sort(spark):
+    """Q10's ORDER BY + LIMIT 20 must plan as TakeOrderedAndProject (heap
+    per partition + driver merge), never a full global Sort exchange."""
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # nation side broadcasts
+
+
+def test_tfidf_df_join_broadcasts(spark):
+    """The term→document-frequency join must broadcast the vocabulary,
+    never sort-merge the exploded token stream."""
+    plan = _plan(spark, "text_tfidf")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_symspell_no_nested_loop(spark):
+    """The SymSpell candidate join is an equi-join on deletion keys; a
+    levenshtein theta-join would plan as a nested loop."""
+    plan = _plan(spark, "j9_fuzzy_symspell")
+    assert "NestedLoop" not in plan
+
+
+def test_funnel_and_basket_no_cartesian(spark):
+    for name in ("ev_funnel", "basket_brand_pairs"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_pagerank_flat_lineage_and_no_collect(spark):
+    """5 fixed-point iterations: joins stay equi-joins (no nested loop)
+    and the rank updates never materialize on the driver."""
+    plan = _plan(spark, "graph_pagerank")
+    assert "NestedLoop" not in plan
