@@ -123,6 +123,9 @@ _CHECK_FIRST = [
     "stream_stream_join",
     "basket_brand_pairs",
     "ev_time_weighted_avg",
+    "x6_merge_upsert",
+    "a9_mode",
+    "j10_null_safe_join",
 ]
 
 
@@ -4466,4 +4469,206 @@ def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tw_avg"),
         F.sum("dur_ms").cast("long").alias("total_ms"),
+    )
+
+
+# ===========================================================================
+# Batch r6d — warehouse maintenance ops: MERGE-style upsert apply (the
+# batch form of CDC apply / Delta MERGE INTO), deterministic grouped
+# mode, and null-safe join semantics.
+# ===========================================================================
+
+
+@register(
+    "x6_merge_upsert",
+    """
+    WITH updates AS (
+      SELECT o_custkey AS key, 'U' AS op, 2 AS prio,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS delta,
+             NULL AS new_name, CAST(NULL AS DOUBLE) AS new_balance
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+      GROUP BY o_custkey
+    ), deletes AS (
+      SELECT c_custkey AS key, 'D' AS op, 3 AS prio,
+             NULL AS delta, NULL AS new_name, CAST(NULL AS DOUBLE) AS new_balance
+      FROM customer WHERE c_custkey % 17 = 0
+    ), inserts AS (
+      SELECT c_custkey + 1000000 AS key, 'I' AS op, 1 AS prio,
+             NULL AS delta,
+             'Customer#new' || CAST(c_custkey AS VARCHAR) AS new_name,
+             CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE) / 100.0
+               AS new_balance
+      FROM customer WHERE c_custkey % 13 = 0
+    ), changes AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY key ORDER BY prio DESC
+        ) AS rn
+        FROM (SELECT * FROM updates UNION ALL
+              SELECT * FROM deletes UNION ALL
+              SELECT * FROM inserts)
+      ) WHERE rn = 1
+    )
+    SELECT coalesce(b.c_custkey, c.key) AS key,
+           coalesce(b.c_name, c.new_name) AS name,
+           CAST(CASE
+             WHEN c.op = 'U'
+               THEN round(CAST(b.c_acctbal AS DECIMAL(18,2)) + c.delta, 2)
+             WHEN c.op = 'I' THEN c.new_balance
+             ELSE CAST(b.c_acctbal AS DECIMAL(18,2))
+           END AS DOUBLE) AS balance,
+           CASE WHEN c.op = 'U' THEN 'updated'
+                WHEN c.op = 'I' THEN 'inserted'
+                ELSE 'kept' END AS action
+    FROM customer b FULL OUTER JOIN changes c ON b.c_custkey = c.key
+    WHERE (c.op IS NULL AND b.c_custkey IS NOT NULL)        -- kept
+       OR (c.op = 'U' AND b.c_custkey IS NOT NULL)          -- updated
+       OR (c.op = 'I' AND b.c_custkey IS NULL)              -- inserted
+    """,
+)
+def x6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as one batch plan — the CDC-apply shape
+    (WHEN MATCHED UPDATE / WHEN MATCHED [cond] DELETE / WHEN NOT MATCHED
+    INSERT) without a table format: change set deduped by key with
+    delete-over-update precedence, one full-outer equi-join against the
+    base, per-row action classification. At 100 TB both sides hash on the
+    merge key (one co-partitioned shuffle each); with a bucketed base
+    table the exchange disappears entirely — this is exactly what Delta/
+    Iceberg MERGE compiles to under Spark."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    updates = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.sum(_dec("o_totalprice")).alias("delta"))
+        .select(
+            "key",
+            F.lit("U").alias("op"),
+            F.lit(2).alias("prio"),
+            "delta",
+            F.lit(None).cast("string").alias("new_name"),
+            F.lit(None).cast("double").alias("new_balance"),
+        )
+    )
+    deletes = c.where(F.col("c_custkey") % 17 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.lit("D").alias("op"),
+        F.lit(3).alias("prio"),
+        F.lit(None).cast("decimal(38,2)").alias("delta"),
+        F.lit(None).cast("string").alias("new_name"),
+        F.lit(None).cast("double").alias("new_balance"),
+    )
+    inserts = c.where(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("key"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("prio"),
+        F.lit(None).cast("decimal(38,2)").alias("delta"),
+        F.concat(F.lit("Customer#new"), F.col("c_custkey").cast("string")).alias(
+            "new_name"
+        ),
+        # exact integer-cents carry: a decimal division here lands on
+        # half-cent boundaries where Spark (HALF_UP) and DuckDB (double
+        # path) round apart — 3/1527 rows differed at sf0.01
+        (F.round(F.col("c_acctbal") * 100).cast("long").cast("double") / 100.0).alias(
+            "new_balance"
+        ),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("prio").desc())
+    changes = (
+        updates.unionByName(deletes)
+        .unionByName(inserts)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    merged = c.join(changes, c.c_custkey == changes.key, "full_outer")
+    # explicit keep-disjunction: three-valued logic makes the NOT(... AND
+    # ...) spelling silently drop no-change rows (op IS NULL propagates)
+    keep = (
+        (F.col("op").isNull() & F.col("c_custkey").isNotNull())  # kept
+        | ((F.col("op") == "U") & F.col("c_custkey").isNotNull())  # updated
+        | ((F.col("op") == "I") & F.col("c_custkey").isNull())  # inserted
+    )
+    return (
+        merged.where(keep)
+        .select(
+            F.coalesce(F.col("c_custkey"), F.col("key")).alias("key"),
+            F.coalesce(F.col("c_name"), F.col("new_name")).alias("name"),
+            F.when(F.col("op") == "U", F.round(_dec("c_acctbal") + F.col("delta"), 2))
+            .when(F.col("op") == "I", F.col("new_balance"))
+            .otherwise(_dec("c_acctbal"))
+            .cast("double")
+            .alias("balance"),
+            F.when(F.col("op") == "U", F.lit("updated"))
+            .when(F.col("op") == "I", F.lit("inserted"))
+            .otherwise(F.lit("kept"))
+            .alias("action"),
+        )
+    )
+
+
+@register(
+    "a9_mode",
+    """
+    SELECT user_id, event_type AS mode_type, n
+    FROM (
+      SELECT user_id, event_type, count(*) AS n,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY count(*) DESC, event_type
+             ) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def a9_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic grouped MODE: most frequent event type per user,
+    ties broken lexicographically (Spark's native mode() leaves ties
+    unspecified — unusable for cross-engine checks). Count then a top-1
+    window over the tiny per-user type table; both shuffles key on
+    user_id."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+@register(
+    "j10_null_safe_join",
+    """
+    WITH d AS (
+      SELECT doc_id, nullif(lang, 'en') AS lang_grp FROM documents
+    ), grp AS (
+      SELECT lang_grp, count(*) AS grp_n FROM d GROUP BY lang_grp
+    )
+    SELECT d.doc_id, coalesce(d.lang_grp, '<null>') AS lang_grp, g.grp_n
+    FROM d JOIN grp g ON d.lang_grp IS NOT DISTINCT FROM g.lang_grp
+    """,
+)
+def j10_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of silently dropping — the semantics dimension
+    joins over nullable business keys need. Spark plans <=> as a hash
+    join key (EqualNullSafe is still an equi-join), so there is no
+    nested-loop penalty for the null-safe form."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.nullif("lang", F.lit("en")).alias("lang_grp")
+    )
+    grp = d.groupBy("lang_grp").agg(F.count(F.lit(1)).alias("grp_n"))
+    return (
+        d.alias("a")
+        .join(grp.alias("g"), F.col("a.lang_grp").eqNullSafe(F.col("g.lang_grp")))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("a.lang_grp"), F.lit("<null>")).alias("lang_grp"),
+            "grp_n",
+        )
     )
