@@ -126,6 +126,7 @@ _CHECK_FIRST = [
     "x6_merge_upsert",
     "a9_mode",
     "j10_null_safe_join",
+    "stream_cdc_apply",
 ]
 
 
@@ -4671,4 +4672,47 @@ def j10_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("a.lang_grp"), F.lit("<null>")).alias("lang_grp"),
             "grp_n",
         )
+    )
+
+
+@register(
+    "stream_cdc_apply",
+    """
+    SELECT user_id, event_id, round(value, 2) AS value, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert materialization (streaming/cdc_apply.py): drain
+    the backlog through foreachBatch latest-wins merges with atomic
+    snapshot swaps, then read the live table. Must equal the batch
+    latest-per-key query — which is exactly the oracle. Exactly-once via
+    checkpoint + idempotent merge (pinned by
+    tests/test_stateful_streaming.py across restart and redelivery)."""
+    import os
+    import shutil
+    import tempfile
+
+    from extract_permits_spark.streaming.cdc_apply import run_cdc_apply_available_now
+
+    work = tempfile.mkdtemp(prefix="ev_cdc_apply_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+    out = os.path.join(work, "out")
+    q = run_cdc_apply_available_now(spark, src, os.path.join(work, "ckpt"), out)
+    q.awaitTermination(300)
+    live = spark.read.parquet(os.path.join(out, "live"))
+    return live.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
     )

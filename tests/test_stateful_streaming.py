@@ -38,3 +38,53 @@ def test_stateful_totals_match_batch(spark):
             for r in spark.sql("SELECT * FROM stateful_out").collect()
         }
     assert got == expected
+
+
+def test_cdc_apply_snapshot_matches_batch(spark, tmp_path):
+    """foreachBatch upsert materialization: after draining the backlog,
+    the parquet snapshot must equal the batch latest-per-key result; a
+    second drain over the SAME checkpoint must be a no-op (exactly-once),
+    and re-delivering the input under a fresh checkpoint must converge to
+    the same table (idempotent merge)."""
+    import os
+    import shutil
+
+    from extract_permits_spark.sources.readers import load_events
+    from extract_permits_spark.streaming import cdc_apply
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = load_events(spark, sf_dir)
+    expected = {
+        r["user_id"]: (r["event_id"], round(r["value"], 2))
+        for r in cdc_apply.latest_per_key(
+            batch.withColumn("ts", batch["ts"].cast("timestamp"))
+        ).collect()
+    }
+    assert expected
+
+    work = str(tmp_path)
+    src = os.path.join(work, "in")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", src)
+
+    def snapshot():
+        rows = spark.read.parquet(os.path.join(out, "live")).collect()
+        return {r["user_id"]: (r["event_id"], round(r["value"], 2)) for r in rows}
+
+    q = cdc_apply.run_cdc_apply_available_now(spark, src, ckpt, out)
+    q.awaitTermination(120)
+    assert snapshot() == expected
+
+    # same checkpoint: no new data -> no-op, table unchanged
+    q = cdc_apply.run_cdc_apply_available_now(spark, src, ckpt, out)
+    q.awaitTermination(120)
+    assert snapshot() == expected
+
+    # fresh checkpoint = full redelivery: latest-wins merge is idempotent
+    q = cdc_apply.run_cdc_apply_available_now(
+        spark, src, os.path.join(work, "ckpt2"), out
+    )
+    q.awaitTermination(120)
+    assert snapshot() == expected
