@@ -127,6 +127,7 @@ _CHECK_FIRST = [
     "a9_mode",
     "j10_null_safe_join",
     "stream_cdc_apply",
+    "ev_variant_agg",
 ]
 
 
@@ -4715,4 +4716,43 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+    )
+
+
+@register(
+    "ev_variant_agg",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ev_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over the VARIANT type (Spark 4): parse
+    the JSON payload ONCE into a variant column, then typed
+    `variant_get` paths feed a normal aggregate. Versus per-path
+    `get_json_object` (ev_json_extract), the parse cost is paid once per
+    row regardless of how many paths are read — the open-table-format
+    answer to schemaless event payloads at 100 TB. Extraction stays
+    JVM-side (no UDF); integer sums are exact."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
     )

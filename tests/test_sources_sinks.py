@@ -122,3 +122,23 @@ def test_flag_filters(spark):
         "b",
         "c",
     }
+
+
+def test_observation_metrics_single_pass(spark, tmp_path):
+    """Observation metrics ride the write action itself — counts and
+    bounds arrive without any second scan of the data."""
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.operators.metrics import observe_quality
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 10 == 0).alias("has_error"),
+        (F.col("id") * 2).alias("amount"),
+    )
+    instrumented, obs = observe_quality(df, error_flag="has_error", amount_col="amount")
+    instrumented.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n_rows"] == 1000
+    assert got["n_errors"] == 100
+    assert got["amount_min"] == 0 and got["amount_max"] == 1998
