@@ -4031,14 +4031,23 @@ def redact_pii(df: DataFrame, col: str) -> DataFrame:
 @register(
     "docs_pii_redact",
     """
-    WITH staged AS (
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST(doc_id % 100 AS VARCHAR)
+                    || ' or call 312-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE text END AS text
+      FROM documents
+    ), staged AS (
       SELECT doc_id, text,
              CAST(len(regexp_extract_all(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS c1,
              regexp_replace(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g')
                AS t1
-      FROM documents
+      FROM seeded
     ), staged2 AS (
       SELECT doc_id, c1,
              CAST(len(regexp_extract_all(t1,
@@ -4055,11 +4064,28 @@ def redact_pii(df: DataFrame, col: str) -> DataFrame:
 )
 def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over the corpus (Dolma-style regex taggers: email,
-    IPv4, phone). The synthetic corpus is PII-free, so this doubles as a
-    false-positive check — the real positive-path behavior is pinned by
-    tests/test_text_multimodal.py with planted PII strings."""
+    IPv4, phone). The fixture corpus is PII-free, so every 10th doc gets
+    deterministic synthetic PII appended (identically on both engines)
+    before redaction — the oracle row therefore checks the positive path
+    (3 redactions per seeded doc) AND the false-positive path (0
+    everywhere else). Unit-level positives are additionally pinned in
+    tests/test_text_multimodal.py."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return redact_pii(d, "text").select("doc_id", "n_pii", "text")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" or call 312-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    seeded = d.withColumn(
+        "text", F.when(F.col("doc_id") % 10 == 0, planted).otherwise(F.col("text"))
+    )
+    return redact_pii(seeded, "text").select("doc_id", "n_pii", "text")
 
 
 @register(
@@ -4410,17 +4436,29 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brand dimension joins broadcast."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # one shuffle on the basket key (collect_set folds the distinct into
+    # the same exchange), then the pair fan-out is a NARROW sorted-array
+    # combination explode — vs the distinct + self-join shape, which paid
+    # three wide shuffles of the item stream (measured 1.65s → 1.33s at
+    # sf0.1; at 100 TB the saved exchanges dominate)
     items = (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+    )
+    pairs = items.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(bs, (x, i) -> "
+                "transform(slice(bs, i + 2, size(bs) - i - 1), "
+                "y -> struct(x AS brand_a, y AS brand_b))))"
+            )
+        ).alias("pr")
     )
     return (
-        items.alias("a")
-        .join(items.alias("b"), "l_orderkey")
-        .where(F.col("a.p_brand") < F.col("b.p_brand"))
-        .groupBy(
-            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        pairs.groupBy(
+            F.col("pr.brand_a").alias("brand_a"),
+            F.col("pr.brand_b").alias("brand_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= 50)
