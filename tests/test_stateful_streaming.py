@@ -88,3 +88,46 @@ def test_cdc_apply_snapshot_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert snapshot() == expected
+
+
+def test_transform_with_state_plan_wiring(spark):
+    """transformWithStateInPandas (Spark 4 stateful API): the processor
+    and plan wiring are real — the streaming logical plan must carry the
+    TransformWithStateInPySpark node with the declared output schema.
+    EXECUTION is environment-gated (google.protobuf absent here; the
+    state-server protocol needs it), so the run path raises a clear
+    up-front error instead of crashing the Python runner mid-query."""
+    import tempfile
+
+    from extract_permits_spark.streaming import stateful_v2
+    from extract_permits_spark.streaming.events import read_events_stream
+
+    with tempfile.TemporaryDirectory() as work:
+        import os
+        import shutil
+
+        src = os.path.join(work, "in")
+        os.makedirs(src)
+        shutil.copy("/root/testdata/sf0.001/events.parquet", src)
+        stream = read_events_stream(spark, src)
+        agg = stateful_v2.totals_transform_with_state(stream)
+        assert agg.isStreaming
+        assert [f.name for f in agg.schema.fields] == [
+            "user_id",
+            "n_events",
+            "total_value_cents",
+        ]
+        plan = agg._jdf.queryExecution().logical().toString()
+        assert "TransformWithStateInPySpark" in plan
+
+        if not stateful_v2.protobuf_available():
+            import pytest
+
+            with pytest.raises(RuntimeError, match="protobuf"):
+                stateful_v2.run_available_now(
+                    spark, src, os.path.join(work, "ckpt")
+                )
+        else:  # pragma: no cover - environment-dependent
+            q = stateful_v2.run_available_now(spark, src, os.path.join(work, "ckpt"))
+            q.awaitTermination(120)
+            assert spark.sql("SELECT * FROM ev_tws_totals").count() > 0
