@@ -176,6 +176,38 @@ def main() -> None:
         force(minhash_md5_pairs(amp))
         times_scale["dedup_minhash_md5_sf1eq"] = round(time.time() - t0, 3)
 
+        # tf-idf at 10x documents: the explode → tf → broadcast-df join →
+        # per-doc top-3 window shape, where the token stream (not the
+        # vocabulary) is what grows 10x. Same amplified frame both
+        # engines (bench_oracle mirrors the UNION ALL view).
+        from pyspark.sql import Window as _W
+
+        tok = amp.select(
+            "doc_id", _F.explode(_F.split("text", " ")).alias("term")
+        ).where(_F.length("term") > 0)
+        tf = tok.groupBy("doc_id", "term").agg(_F.count(_F.lit(1)).alias("tf"))
+        df_ = tf.groupBy("term").agg(_F.count(_F.lit(1)).alias("df"))
+        n_docs = amp.count()
+        scored = tf.join(_F.broadcast(df_), "term").select(
+            "doc_id",
+            "term",
+            _F.round(
+                _F.col("tf")
+                * _F.log(_F.lit(float(n_docs + 1)) / (_F.col("df") + _F.lit(1.0))),
+                6,
+            ).alias("tfidf"),
+        )
+        w10 = _W.partitionBy("doc_id").orderBy(
+            _F.col("tfidf").desc(), _F.col("term")
+        )
+        t0 = time.time()
+        force(
+            scored.withColumn("rn", _F.row_number().over(w10))
+            .where(_F.col("rn") <= 3)
+            .drop("rn")
+        )
+        times_scale["text_tfidf_sf1eq"] = round(time.time() - t0, 3)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

@@ -108,6 +108,21 @@ def main() -> None:
         con.execute(oracles["dedup_minhash_md5"]).fetchall()
         times["dedup_minhash_md5_sf1eq"] = round(time.time() - t0, 3)
 
+    # tf-idf at 10x documents (mirror of bench.py's text_tfidf_sf1eq):
+    # same amplified UNION ALL view, same query text as the registry
+    # oracle (which reads the `documents` view, re-pointed here).
+    if "text_tfidf" in oracles:
+        p = os.path.join(sf_dir, "documents.parquet")
+        union = " UNION ALL ".join(
+            f"SELECT * REPLACE (doc_id + {c * 10**7} AS doc_id) "
+            f"FROM read_parquet('{p}')"
+            for c in range(10)
+        )
+        con.execute(f"CREATE OR REPLACE VIEW documents AS {union}")
+        t0 = time.time()
+        con.execute(oracles["text_tfidf"]).fetchall()
+        times["text_tfidf_sf1eq"] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
