@@ -128,6 +128,7 @@ _CHECK_FIRST = [
     "j10_null_safe_join",
     "stream_cdc_apply",
     "ev_variant_agg",
+    "vocab_bpe_train",
 ]
 
 
@@ -4794,3 +4795,138 @@ def ev_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("long").alias("max_k"),
         )
     )
+
+
+# ===========================================================================
+# Batch r6e — iterative BPE vocabulary induction (full trainer). The
+# existing vocab_bpe_pairs computes ONE round of pair statistics; this is
+# the whole training loop: N rounds of (pair stats over the vocab →
+# argmax merge → apply merge), exactly the distributed form of Sennrich
+# et al. 2016. Symbols are framed as '<sym>' so the flat-string merge
+# replace can only ever align to whole-symbol boundaries and adjacent
+# matches never share characters — replace semantics are then identical
+# across engines by construction.
+# ===========================================================================
+
+_BPE_ROUNDS = 8
+
+
+def _bpe_train_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """DuckDB replay of the full BPE training loop, one CTE pair per
+    round (pair stats + merged representation)."""
+    parts = [
+        """WITH wf AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    w0 AS MATERIALIZED (
+      SELECT array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> '<' || substr(word, i, 1) || '>'), '') AS repr,
+             freq
+      FROM wf
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    p{r} AS MATERIALIZED (
+      SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq, unnest(list_transform(
+                 range(1, len(string_split(trim(repr, '<>'), '><'))),
+                 j -> '<' || string_split(trim(repr, '<>'), '><')[j]
+                      || '><' || string_split(trim(repr, '<>'), '><')[j + 1] || '>'
+               )) AS p
+        FROM w{r - 1}
+        WHERE len(string_split(trim(repr, '<>'), '><')) >= 2
+      ) GROUP BY p ORDER BY cnt DESC, p LIMIT 1
+    ),
+    w{r} AS MATERIALIZED (
+      SELECT replace(repr, (SELECT p FROM p{r}),
+                     (SELECT '<' || replace(replace(p, '<', ''), '>', '') || '>'
+                      FROM p{r})) AS repr,
+             freq
+      FROM w{r - 1}
+    )"""
+        )
+    selects = [
+        f"""SELECT {r} AS round,
+           (SELECT string_split(trim(p, '<>'), '><')[1] FROM p{r}) AS pair_a,
+           (SELECT string_split(trim(p, '<>'), '><')[2] FROM p{r}) AS pair_b,
+           (SELECT replace(replace(p, '<', ''), '>', '') FROM p{r}) AS merged,
+           (SELECT cnt FROM p{r}) AS cnt"""
+        for r in range(1, rounds + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
+@register("vocab_bpe_train", _bpe_train_oracle_sql())
+def vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed BPE training loop (Sennrich et al. 2016): N
+    rounds of pair-statistics-over-the-vocabulary → argmax merge → apply
+    merge. The corpus collapses to its word-frequency table in ONE
+    corpus-scale shuffle; every round after that costs vocabulary-scale
+    (at 100 TB: ~10^6 vocab rows per round, trivially distributed), and
+    per-round driver state is exactly one (pair, count) row — the argmax,
+    a bounded `.first()` probe. Framed '<sym>' symbols make the merge a
+    whole-symbol-aligned literal replace with no cross-match character
+    sharing, so the oracle's replace() provably applies the identical
+    merges."""
+    from extract_permits_spark.functions.similarity import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokens(F.col("text"))).alias("word")).where(
+        F.col("word") != ""
+    )
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    cur = wf.select(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.concat(
+                    F.lit("<"), F.col("word").substr(i, F.lit(1)), F.lit(">")
+                ),
+            ),
+        ).alias("repr"),
+        "freq",
+    ).localCheckpoint(eager=True)
+
+    syms = F.split(F.expr("trim(BOTH '<>' FROM repr)"), "><")
+    n = F.size(syms)
+    pair_strs = F.when(
+        n >= 2,
+        F.transform(
+            F.arrays_zip(
+                F.slice(syms, 1, n - 1).alias("a"), F.slice(syms, 2, n - 1).alias("b")
+            ),
+            lambda s: F.concat(
+                F.lit("<"), s["a"], F.lit("><"), s["b"], F.lit(">")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        top = (
+            cur.select(F.explode(pair_strs).alias("p"), "freq")
+            .groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p"))
+            .first()
+        )
+        if top is None:  # vocabulary exhausted (not reachable on fixtures)
+            break
+        pat, cnt = top["p"], int(top["cnt"])
+        inner = pat.replace("<", "").replace(">", "")
+        a, b = pat[1:-1].split("><")
+        rows.append((r, a, b, inner, cnt))
+        cur = cur.withColumn(
+            "repr", F.replace(F.col("repr"), F.lit(pat), F.lit(f"<{inner}>"))
+        ).localCheckpoint(eager=True)
+
+    schema = "round INT, pair_a STRING, pair_b STRING, merged STRING, cnt BIGINT"
+    return spark.createDataFrame(rows, schema)

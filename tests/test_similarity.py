@@ -218,3 +218,58 @@ def test_winnowing_detects_lifted_passage(spark):
     tiny = _docs(spark, [(9, "just four words here"), (10, "")])
     n = {r["doc_id"]: 1 for r in sim.winnow_fingerprints(tiny, k=4, w=4).collect()}
     assert 9 in n and 10 not in n
+
+
+def _symspell_keys_py(s: str) -> set[str]:
+    """Pure-Python mirror of plans.analytics.symspell_keys (the Spark
+    expression): the string plus every single-character deletion."""
+    return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_symspell_recall_property():
+    """The SymSpell guarantee the fuzzy join relies on: ANY two strings
+    within Levenshtein distance 1 share at least one deletion key.
+    Property-tested over random short strings (small alphabet so
+    distance-1 pairs actually occur)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = "ab c"
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(alphabet=alphabet, max_size=8),
+        st.text(alphabet=alphabet, max_size=8),
+    )
+    def check(a, b):
+        if _lev(a, b) <= 1:
+            assert _symspell_keys_py(a) & _symspell_keys_py(b), (a, b)
+
+    check()
+
+
+def test_symspell_keys_spark_matches_python(spark):
+    """The Spark expression must produce exactly the Python mirror's key
+    set (it is the basis of the recall proof above)."""
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.plans.analytics import symspell_keys
+
+    samples = ["", "a", "ab", "red widget", "cold bolt", "x y z"]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = {
+        r["s"]: set(r["k"])
+        for r in df.select("s", symspell_keys("s").alias("k")).collect()
+    }
+    for s in samples:
+        assert got[s] == _symspell_keys_py(s), s
