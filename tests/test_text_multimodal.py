@@ -160,3 +160,29 @@ def test_pii_redaction_no_udf(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     plan = redact_pii(df, "text")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_words_udtf(spark):
+    """UDTF (row-at-a-time Python, the documented slow path): SQL-callable
+    table function with lateral join; semantics mirror the production
+    posexplode chunker."""
+    from extract_permits_spark.functions.udtfs import ChunkWords, register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM chunk_words('a b c d e f g', 3, 1)"
+    ).collect()
+    got = [(r["chunk_id"], r["start"], r["chunk"]) for r in rows]
+    assert got == [(0, 0, "a b c"), (1, 2, "c d e"), (2, 4, "e f g")]
+
+    # lateral join over a table: one UDTF call per input row
+    df = spark.createDataFrame([(1, "x y z w"), (2, None)], ["doc_id", "text"])
+    df.createOrReplaceTempView("udtf_docs")
+    out = spark.sql(
+        "SELECT doc_id, chunk_id, chunk FROM udtf_docs, "
+        "LATERAL chunk_words(text, 2, 0)"
+    ).collect()
+    assert [(r["doc_id"], r["chunk_id"], r["chunk"]) for r in out] == [
+        (1, 0, "x y"),
+        (1, 1, "z w"),
+    ]
