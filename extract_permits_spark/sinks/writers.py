@@ -76,3 +76,39 @@ def split_write(
         df.where(F.col(flag_col)).write.mode("overwrite").parquet(review_path)
     finally:
         df.unpersist()
+
+
+def write_csv_dimension(df: DataFrame, path: str) -> None:
+    """CSV interop sink, matching the reference's cache format exactly
+    (header row, comma-delimited, quoted as needed —
+    chicago/permit_cleaning.py:510-513 writes the PIN universe this way).
+    Parquet (`cached_dimension`) is the scale-correct cache; this exists
+    so a migrating user can keep feeding downstream tools that expect
+    the reference's CSVs."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def read_csv_dimension(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV interop source for reference-era caches. With an explicit
+    schema the read is single-pass; without one we DON'T let Spark
+    silently infer (that double-reads the data and can flip types
+    between runs) — everything arrives as string, typed downstream like
+    every other ingest in this engine (readers.py's all-string policy)."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def write_sorted_for_pruning(
+    df: DataFrame, path: str, sort_cols: list[str], **options
+) -> None:
+    """Parquet sink laid out for row-group skipping: sortWithinPartitions
+    on the filter columns so each row group's min/max stats are tight —
+    a point/range filter then skips most of the file at scan time. At
+    100 TB this (plus partitioning on the coarse key) is the difference
+    between reading a file and reading a row group."""
+    w = df.sortWithinPartitions(*sort_cols).write.mode("overwrite")
+    if options:  # e.g. parquet.block.size to bound row-group span
+        w = w.options(**options)
+    w.parquet(path)

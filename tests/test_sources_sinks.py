@@ -142,3 +142,106 @@ def test_observation_metrics_single_pass(spark, tmp_path):
     assert got["n_rows"] == 1000
     assert got["n_errors"] == 100
     assert got["amount_min"] == 0 and got["amount_max"] == 1998
+
+
+def test_csv_dimension_roundtrip(spark, tmp_path):
+    """Reference-format CSV cache interop: header, quoting, all-string
+    ingestion without inference (typed downstream, like every ingest)."""
+    from pyspark.sql import types as T
+
+    from extract_permits_spark.sinks.writers import (
+        read_csv_dimension,
+        write_csv_dimension,
+    )
+
+    df = spark.createDataFrame(
+        [("04-34-100-016-0000", "0434100016", 'addr with, comma "q"', "2024")],
+        ["pin", "pin10", "prop_address_full", "year"],
+    )
+    path = str(tmp_path / "dim_csv")
+    write_csv_dimension(df, path)
+    back = read_csv_dimension(spark, path)
+    assert [f.dataType for f in back.schema.fields] == [T.StringType()] * 4
+    assert back.collect() == df.collect()
+
+    # explicit schema: single-pass typed read
+    schema = T.StructType(
+        [
+            T.StructField("pin", T.StringType()),
+            T.StructField("pin10", T.StringType()),
+            T.StructField("prop_address_full", T.StringType()),
+            T.StructField("year", T.IntegerType()),
+        ]
+    )
+    typed = read_csv_dimension(spark, path, schema)
+    assert typed.first()["year"] == 2024
+
+
+def test_sorted_write_has_tight_rowgroup_stats(spark, tmp_path):
+    """write_sorted_for_pruning must produce parquet whose row-group
+    min/max ranges are disjoint (monotonic) on the sort column — the
+    physical property row-group skipping needs. Verified from the footer
+    with pyarrow, not assumed."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from extract_permits_spark.sinks.writers import write_sorted_for_pruning
+
+    df = (
+        spark.range(200_000)
+        .selectExpr("cast(hash(id) % 1000000 as long) as k", "id")
+        .repartition(2)
+    )
+    path = str(tmp_path / "sorted")
+    # force several row groups per file so the property is non-trivial
+    write_sorted_for_pruning(
+        df, path, ["k"], **{"parquet.block.size": str(64 * 1024)}
+    )
+
+    saw_multi = False
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ranges = []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            st = col.statistics
+            ranges.append((st.min, st.max))
+        saw_multi = saw_multi or len(ranges) > 1
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert lo1 <= hi1 <= lo2 <= hi2  # monotonic, disjoint-or-touching
+    assert saw_multi, "expected multiple row groups to make the test meaningful"
+
+
+def test_corrupt_json_ingestion_is_explicit(spark):
+    """Ingestion robustness: schemaless JSON rows that fail the schema
+    must land in an explicit corrupt-record column (PERMISSIVE), never
+    silently null out — the loud-failure policy the r5 events regression
+    taught (readers.py probes, never assumes)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    rows = [
+        ('{"k": 1, "v": "ok"}',),
+        ('{"k": "NOT_AN_INT", "v": "bad-type"}',),
+        ("{broken json",),
+    ]
+    df = spark.createDataFrame(rows, ["raw"])
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    parsed = df.select(
+        F.from_json(
+            "raw", schema, {"columnNameOfCorruptRecord": "_corrupt", "mode": "PERMISSIVE"}
+        ).alias("j")
+    ).select("j.*")
+    got = parsed.collect()
+    assert got[0]["k"] == 1 and got[0]["_corrupt"] is None
+    # type mismatch: field nulls out, corrupt column keeps the evidence
+    assert got[1]["k"] is None and got[1]["_corrupt"] is not None
+    assert got[2]["k"] is None and got[2]["_corrupt"] is not None
