@@ -130,6 +130,7 @@ _CHECK_FIRST = [
     "ev_variant_agg",
     "vocab_bpe_train",
     "a10_regression",
+    "sketch_cms_topk",
 ]
 
 # r7 NOTE: the driver's window covers the first 50 entries only. This
@@ -5017,4 +5018,106 @@ def a10_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("corr"),
+    )
+
+
+@register(
+    "sketch_cms_topk",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(COALESCE(text,''))), '\s+')) AS token
+      FROM documents
+      WHERE trim(COALESCE(text,'')) <> ''
+    ),
+    cms AS (
+      SELECT d, b, count(*) AS c FROM (
+        SELECT u.d,
+               CAST(('0x' || substring(md5(CAST(u.d AS VARCHAR) || ':' || token), 1, 6))
+                    AS INTEGER) % 512 AS b
+        FROM toks, (SELECT unnest([0, 1, 2, 3]) AS d) u
+      ) GROUP BY d, b
+    ),
+    exact_top AS (
+      SELECT token, count(*) AS exact_n
+      FROM toks GROUP BY token ORDER BY exact_n DESC, token LIMIT 20
+    )
+    SELECT t.token, t.exact_n,
+           min(c.c) AS est_n,
+           min(c.c) >= t.exact_n AS bound_holds
+    FROM exact_top t
+    JOIN (SELECT unnest([0, 1, 2, 3]) AS d) u ON true
+    JOIN cms c
+      ON c.d = u.d
+     AND c.b = CAST(('0x' || substring(md5(CAST(u.d AS VARCHAR) || ':' || t.token), 1, 6))
+                    AS INTEGER) % 512
+    GROUP BY t.token, t.exact_n
+    """,
+)
+def sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the token stream (d=4 md5 rows × w=512
+    buckets) queried for the exact top-20 tokens, with the sketch's
+    one-sided contract — estimate ≥ true count, always — verified as a
+    column the oracle hash-checks. The sketch table is 2048 counters
+    regardless of corpus size and builds with ONE map-side-combined
+    shuffle (each token emits d bucket increments); merging shards is
+    counter addition, the mergeable-partial shape warehouse rollups
+    need. Complements HLL (distinct) and GK (quantiles) in the sketch
+    family; md5 bucketing keeps the DuckDB replay bit-exact."""
+    from extract_permits_spark.functions.similarity import tokens as _tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.where(F.trim(F.coalesce("text", F.lit(""))) != "").select(
+        F.explode(_tokens(F.col("text"))).alias("token")
+    )
+
+    def bucket(dd, tok_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(str(dd)), F.lit(":"), tok_col).cast("binary")
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 512
+        )
+
+    rows = [
+        toks.select(F.lit(dd).alias("d"), bucket(dd, F.col("token")).alias("b"))
+        for dd in range(4)
+    ]
+    from functools import reduce
+
+    cms = (
+        reduce(DataFrame.unionByName, rows)
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact_top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("token"))
+        .limit(20)
+    )
+    probes = reduce(
+        DataFrame.unionByName,
+        [
+            exact_top.select(
+                "token", "exact_n", F.lit(dd).alias("d"),
+                bucket(dd, F.col("token")).alias("b"),
+            )
+            for dd in range(4)
+        ],
+    )
+    return (
+        probes.join(F.broadcast(cms), ["d", "b"])
+        .groupBy("token", "exact_n")
+        .agg(
+            F.min("c").alias("est_n"),
+            (F.min("c") >= F.first("exact_n")).alias("bound_holds"),
+        )
     )
