@@ -131,6 +131,7 @@ _CHECK_FIRST = [
     "vocab_bpe_train",
     "a10_regression",
     "sketch_cms_topk",
+    "ev_attribution",
 ]
 
 # r7 NOTE: the driver's window covers the first 50 entries only. This
@@ -5120,4 +5121,49 @@ def sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c").alias("est_n"),
             (F.min("c") >= F.first("exact_n")).alias("bound_holds"),
         )
+    )
+
+
+@register(
+    "ev_attribution",
+    """
+    SELECT purchase_id, user_id, click_id AS last_click_id
+    FROM (
+      SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+             row_number() OVER (
+               PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC
+             ) AS rn
+      FROM events p JOIN events c ON p.user_id = c.user_id
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+    ) WHERE rn = 1
+    """,
+)
+def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase, the single most recent
+    click inside the 30-minute lookback — the candidate interval join
+    (same shape stream_stream_join runs through the streaming engine)
+    reduced by a deterministic max-by struct per purchase. Both the join
+    and the reduction key on the same columns, so the pick is one
+    aggregation over the already-joined pairs — no second window
+    shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("interval 30 minutes"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    )
+    return (
+        pairs.groupBy("purchase_id", "user_id")
+        .agg(F.max(F.struct("c_ts", "click_id")).alias("_m"))
+        .select("purchase_id", "user_id", F.col("_m.click_id").alias("last_click_id"))
     )

@@ -243,3 +243,24 @@ def test_pagerank_flat_lineage_and_no_collect(spark):
     and the rank updates never materialize on the driver."""
     plan = _plan(spark, "graph_pagerank")
     assert "NestedLoop" not in plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The engine's join-strategy control surface: hints must change the
+    physical plan (broadcast forces BHJ; merge forces SMJ even where the
+    small side would auto-broadcast)."""
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.sources.readers import load_table
+
+    c = load_table(spark, SF_DIR, "customer")
+    n = load_table(spark, SF_DIR, "nation")
+
+    bhj = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    assert "BroadcastHashJoin" in bhj._jdf.queryExecution().executedPlan().toString()
+
+    smj = c.join(n.hint("merge"), c.c_nationkey == n.n_nationkey)
+    assert "SortMergeJoin" in smj._jdf.queryExecution().executedPlan().toString()
+
+    shj = c.join(n.hint("shuffle_hash"), c.c_nationkey == n.n_nationkey)
+    assert "ShuffledHashJoin" in shj._jdf.queryExecution().executedPlan().toString()
