@@ -24,6 +24,15 @@ CHECKS = {
     "q3_shipping_priority": ["PushedFilters"],
     "q5_nation_volume": ["BroadcastHashJoin"],
     "dedup_exact": ["HashAggregate"],
+    # r6 session-3 additions
+    "q6_forecast_revenue": ["PushedFilters"],
+    "q10_returned_items": ["TakeOrderedAndProject", "BroadcastHashJoin"],
+    "text_tfidf": ["BroadcastHashJoin"],
+    "basket_brand_pairs": ["HashAggregate", "Generate"],
+    "j9_fuzzy_symspell": ["HashAggregate"],
+    "ev_funnel": ["HashAggregate"],
+    "x6_merge_upsert": ["SortMergeJoin"],
+    "sketch_cms_topk": ["BroadcastHashJoin"],
 }
 
 
