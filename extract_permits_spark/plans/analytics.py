@@ -132,6 +132,7 @@ _CHECK_FIRST = [
     "a10_regression",
     "sketch_cms_topk",
     "ev_attribution",
+    "x7_date_spine",
 ]
 
 # r7 NOTE: the driver's window covers the first 50 entries only. This
@@ -5166,4 +5167,53 @@ def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("purchase_id", "user_id")
         .agg(F.max(F.struct("c_ts", "click_id")).alias("_m"))
         .select("purchase_id", "user_id", F.col("_m.click_id").alias("last_click_id"))
+    )
+
+
+@register(
+    "x7_date_spine",
+    """
+    WITH RECURSIVE spine(d) AS (
+      SELECT (SELECT min(CAST(ts AS DATE)) FROM events)
+      UNION ALL
+      SELECT d + INTERVAL 1 DAY FROM spine
+      WHERE d < (SELECT max(CAST(ts AS DATE)) FROM events)
+    ), act AS (
+      SELECT CAST(ts AS DATE) AS dd, count(*) AS n FROM events GROUP BY 1
+    )
+    SELECT strftime(s.d, '%Y-%m-%d') AS day,
+           coalesce(a.n, 0) AS n_events,
+           a.dd IS NULL AS is_gap
+    FROM spine s LEFT JOIN act a ON s.d = a.dd
+    """,
+)
+def x7_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free calendar spine via WITH RECURSIVE (new engine surface in
+    Spark 4) — the canonical warehouse recursive CTE: generate every day
+    between the fact table's min and max, left-join daily activity, flag
+    silent days. The spine bounds are bounded driver scalars (two-value
+    .first()); the recursion itself is O(days), never data-sized.
+    Complements the iterative-DataFrame loops (graph.py, vocab_bpe_train)
+    with the declarative recursion form for small bounded expansions."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.select(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    e.select(F.col("ts").cast("date").alias("dd")).groupBy("dd").agg(
+        F.count(F.lit(1)).alias("n")
+    ).createOrReplaceTempView("_spine_act")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE spine(d) AS (
+          SELECT DATE'{lo}'
+          UNION ALL
+          SELECT date_add(d, 1) FROM spine WHERE d < DATE'{hi}'
+        )
+        SELECT date_format(s.d, 'yyyy-MM-dd') AS day,
+               coalesce(a.n, 0) AS n_events,
+               a.dd IS NULL AS is_gap
+        FROM spine s LEFT JOIN _spine_act a ON s.d = a.dd
+        """
     )
