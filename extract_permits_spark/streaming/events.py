@@ -34,7 +34,9 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
-def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the events parquet directory.
 
     readStream needs a static schema, so the ts precision is probed from
@@ -51,24 +53,32 @@ def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
         # int64 nanos and rebuild micros. LTZ output; session tz pinned to
         # UTC so wall-clock matches the batch (NTZ) path exactly.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = (
+        reader = (
             spark.readStream.schema(_events_schema(T.LongType()))
             .format("parquet")
             .option("path", dir_path)
-            .load()
         )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        raw = reader.load()
         return raw.withColumn(
             "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
         )
     # micro/milli/second precision: read natively as NTZ (the fixture is
     # written isAdjustedToUTC=false), then cast to LTZ for the watermark;
     # UTC session tz keeps the wall clock identical to batch.
-    raw = (
+    reader = (
         spark.readStream.schema(_events_schema(T.TimestampNTZType()))
         .format("parquet")
         .option("path", dir_path)
-        .load()
     )
+    if max_files_per_trigger:
+        # bounded-backlog drain: availableNow still processes EVERYTHING
+        # available, but in micro-batches of at most N files — how a
+        # 100 TB backlog replays without one giant batch sizing the
+        # cluster. (The option caps batch size; it never drops data.)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load()
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

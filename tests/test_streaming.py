@@ -244,3 +244,46 @@ def test_stream_stream_join_matches_batch(spark):
         got = {(r["purchase_id"], r["click_id"]) for r in rows}
         assert len(rows) == len(got)  # appended exactly once each
     assert got == expected
+
+
+def test_bounded_backlog_drain_matches_batch(spark, tmp_path):
+    """availableNow + maxFilesPerTrigger=1: a multi-file backlog drains in
+    several bounded micro-batches (never one giant batch) and the final
+    aggregate still equals the batch answer — the replay discipline a
+    100 TB backlog needs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.sources.readers import load_events
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = load_events(spark, sf_dir)
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in ev.tumbling_counts(batch).collect()
+    }
+
+    src = str(tmp_path / "in")
+    # split the backlog into 4 part files
+    batch.repartition(4).write.parquet(src)
+    stream = ev.read_events_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        ev.tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("ev_test_bounded")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] and p["numInputRows"] > 0
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM ev_test_bounded").collect()
+    }
+    assert got == expected
+    assert n_batches >= 3, f"expected a multi-batch drain, saw {n_batches}"
