@@ -133,6 +133,7 @@ _CHECK_FIRST = [
     "sketch_cms_topk",
     "ev_attribution",
     "x7_date_spine",
+    "a11_histogram",
 ]
 
 # r7 NOTE: the driver's window covers the first 50 entries only. This
@@ -5216,4 +5217,41 @@ def x7_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
                a.dd IS NULL AS is_gap
         FROM spine s LEFT JOIN _spine_act a ON s.d = a.dd
         """
+    )
+
+
+@register(
+    "a11_histogram",
+    """
+    WITH b AS (
+      SELECT CAST(least(greatest(floor((c_acctbal + 1000.0) / 1000.0) + 1, 0), 12)
+                  AS BIGINT) AS bucket
+      FROM customer
+    )
+    SELECT bucket,
+           CAST(round(-1000.0 + (bucket - 1) * 1000.0, 2) AS DOUBLE) AS lo,
+           CAST(round(-1000.0 + bucket * 1000.0, 2) AS DOUBLE) AS hi,
+           count(*) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def a11_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram via width_bucket over fixed bounds (the
+    TPC-H acctbal domain [-1000, 10000], 11 buckets): a single map-side-
+    combined aggregate — the mergeable shape dashboards bin with at any
+    scale. Fixed literal bounds (not data-derived min/max) keep bucket
+    edges stable across snapshots, which is what makes day-over-day
+    histograms comparable."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = F.width_bucket("c_acctbal", F.lit(-1000.0), F.lit(10000.0), F.lit(11))
+    return (
+        c.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            F.round(F.lit(-1000.0) + (F.col("bucket") - 1) * 1000.0, 2).alias("lo"),
+            F.round(F.lit(-1000.0) + F.col("bucket") * 1000.0, 2).alias("hi"),
+            "n",
+        )
     )

@@ -287,3 +287,52 @@ def test_bounded_backlog_drain_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert n_batches >= 3, f"expected a multi-batch drain, saw {n_batches}"
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """The bounded-state streaming dedup variant: duplicates arriving
+    within the watermark horizon collapse; state expires with event time
+    instead of growing forever (the continuous-mode alternative to the
+    unbounded dropDuplicates in run_dedup_available_now)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    # the same file twice: every event redelivered within its own event time
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "a.parquet"))
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "b.parquet"))
+
+    stream = ev.read_events_stream(spark, src)
+    deduped = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .writeStream.format("memory")
+        .queryName("ev_test_wmdedup")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from extract_permits_spark.sources.readers import load_events
+
+    expected = {
+        (r["event_type"], r["n"])
+        for r in load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count_distinct("event_id").alias("n"))
+        .collect()
+    }
+    got = {
+        (r["event_type"], r["n_events"])
+        for r in spark.sql("SELECT * FROM ev_test_wmdedup").collect()
+    }
+    assert got == expected
