@@ -134,6 +134,7 @@ _CHECK_FIRST = [
     "ev_attribution",
     "x7_date_spine",
     "a11_histogram",
+    "sample_leakage_safe_split",
 ]
 
 # r7 NOTE: the driver's window covers the first 50 entries only. This
@@ -5254,4 +5255,64 @@ def a11_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(-1000.0) + F.col("bucket") * 1000.0, 2).alias("hi"),
             "n",
         )
+    )
+
+
+@register(
+    "sample_leakage_safe_split",
+    _JACCARD_PAIRS_SQL
+    + """
+    , reach(id, comp) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+        SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id
+    ),
+    comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+    keyed AS (
+      SELECT d.doc_id,
+             coalesce(c.component, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, split_key,
+             CAST(('0x' || substring(md5(CAST(split_key AS VARCHAR)), 1, 4))
+                  AS INTEGER) % 100 AS bucket
+      FROM keyed
+    )
+    """,
+)
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: hash the near-dup CLUSTER
+    root, not the doc id, so every member of a duplicate cluster lands in
+    the same split — the split hygiene that stops eval contamination by
+    near-copies (hash-split by doc id silently scatters a cluster across
+    train AND test). Isolated docs fall back to their own id; the cluster
+    labels reuse the memoized component computation, and the split is the
+    same deterministic md5 bucketing as sample_hash_split."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = _components_cached(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    keyed = d.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("split_key")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("split_key").cast("string").cast("binary")), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    return keyed.select(
+        "doc_id",
+        "split_key",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
     )

@@ -129,3 +129,55 @@ def test_registry_order_covers_previously_unchecked_entries():
         assert n in first50, f"{n} fell outside the driver's 50-entry window"
     # and every oracle key still pairs with a query
     assert set(mod.oracle_sql()) <= set(names)
+
+
+def test_merge_upsert_invariants_property(spark):
+    """Hypothesis invariants for the MERGE keep-disjunction over random
+    base/change sets: output keys unique; deleted keys absent; inserted
+    keys present iff not matched; unmatched-base rows kept unchanged."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        base=st.sets(st.integers(0, 15), max_size=8),
+        dels=st.sets(st.integers(0, 15), max_size=4),
+        ups=st.sets(st.integers(0, 15), max_size=4),
+        ins=st.sets(st.integers(16, 23), max_size=4),
+    )
+    def check(base, dels, ups, ins):
+        b = spark.createDataFrame(
+            [(k, float(k)) for k in base] or [(None, None)], "key INT, bal DOUBLE"
+        ).where(F.col("key").isNotNull())
+        ch_rows = (
+            [(k, "D", 3) for k in dels]
+            + [(k, "U", 2) for k in ups]
+            + [(k, "I", 1) for k in ins]
+        )
+        ch = spark.createDataFrame(
+            ch_rows or [(None, None, None)], "key INT, op STRING, prio INT"
+        ).where(F.col("key").isNotNull())
+        w = Window.partitionBy("key").orderBy(F.col("prio").desc())
+        ch = ch.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        m = b.join(ch, "key", "full_outer")
+        keep = (
+            (F.col("op").isNull() & F.col("bal").isNotNull())
+            | ((F.col("op") == "U") & F.col("bal").isNotNull())
+            | ((F.col("op") == "I") & F.col("bal").isNull())
+        )
+        out = {r["key"]: r["op"] for r in m.where(keep).collect()}
+
+        assert len(out) == len(set(out))  # unique keys (dict by construction)
+        for k in dels:
+            if k in base:
+                assert k not in out  # matched delete removes
+        for k in base - dels - ups:
+            assert out.get(k) is None or out[k] in ("U",)  # kept rows survive
+            assert k in out
+        for k in ins:
+            assert (k in out) == (k not in base)  # insert only when unmatched
+
+    check()
