@@ -135,6 +135,9 @@ _CHECK_FIRST = [
     "x7_date_spine",
     "a11_histogram",
     "sample_leakage_safe_split",
+    "profile_documents",
+    "ev_anomaly_zscore",
+    "graph_triangles",
 ]
 
 # r7 NOTE: the driver's window covers the first 50 entries only. This
@@ -5316,3 +5319,117 @@ def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "profile_documents",
+    """
+    SELECT
+      count(*) AS n_rows,
+      CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
+      count(DISTINCT lang) AS lang_distinct,
+      count(DISTINCT source) AS source_distinct,
+      CAST(min(n_chars) AS BIGINT) AS chars_min,
+      CAST(max(n_chars) AS BIGINT) AS chars_max,
+      CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_total,
+      CAST(sum(CAST(length(COALESCE(text,'')) AS BIGINT)) AS BIGINT) AS text_len_total
+    FROM documents
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the corpus (null counts, distincts,
+    bounds, exact totals) — the deterministic, oracle-checkable cousin of
+    df.summary(). All counters are exact BIGINTs, so partial aggregation
+    is associative; a profiling pass at 100 TB is one scan with map-side
+    combine (plus two distinct sub-aggregates on tiny-cardinality
+    columns)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).cast("long").alias(
+            "text_nulls"
+        ),
+        F.count_distinct("lang").alias("lang_distinct"),
+        F.count_distinct("source").alias("source_distinct"),
+        F.min("n_chars").cast("long").alias("chars_min"),
+        F.max("n_chars").cast("long").alias("chars_max"),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("chars_total"),
+        F.sum(F.length(F.coalesce("text", F.lit(""))).cast("long"))
+        .cast("long")
+        .alias("text_len_total"),
+    )
+
+
+@register(
+    "ev_anomaly_zscore",
+    """
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS syy
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((CAST(round(e.value * 100) AS BIGINT) * s.n - s.sy)
+                 / sqrt(CAST(s.n * s.syy - s.sy * s.sy AS DOUBLE)), 6) AS z
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE e.value IS NOT NULL
+      AND abs((CAST(round(e.value * 100) AS BIGINT) * s.n - s.sy)
+              / sqrt(CAST(s.n * s.syy - s.sy * s.sy AS DOUBLE))) > 2.5
+    """,
+)
+def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging from exact integer moments —
+    the algebraic identity z = (x·n − Σx) / sqrt(n·Σx² − (Σx)²)
+    evaluated with BIGINT numerators, so the only float ops are the final
+    division (deterministic; a naive avg/stddev_pop accumulates doubles
+    partition-order-dependently). Two passes: tiny per-type moment table,
+    broadcast back over the stream — the standard anomaly-flagging shape
+    at any scale."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    y = F.round(F.col("value") * 100).cast("long")
+    s = e.select("event_type", y.alias("y")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    j = e.join(F.broadcast(s), "event_type")
+    num = (y * F.col("n") - F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    z = num / den
+    return j.where(F.abs(z) > 2.5).select(
+        "event_id", "event_type", F.round(z, 6).alias("z")
+    )
+
+
+@register(
+    "graph_triangles",
+    _JACCARD_PAIRS_SQL
+    + """
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e1.id_b = e2.id_a
+    JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the near-dup graph — the density signal that
+    separates tight duplicate cliques from chains. Oriented-edge form
+    (id_a < id_b everywhere, so each triangle counts exactly once): two
+    equi-joins on node keys, never an all-pairs product; the classic
+    distributed triangle algorithm (order by degree at real scale to
+    bound the wedge fan-out)."""
+    pairs = _jaccard_pairs_cached(spark, sf_dir).select("id_a", "id_b")
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    wedges = e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
+    tri = wedges.join(
+        e3,
+        (F.col("e3.id_a") == F.col("e1.id_a")) & (F.col("e3.id_b") == F.col("e2.id_b")),
+    )
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
