@@ -32,12 +32,21 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload_cols: Sequence[str],
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row + the latest ``right`` payload
     with ``right_time <= left_time`` on the same key (NULLs when none).
 
+    ``direction="forward"`` flips the semantics to the EARLIEST right row
+    with ``right_time >= left_time`` (next-event enrichment); the plan is
+    identical — only the scan order reverses. ``tolerance_seconds``
+    bounds the match window (|right_time − left_time| ≤ tolerance);
+    out-of-window matches null out, exactly pandas.merge_asof semantics.
     Returns all of ``left``'s columns plus ``payload_cols`` from right.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     l_tagged = left.select(
         F.col(left_on).alias("_k"),
@@ -53,20 +62,44 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
     )
+    # carry the matched right time so a tolerance can null out-of-window
+    # matches after the fill
+    r_tagged = r_tagged.withColumn("_p__rt", F.col("_t"))
+    l_tagged = l_tagged.withColumn("_p__rt", F.lit(None).cast(r_tagged.schema["_p__rt"].dataType))
     merged = l_tagged.unionByName(r_tagged)
+    order = (
+        [F.col("_t").asc(), F.col("_side").asc()]
+        if direction == "backward"
+        else [F.col("_t").desc(), F.col("_side").asc()]
+    )
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    fill_cols = [*payload_cols, "_rt"]
     filled = merged.select(
         *[F.col(c) for c in ["_k", "_t", "_side", *lcols]],
         *[
             F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in payload_cols
+            for c in fill_cols
         ],
     )
-    return filled.where(F.col("_side") == 1).select(
+    out = filled.where(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_micros(F.col("_t").cast("timestamp"))
+            - F.unix_micros(F.col("_f__rt").cast("timestamp"))
+        )
+        in_window = gap <= tolerance_seconds * 1_000_000
+        out = out.select(
+            *[F.col(c) for c in ["_k", "_t", "_side", *lcols]],
+            *[
+                F.when(in_window, F.col(f"_f_{c}")).alias(f"_f_{c}")
+                for c in fill_cols
+            ],
+        )
+    return out.select(
         *[F.col(c) for c in lcols],
         *[F.col(f"_f_{c}").alias(c) for c in payload_cols],
     )

@@ -138,6 +138,8 @@ _CHECK_FIRST = [
     "profile_documents",
     "ev_anomaly_zscore",
     "graph_triangles",
+    "j7b_asof_forward",
+    "q1_incremental_maintenance",
 ]
 
 # r7 NOTE: the driver's window covers the first 50 entries only. This
@@ -5433,3 +5435,106 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e3.id_a") == F.col("e1.id_a")) & (F.col("e3.id_b") == F.col("e2.id_b")),
     )
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+@register(
+    "j7b_asof_forward",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           (SELECT e.event_id FROM events e
+            WHERE e.user_id = p.user_id AND e.event_type = 'error'
+              AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+            ORDER BY e.ts, e.event_id LIMIT 1) AS next_error_id
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def j7b_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance (pandas merge_asof
+    direction='forward'): each purchase enriched with the NEXT error
+    event on the same user within one hour, or NULL. Same single-shuffle
+    union+window plan as the backward join — only the scan order flips;
+    the tolerance nulls matches outside the window after the fill, so no
+    extra join appears. Oracle is the correlated-subquery formulation."""
+    from extract_permits_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    left = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    right = e.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("next_error_id")
+    )
+    out = asof_join(
+        left,
+        right,
+        left_on="user_id",
+        right_on="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload_cols=["next_error_id"],
+        direction="forward",
+        tolerance_seconds=3600,
+    )
+    return out.select("purchase_id", "user_id", "next_error_id")
+
+
+@register(
+    "q1_incremental_maintenance",
+    # oracle: the DIRECT full-table aggregate — the incremental path must
+    # be indistinguishable from recomputing
+    _ORACLES["q1_pricing_summary"],
+)
+def q1_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the Q1 pricing summary: the fact
+    stream splits into a base snapshot and an append delta (orderkey % 10),
+    each side folds to ALGEBRAIC partials (decimal sums + counts — no
+    averages), and the view refresh is a sum-of-partials merge with
+    averages derived at the end. Because every sum is exact decimal, the
+    merged view is BIT-IDENTICAL to a full recompute — the oracle IS the
+    direct aggregate. At 100 TB this turns a daily full-table scan into
+    an aggregate over yesterday's partials + today's delta."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    qty, price, disc, tax = (
+        _dec("l_quantity"),
+        _dec("l_extendedprice"),
+        _dec("l_discount"),
+        _dec("l_tax"),
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(qty).alias("p_qty"),
+            F.sum(price).alias("p_price"),
+            F.sum(price * (F.lit(1) - disc)).alias("p_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).alias("p_charge"),
+            F.sum(disc).alias("p_disc"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+
+    base = partials(li.where(F.col("l_orderkey") % 10 != 0))
+    delta = partials(li.where(F.col("l_orderkey") % 10 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("p_qty").alias("m_qty"),
+            F.sum("p_price").alias("m_price"),
+            F.sum("p_disc_price").alias("m_disc_price"),
+            F.sum("p_charge").alias("m_charge"),
+            F.sum("p_disc").alias("m_disc"),
+            F.sum("p_n").alias("m_n"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("m_qty").cast("double").alias("sum_qty"),
+        F.col("m_price").cast("double").alias("sum_base_price"),
+        F.col("m_disc_price").cast("double").alias("sum_disc_price"),
+        F.col("m_charge").cast("double").alias("sum_charge"),
+        (F.col("m_qty").cast("double") / F.col("m_n")).alias("avg_qty"),
+        (F.col("m_disc").cast("double") / F.col("m_n")).alias("avg_disc"),
+        F.col("m_n").alias("count_order"),
+    )
