@@ -114,3 +114,55 @@ def test_asof_join_edges(spark):
     assert out["e2"] == "r5"  # tie at equal time matches (≤ semantics)
     assert out["e3"] == "r7"  # later right rows ignored
     assert out["e4"] is None  # no match → NULL
+
+
+def test_asof_forward_and_tolerance(spark):
+    """Forward direction picks the EARLIEST right row at-or-after the
+    left time; tolerance nulls matches outside the window; boundary is
+    inclusive; missing matches are NULL."""
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 13:00:00"), (2, "2024-01-01 10:00:00")],
+        ["k", "t"],
+    ).select("k", F.to_timestamp("t").alias("t"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", "early"),
+            (1, "2024-01-01 10:30:00", "next"),
+            (1, "2024-01-01 11:00:00", "later"),
+        ],
+        ["k", "t", "tag"],
+    ).select("k", F.to_timestamp("t").alias("t"), "tag")
+
+    fwd = asof_join(
+        left, right, "k", "k", "t", "t", ["tag"], direction="forward"
+    )
+    got = {(r["k"], str(r["t"])): r["tag"] for r in fwd.collect()}
+    assert got[(1, "2024-01-01 10:00:00")] == "next"   # earliest >= 10:00
+    assert got[(1, "2024-01-01 13:00:00")] is None     # nothing after 13:00
+    assert got[(2, "2024-01-01 10:00:00")] is None     # no rows for key 2
+
+    tol = asof_join(
+        left, right, "k", "k", "t", "t", ["tag"],
+        direction="forward", tolerance_seconds=1800,
+    )
+    got = {(r["k"], str(r["t"])): r["tag"] for r in tol.collect()}
+    assert got[(1, "2024-01-01 10:00:00")] == "next"   # exactly 30 min: inclusive
+
+    tight = asof_join(
+        left, right, "k", "k", "t", "t", ["tag"],
+        direction="forward", tolerance_seconds=1799,
+    )
+    got = {(r["k"], str(r["t"])): r["tag"] for r in tight.collect()}
+    assert got[(1, "2024-01-01 10:00:00")] is None     # 30 min > 29:59 window
+
+    back_tol = asof_join(
+        left, right, "k", "k", "t", "t", ["tag"],
+        direction="backward", tolerance_seconds=3600,
+    )
+    got = {(r["k"], str(r["t"])): r["tag"] for r in back_tol.collect()}
+    assert got[(1, "2024-01-01 10:00:00")] == "early"  # 60 min back: inclusive
+    assert got[(1, "2024-01-01 13:00:00")] is None     # 11:00 is 2h back
