@@ -264,3 +264,21 @@ def test_join_strategy_hints_are_honored(spark):
 
     shj = c.join(n.hint("shuffle_hash"), c.c_nationkey == n.n_nationkey)
     assert "ShuffledHashJoin" in shj._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """A date/key-partitioned fact joined to a selectively-filtered dim
+    must plan a dynamicpruning subquery on the fact scan — at 100 TB
+    this is what turns 'scan the whole fact table' into 'scan the 5
+    partitions the dim filter selects'."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(100_000).select((F.col("id") % 25).alias("nk"), "id")
+    path = str(tmp_path / "fact")
+    fact.write.partitionBy("nk").mode("overwrite").parquet(path)
+    dim = spark.range(25).select(
+        F.col("id").alias("nk"), (F.col("id") % 5).alias("region")
+    )
+    j = spark.read.parquet(path).join(dim.where(F.col("region") == 0), "nk")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
