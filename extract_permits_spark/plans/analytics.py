@@ -140,6 +140,8 @@ _CHECK_FIRST = [
     "graph_triangles",
     "j7b_asof_forward",
     "q1_incremental_maintenance",
+    "ev_dau_wau",
+    "docs_dup_rate_by_source",
 ]
 
 # r7 NOTE: the driver's window covers the first 50 entries only. This
@@ -5537,4 +5539,94 @@ def q1_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m_qty").cast("double") / F.col("m_n")).alias("avg_qty"),
         (F.col("m_disc").cast("double") / F.col("m_n")).alias("avg_disc"),
         F.col("m_n").alias("count_order"),
+    )
+
+
+@register(
+    "ev_dau_wau",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    expanded AS (
+      SELECT DISTINCT du.day + CAST(u.off AS INTEGER) * INTERVAL 1 DAY AS wday, du.user_id
+      FROM du, (SELECT unnest(range(0, 7)) AS off) u
+    ),
+    wau AS (
+      SELECT CAST(wday AS DATE) AS day, count(*) AS wau FROM expanded GROUP BY 1
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+)
+def ev_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + trailing-7-day active users. WAU cannot be summed from
+    daily distincts (users repeat), so each (user, day) pair is expanded
+    to the 7 window-days it contributes to — a bounded 7× narrow fan-out
+    — then counted distinct per window day. All shuffles key on
+    (day[, user]); the expansion happens AFTER the first distinct, so
+    the fan-out applies to unique pairs, not raw events (at 100 TB the
+    raw stream is 1000× the pair count). Only window days with same-day
+    activity are reported (join, not left join), keeping the output a
+    clean day series."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    expanded = (
+        du.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "day", "user_id"
+        )
+        .select(F.date_add("day", F.col("off")).alias("day"), "user_id")
+        .distinct()
+    )
+    wau = expanded.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau")
+    )
+
+
+@register(
+    "docs_dup_rate_by_source",
+    """
+    WITH h AS (
+      SELECT source, md5(COALESCE(text, '')) AS th FROM documents
+    ),
+    g AS (
+      SELECT source, th, count(*) AS n FROM h GROUP BY source, th
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           round(CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE)
+                 / sum(n), 6) AS dup_rate
+    FROM g GROUP BY source
+    """,
+)
+def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the per-feed health metric that
+    decides which crawls need dedup attention first. Hash the text once,
+    count per (source, hash), fold to per-source totals: two shuffles,
+    both map-side combined, second one over the tiny hash-group table.
+    dup_rate counts ALL members of a duplicated hash group (a group of
+    3 contributes 3), matching 'fraction of docs that have a twin'."""
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select("source", F.md5(F.coalesce("text", F.lit(""))).alias("th"))
+        .groupBy("source", "th")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return g.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.round(
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).cast("double")
+            / F.sum("n"),
+            6,
+        ).alias("dup_rate"),
     )
