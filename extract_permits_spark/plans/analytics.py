@@ -142,6 +142,7 @@ _CHECK_FIRST = [
     "q1_incremental_maintenance",
     "ev_dau_wau",
     "docs_dup_rate_by_source",
+    "sample_weighted_per_source",
 ]
 
 # r7 NOTE: the driver's window covers the first 50 entries only. This
@@ -5629,4 +5630,58 @@ def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n"),
             6,
         ).alias("dup_rate"),
+    )
+
+
+@register(
+    "sample_weighted_per_source",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             round(ln(
+               (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) + 1.0) / 4294967297.0
+             ) / n_chars, 9) AS es_key
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, es_key
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY es_key DESC, doc_id
+      ) AS rn
+      FROM keyed
+    ) WHERE rn <= 3
+    """,
+)
+def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, k=3 per source, weight =
+    n_chars — the Efraimidis–Spirakis exponential-key scheme (key =
+    ln(u)/w, keep the k largest), with u derived from md5(doc_id) so the
+    'randomness' is deterministic, reproducible across runs, engines,
+    and partitionings. This is how a quality-weighted subsample is drawn
+    from 100 TB in ONE pass with no coordination: per-row key, per-group
+    top-k window (or a partial top-k under WindowGroupLimit) — never a
+    sequential reservoir. The 9dp rounding before ranking makes the
+    cross-engine order exact; ties break on doc_id."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 9).alias("es_key"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("es_key").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "source", "n_chars", "es_key")
     )
