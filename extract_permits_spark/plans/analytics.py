@@ -143,6 +143,7 @@ _CHECK_FIRST = [
     "ev_dau_wau",
     "docs_dup_rate_by_source",
     "sample_weighted_per_source",
+    "llm_corpus_curation",
 ]
 
 # r7 NOTE: the driver's window covers the first 50 entries only. This
@@ -5684,4 +5685,120 @@ def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("doc_id", "source", "n_chars", "es_key")
+    )
+
+
+_CURATION_SQL = _JACCARD_PAIRS_SQL + """
+    , reach(id, comp) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+        SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id
+    ),
+    comp AS MATERIALIZED (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+    canon AS MATERIALIZED (
+      SELECT component, canonical_id FROM (
+        SELECT c.component,
+               FIRST_VALUE(c.id) OVER (
+                 PARTITION BY c.component
+                 ORDER BY length(COALESCE(d.text, '')) DESC, c.id
+               ) AS canonical_id,
+               ROW_NUMBER() OVER (PARTITION BY c.component ORDER BY c.id) AS rn
+        FROM comp c JOIN documents d ON d.doc_id = c.id
+      ) WHERE rn = 1
+    ),
+    cleaned AS (
+      SELECT doc_id, lang, source,
+             trim(regexp_replace(
+               regexp_replace(COALESCE(text,''), 'https?://\\S+', '', 'g'),
+               '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, lang, source, t,
+             len(string_split_regex(t, '\\s+')) AS n_toks
+      FROM cleaned
+      WHERE length(t) >= 20 AND length(t) <= 50000
+        AND len(string_split_regex(t, '\\s+')) >= 5
+    ),
+    filt AS (
+      SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks
+      FROM gated
+      QUALIFY row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) = 1
+    ),
+    kept AS (
+      SELECT f.doc_id, f.source, f.n_toks,
+             coalesce(c.component, f.doc_id) AS split_key
+      FROM filt f
+      LEFT JOIN comp c ON f.doc_id = c.id
+      LEFT JOIN canon k ON c.component = k.component
+      WHERE c.id IS NULL OR k.canonical_id = f.doc_id
+    )
+    SELECT doc_id, source, n_toks,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT *, CAST(('0x' || substring(md5(CAST(split_key AS VARCHAR)), 1, 4))
+                     AS INTEGER) % 100 AS bucket
+      FROM kept
+    )
+"""
+
+
+@register("llm_corpus_curation", _CURATION_SQL)
+def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation flagship — what a user actually runs
+    before training: quality filter (URL-strip, length/token gates, exact
+    dedup keep-first) → near-dup removal (keep only each n-gram cluster's
+    canonical survivor: longest text, ties to lowest id) → leakage-safe
+    train/valid/test split (hash of the cluster root, so surviving docs
+    and any future cluster re-expansion stay split-stable). Every stage
+    reuses the independently-oracled machinery (docs_pretrain_filter,
+    the memoized closure, sample_leakage_safe_split), and the whole
+    chain is replayed end-to-end in DuckDB — composition is where silent
+    semantic drift hides, so the composition itself is hash-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    filt = docs_pretrain_filter(spark, sf_dir).select("doc_id", "source", "n_toks")
+    comp = _components_cached(spark, sf_dir).select("id", "component")
+    wc = Window.partitionBy("component").orderBy(
+        F.length(F.coalesce("text", F.lit(""))).desc(), F.col("id")
+    )
+    wrn = Window.partitionBy("component").orderBy("id")
+    canon = (
+        comp.join(d, comp.id == d.doc_id)
+        .select(
+            "component",
+            F.first_value("id").over(wc).alias("canonical_id"),
+            F.row_number().over(wrn).alias("_rn"),
+        )
+        .where(F.col("_rn") == 1)
+        .select("component", "canonical_id")
+    )
+    kept = (
+        filt.join(comp, filt.doc_id == comp.id, "left")
+        .join(canon, "component", "left")
+        .where(F.col("id").isNull() | (F.col("canonical_id") == F.col("doc_id")))
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            F.coalesce("component", "doc_id").alias("split_key"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("split_key").cast("string").cast("binary")), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    return kept.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
     )
