@@ -5802,3 +5802,9 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# Classic decision-support surface (adapted TPC-H Q4/Q7/Q8/Q9/Q14/Q17/
+# Q18/Q19/Q21/Q22) registers itself on import; lives in its own module
+# to keep this one navigable.
+from extract_permits_spark.plans import tpch_extra as _tpch_extra  # noqa: E402,F401

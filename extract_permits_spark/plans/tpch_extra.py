@@ -1,0 +1,585 @@
+"""Classic decision-support queries adapted to the driver fixtures.
+
+The fixture schema is a TPC-H subset (no partsupp, no l_shipmode /
+l_commitdate / l_receiptdate / p_container / c_phone), so the canonical
+queries that need those columns are re-targeted onto columns that exist
+while keeping each query's *operator shape* intact — that shape (semi
+joins from EXISTS, scalar subqueries, disjunctive pushdown, agg-then-join)
+is what the engine is being exercised on, not the literal TPC-H text.
+
+Reference parity: the reference's analytics surface is dplyr/SQL over
+permit frames (reference: chicago/permit_cleaning.py:757-840,
+analyses in reports/); these queries cover the same relational algebra
+at warehouse scale. Every entry follows the registry conventions in
+plans/analytics.py (exact decimal sums, explicit aliases, string dates).
+
+Determinism notes (cross-engine value-hash):
+- money sums go through DECIMAL(18,2) (associative; no float order drift)
+  and are cast to DOUBLE once at the end;
+- ratio outputs are a single double division of exact operands;
+- the q17 "quantity < 0.2 * avg(quantity)" threshold is restated as the
+  all-integer `5 * qty_cents * n < sum_qty_cents` — bit-exact in both
+  engines, no float rounding at the comparison boundary;
+- years are cast to INT on both sides (DuckDB year() yields BIGINT).
+
+Scale notes (100 TB):
+- nation/region are always broadcast; per-order and per-part aggregates
+  that a subsequent join consumes are broadcast when a selective filter
+  has already bounded them (q17's single-brand threshold table, q18's
+  having-filtered order list) — each such broadcast is O(selectivity x
+  dimension), not O(fact);
+- q19's OR-of-ANDs predicate references both sides of the join, so it
+  evaluates post-join, but the per-side prefilters (brand list, size
+  and quantity hulls) are pushed into the scans;
+- q21's EXISTS / NOT EXISTS pair compiles to one semi and one anti join
+  on the same shuffle key (l_orderkey), so AQE reuses the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from extract_permits_spark.plans.analytics import _dec, register
+from extract_permits_spark.sources.readers import load_table
+
+
+@register(
+    "q4_priority_exists",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join.
+
+    The date window prunes orders before the shuffle; the lineitem side
+    is filtered to qualifying rows before the semi join, so the join
+    state is qualifying lineitems only, not the whole fact."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01").cast("timestamp_ntz")
+    return (
+        o.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(
+            li.where(F.col("l_quantity") > 45).select("l_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q7_nation_trade",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(vol) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS vol
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+
+    The two-nation filter is applied to supplier and customer BEFORE the
+    fact joins (each keeps rows for either nation; the pair disjunction
+    then only rejects the two same-direction combinations), so the big
+    joins carry ~2/25 of each dimension's rows rather than filtering
+    post-join."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = F.broadcast(
+        n.where(F.col("n_name").isin(*pair)).select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        n.where(F.col("n_name").isin(*pair)).select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (
+        s.join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c.join(n2, F.col("c_nationkey") == F.col("n2_key")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_2' THEN vol
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS vol,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's market.
+
+    Share = conditional decimal sum / total decimal sum, one double
+    division at the end. part is filtered to one type then broadcast
+    (1/6 of a dimension); nation x region fold to a broadcast customer-
+    nation filter."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    asia_keys = F.broadcast(
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("asia_key"))
+    )
+    supp_nation = F.broadcast(
+        n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation"))
+    )
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    vol = price * (F.lit(1) - disc)
+    share_vol = F.when(F.col("nation") == "NATION_2", vol).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(
+            F.broadcast(p.where(F.col("p_type") == "ECONOMY").select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(asia_keys, F.col("c_nationkey") == F.col("asia_key"), "left_semi")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(share_vol).cast("double") / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_profit_by_nation",
+    """
+    SELECT n_name, o_year,
+           CAST(SUM(rev) AS DOUBLE) - 0.8 * CAST(SUM(cost) AS DOUBLE) AS profit
+    FROM (
+      SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS rev,
+             CAST(p.p_retailprice AS DECIMAL(18,2))
+               * CAST(l.l_quantity AS DECIMAL(18,2)) AS cost
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit_src
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year.
+
+    No partsupp in the fixtures, so supply cost is modeled as
+    0.8 x p_retailprice x quantity. rev and cost are summed as exact
+    decimals separately; the 0.8 scale and the subtraction are two
+    double ops on the final scalars — deterministic cross-engine."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    cost = _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(
+            F.broadcast(
+                p.where(F.col("p_name").like("%red%")).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(rev).cast("double") - F.lit(0.8) * F.sum(cost).cast("double")
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: percent of a month's revenue from promo parts.
+
+    Date window prunes lineitem at the scan; part projects down to
+    (p_partkey, p_type) and broadcasts. Single scalar output: the
+    division's operands are both exact decimal sums cast to double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    lo = F.lit("1997-09-01").cast("timestamp_ntz")
+    hi = F.lit("1997-10-01").cast("timestamp_ntz")
+    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(
+            F.broadcast(p.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(vol).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q17_small_quantity",
+    """
+    WITH pq AS (
+      SELECT l_partkey AS pk, COUNT(*) AS cnt,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_qc
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq ON pk = l_partkey
+    WHERE p_brand = 'Brand#11'
+      AND 5 * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) * cnt < sum_qc
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one brand.
+
+    The correlated `l_quantity < 0.2 * avg(l_quantity)` is decorrelated
+    to an agg-then-join, and the float threshold is restated as the
+    all-integer `5 * qty_cents * n < sum_qty_cents` (exactly equivalent:
+    qty < 0.2 * sum/n  <=>  5 * qty * n < sum) — no rounding boundary.
+
+    Scale: the per-part aggregate only needs parts of the ONE filtered
+    brand, so the brand's partkeys are broadcast-semi-joined into the
+    aggregation input first; the resulting threshold table is tiny
+    (1/25 of parts) and broadcasts into the final join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    brand_keys = F.broadcast(
+        p.where(F.col("p_brand") == "Brand#11").select("p_partkey")
+    )
+    qty_cents = (_dec("l_quantity") * 100).cast("bigint")
+    li_brand = li.join(
+        brand_keys, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    thresholds = F.broadcast(
+        li_brand.groupBy(F.col("l_partkey").alias("pk")).agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum(qty_cents).alias("sum_qc")
+        )
+    )
+    return (
+        li_brand.join(thresholds, F.col("l_partkey") == F.col("pk"))
+        .where(F.lit(5) * qty_cents * F.col("cnt") < F.col("sum_qc"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "q18_large_volume",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 280
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, order_date, o_totalprice
+    """,
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers behind very large orders.
+
+    The HAVING subquery produces a small qualifying-order list (84 of
+    15k orders at sf0.01; selectivity holds at scale because the
+    threshold sits in the distribution's tail), broadcast-semi-joined
+    into both fact scans before the wide join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = F.broadcast(
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_sq"))
+        .where(F.col("_sq") > 280)
+        .select(F.col("l_orderkey").alias("big_key"))
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("big_key"), "left_semi")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+        )
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+    )
+
+
+@register(
+    "q19_disjunctive",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides.
+
+    The disjunction references part AND lineitem columns, so it can only
+    fully evaluate post-join — but each side's hull is pushed into its
+    scan pre-join: part keeps only the three brands (within their size
+    caps), lineitem only the quantity hull [1, 30]. Catalyst's
+    constraint propagation doesn't derive these from the OR, so they are
+    stated explicitly; the oracle's optimizer derives them itself from
+    the same WHERE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    b = F.col("p_brand")
+    sz = F.col("p_size")
+    q = F.col("l_quantity")
+    arms = (
+        ((b == "Brand#2") & sz.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#13") & sz.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#24") & sz.between(1, 35) & q.between(20, 30))
+    )
+    p_hull = (
+        ((b == "Brand#2") & sz.between(1, 15))
+        | ((b == "Brand#13") & sz.between(1, 25))
+        | ((b == "Brand#24") & sz.between(1, 35))
+    )
+    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.where(q.between(1, 30))
+        .join(
+            F.broadcast(p.where(p_hull).select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .where(arms)
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole at-fault supplier on multi-supplier orders.
+
+    EXISTS -> LEFT SEMI and NOT EXISTS -> LEFT ANTI, both on l_orderkey
+    with the `other supplier` inequality as a join residual. Both
+    compile onto the same orderkey shuffle (AQE reuses the exchange);
+    no correlated per-row subquery execution anywhere."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    l1 = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_ok"), F.col("l_suppkey").alias("l2_sk")
+    )
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_ok"), F.col("l_suppkey").alias("l3_sk")
+    )
+    return (
+        l1.join(
+            o.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_ok"))
+            & (F.col("l_suppkey") != F.col("l2_sk")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_ok"))
+            & (F.col("l_suppkey") != F.col("l3_sk")),
+            "left_anti",
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q22_idle_customers",
+    """
+    WITH avgbal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n_name, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    CROSS JOIN avgbal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY n_name
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no (urgent) orders.
+
+    Every fixture customer has orders, so the idleness predicate is
+    re-targeted to `no URGENT order` — same NOT EXISTS -> anti-join
+    shape. The average balance is a 1-row exact-decimal aggregate cross-
+    joined in (bounded scalar, broadcast by construction); the anti-join
+    side projects to o_custkey only before the shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+            ).alias("a")
+        )
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )

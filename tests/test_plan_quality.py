@@ -282,3 +282,40 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     j = spark.read.parquet(path).join(dim.where(F.col("region") == 0), "nk")
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_tpch_extra_semi_anti_shapes(spark):
+    # Q4's EXISTS and Q21's EXISTS/NOT EXISTS pair decorrelate to semi/anti
+    # joins — never a per-row correlated subquery.
+    assert "LeftSemi" in _plan(spark, "q4_priority_exists")
+    q21 = _plan(spark, "q21_waiting_supplier")
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    assert "LeftAnti" in _plan(spark, "q22_idle_customers")
+
+
+def test_tpch_extra_broadcasts_and_no_bnlj(spark):
+    # every dimension/threshold side small enough to broadcast is
+    # broadcast, and no plan degenerates to a nested-loop join (the q22
+    # scalar cross-join is a 1-row broadcast NLJ by construction — the
+    # only acceptable appearance).
+    for name in (
+        "q7_nation_trade",
+        "q8_market_share",
+        "q9_profit_by_nation",
+        "q14_promo_revenue",
+        "q17_small_quantity",
+        "q18_large_volume",
+        "q19_disjunctive",
+    ):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q19_hull_prefilters_pushed(spark):
+    # the OR-of-ANDs evaluates post-join, but each side's hull must be
+    # pushed into its scan: lineitem's quantity range reaches PushedFilters.
+    plan = _plan(spark, "q19_disjunctive")
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
