@@ -56,6 +56,11 @@ HEADLINE = [
     "ev_transitions",
     "text_tfidf",
     "basket_brand_pairs",
+    # adapted TPC-H classics (the heavier join shapes earn bench rows;
+    # the scalar/scan-only ones are covered by q6's row already)
+    "q9_profit_by_nation",
+    "q18_large_volume",
+    "q21_waiting_supplier",
 ]
 
 

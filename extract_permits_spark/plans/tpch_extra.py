@@ -37,7 +37,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from extract_permits_spark.plans.analytics import _dec, register
@@ -582,4 +582,118 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the quarter's top-revenue supplier(s).
+
+    The view + scalar-MAX subquery decorrelates to one grouped aggregate
+    plus a 1-row MAX cross-joined back in (bounded scalar — broadcast by
+    construction). Revenue is an exact decimal sum cast to double once,
+    so the equality against MAX compares bit-identical doubles on both
+    engines; ties all surface, deterministically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-04-01").cast("timestamp_ntz")
+    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    rev = (
+        li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(vol).cast("double").alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q2_min_balance_supplier",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT pk, s_name, s_acctbal, n_name
+      FROM ps JOIN eu ON sk = s_suppkey
+      JOIN part ON p_partkey = pk
+      WHERE p_size = 15 AND p_type = 'LARGE'
+    )
+    SELECT pk AS p_partkey, s_name, s_acctbal, n_name
+    FROM cand
+    WHERE s_acctbal = (SELECT MIN(c2.s_acctbal) FROM cand c2 WHERE c2.pk = cand.pk)
+    """,
+)
+def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part best supplier within one region.
+
+    No partsupp in the fixtures, so the part-supplier relation is derived
+    as DISTINCT (l_partkey, l_suppkey) from lineitem, and `min supply
+    cost` becomes `min account balance` — the correlated-MIN-per-group
+    decorrelation is the shape under test. It compiles to a window MIN
+    over the part key (one shuffle) rather than an agg + join-back (two).
+
+    Scale: the part filter (size & type, ~1/300 of parts) is broadcast-
+    semi-joined into the distinct BEFORE the shuffle, so the distinct
+    runs over qualifying parts only; the region-filtered supplier
+    dimension broadcasts. s_acctbal equality compares raw stored doubles
+    — no arithmetic on either side, so ties are engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    pkeys = F.broadcast(
+        p.where((F.col("p_size") == 15) & (F.col("p_type") == "LARGE")).select(
+            "p_partkey"
+        )
+    )
+    eu = F.broadcast(
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pairs = (
+        li.join(pkeys, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    cand = pairs.join(eu, F.col("sk") == F.col("s_suppkey"))
+    w = Window.partitionBy("pk")
+    return (
+        cand.withColumn("_mn", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("_mn"))
+        .select(F.col("pk").alias("p_partkey"), "s_name", "s_acctbal", "n_name")
     )

@@ -313,6 +313,15 @@ def test_tpch_extra_broadcasts_and_no_bnlj(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_q2_min_per_group_is_single_window_shuffle(spark):
+    # the correlated MIN-per-part decorrelates to a window MIN (one
+    # shuffle), not an agg + join-back (two); dimension sides broadcast.
+    plan = _plan(spark, "q2_min_balance_supplier")
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q19_hull_prefilters_pushed(spark):
     # the OR-of-ANDs evaluates post-join, but each side's hull must be
     # pushed into its scan: lineitem's quantity range reaches PushedFilters.
