@@ -697,3 +697,44 @@ def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s_acctbal") == F.col("_mn"))
         .select(F.col("pk").alias("p_partkey"), "s_name", "s_acctbal", "n_name")
     )
+
+
+@register(
+    "jsonl_corpus_roundtrip",
+    """
+    SELECT doc_id, text, lang, source, n_chars, 0 AS n_corrupt
+    FROM documents
+    """,
+)
+def jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus interchange fidelity: documents -> gzip JSONL shards ->
+    schema-explicit re-read -> corrupt-quarantine split. The oracle is
+    the untouched source table, so any encoding loss (unicode, nulls,
+    numeric width) or spurious quarantine hash-mismatches. Distributed
+    on both legs; 3 shards stand in for the few-hundred-MB shard policy
+    (gzip shards are the read-parallelism unit at 100 TB)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from extract_permits_spark.sinks.corpus_io import (
+        read_jsonl_corpus,
+        split_corrupt,
+        write_jsonl_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="jsonl_rt_") + "/corpus"
+    write_jsonl_corpus(docs.repartition(3), path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    clean, bad = split_corrupt(read_jsonl_corpus(spark, path, schema))
+    n_bad = bad.count()  # bounded scalar (shard QA gate), not a hot path
+    return clean.withColumn("n_corrupt", F.lit(n_bad).cast("int"))
