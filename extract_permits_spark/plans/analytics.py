@@ -5808,3 +5808,100 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q18/Q19/Q21/Q22) registers itself on import; lives in its own module
 # to keep this one navigable.
 from extract_permits_spark.plans import tpch_extra as _tpch_extra  # noqa: E402,F401
+
+
+@register(
+    "ev_gap_fill",
+    """
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.user_id, s.day, d.cents
+      FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    ),
+    f AS (
+      SELECT user_id, day, cents,
+        last_value(cents IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+        last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(cents IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+        first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           round((CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                  ELSE CAST(pc AS DOUBLE)
+                       + CAST(nc - pc AS DOUBLE)
+                         * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                            / CAST(date_diff('day', pd, nd) AS DOUBLE))
+                  END) / 100.0, 6) AS daily_value,
+           cents IS NULL AS interpolated
+    FROM f
+    """,
+)
+def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with linear interpolation, per user over a
+    daily spine (the feature-engineering step before any model sees an
+    irregular signal). Spine = sequence(min_day, max_day) per user —
+    bounded fan-out, exploded narrow, never a global calendar cross
+    join. Prev/next anchors come from last/first IGNORE NULLS windows
+    over the same user-day shuffle (one exchange total for both
+    directions + the join).
+
+    Exact integer core: daily totals in BIGINT cents; the interpolation
+    `pc + (nc - pc) * (Δprev / Δspan)` is evaluated in the identical
+    operation order on both engines (int-to-double conversions are
+    exact, IEEE ops are deterministic), then rounded to 6dp once."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("DAY", "ts").alias("day")
+    ).agg(F.sum(cents).alias("cents"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wp = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    marked_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    pc = F.last("cents", ignorenulls=True).over(wp)
+    pd_ = F.last(marked_day, ignorenulls=True).over(wp)
+    nc = F.first("cents", ignorenulls=True).over(wn)
+    nd = F.first(marked_day, ignorenulls=True).over(wn)
+    frac = F.datediff(F.col("day"), pd_).cast("double") / F.datediff(
+        nd, pd_
+    ).cast("double")
+    filled = F.when(
+        F.col("cents").isNotNull(), F.col("cents").cast("double")
+    ).otherwise(pc.cast("double") + (nc - pc).cast("double") * frac)
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(filled / F.lit(100.0), 6).alias("daily_value"),
+        F.col("cents").isNull().alias("interpolated"),
+    )

@@ -1,0 +1,125 @@
+"""Z-order clustering and small-file compaction: the layout properties
+they promise must be measurable in the written files' parquet stats."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from extract_permits_spark.sinks.layout import compact_parquet, dir_bytes, write_zordered
+from extract_permits_spark.sources.readers import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _file_ranges(path: str, cols):
+    """[(file, {col: (min, max)})] from parquet footers — no data read."""
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        lo = {c: None for c in cols}
+        hi = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    s = col.statistics
+                    lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                    hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+        out.append((f, {c: (lo[c], hi[c]) for c in cols}))
+    return out
+
+
+def test_zorder_files_cover_compact_rectangles(spark, tmp_path):
+    # cluster lineitem on (l_partkey, l_suppkey); with 4 z-ordered files
+    # each must cover a SMALL rectangle of the 2-D key domain, so a
+    # point/range filter on EITHER column can skip most files on stats
+    # alone. A single-column sort cannot do this: its files span the
+    # full domain of the second column.
+    li = load_table(spark, SF_DIR, "lineitem").select("l_partkey", "l_suppkey")
+    zpath = str(tmp_path / "zorder")
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], num_files=4)
+
+    row = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).first()
+    pk_span = row[1] - row[0] or 1
+    sk_span = row[3] - row[2] or 1
+
+    ranges = _file_ranges(zpath, ["l_partkey", "l_suppkey"])
+    assert len(ranges) == 4
+    areas = []
+    for _f, r in ranges:
+        pk_lo, pk_hi = r["l_partkey"]
+        sk_lo, sk_hi = r["l_suppkey"]
+        areas.append(((pk_hi - pk_lo) / pk_span) * ((sk_hi - sk_lo) / sk_span))
+    # each file ~ a quadrant: area well under the full domain; the
+    # average must beat the 1.0 a 1-D sort yields on the 2nd column
+    assert max(areas) <= 0.60, areas
+    assert sum(areas) / len(areas) <= 0.40, areas
+
+    # and the data itself round-trips
+    back = spark.read.parquet(zpath)
+    assert back.count() == li.count()
+
+
+def test_zorder_beats_single_column_sort_on_second_column(spark, tmp_path):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_partkey", "l_suppkey")
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], num_files=4)
+    (
+        li.repartitionByRange(4, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    row = li.agg(F.min("l_suppkey"), F.max("l_suppkey")).first()
+    span = row[1] - row[0] or 1
+
+    def avg_sk_cover(path):
+        rs = _file_ranges(path, ["l_suppkey"])
+        return sum((hi - lo) / span for _f, (lo, hi) in ((f, r["l_suppkey"]) for f, r in rs)) / len(rs)
+
+    # the 1-D layout leaves every file spanning ~the whole supplier
+    # domain; the z-order layout must cut that coverage roughly in half
+    assert avg_sk_cover(spath) > 0.9
+    assert avg_sk_cover(zpath) < 0.6
+
+
+def test_compaction_hits_target_file_count_and_preserves_rows(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    frag = str(tmp_path / "fragmented")
+    docs.repartition(64).write.parquet(frag)  # the small-file problem
+    assert len(glob.glob(os.path.join(frag, "part-*.parquet"))) == 64
+
+    dst = str(tmp_path / "compacted")
+    target = max(1, dir_bytes(frag) // 4)  # aim for ~4 files
+    n = compact_parquet(spark, frag, dst, target_file_bytes=target)
+    files = glob.glob(os.path.join(dst, "part-*.parquet"))
+    assert len(files) == n <= 6
+    back = spark.read.parquet(dst)
+    assert back.count() == docs.count()
+    assert sorted(r[0] for r in back.select("doc_id").collect()) == sorted(
+        r[0] for r in docs.select("doc_id").collect()
+    )
+
+
+def test_compaction_with_sort_restores_pruning_layout(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    frag = str(tmp_path / "frag2")
+    docs.repartition(32).write.parquet(frag)
+    dst = str(tmp_path / "sorted")
+    compact_parquet(
+        spark, frag, dst, target_file_bytes=dir_bytes(frag) // 2, sort_cols=["doc_id"]
+    )
+    # files are range-disjoint on the sort key -> stats-based pruning works
+    ranges = sorted(
+        r["doc_id"] for _f, r in _file_ranges(dst, ["doc_id"])
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges

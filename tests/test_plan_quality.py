@@ -328,3 +328,40 @@ def test_q19_hull_prefilters_pushed(spark):
     plan = _plan(spark, "q19_disjunctive")
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
     assert "LessThanOrEqual(l_quantity,30.0)" in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
+    # At 100 TB a selective dim filter on one side of a SHUFFLE join
+    # injects a runtime bloom filter on the fact scan (the non-broadcast
+    # analog of DPP). The size thresholds that gate it are meant for
+    # real clusters, so they're lowered here only to make the optimizer
+    # take the same decision on fixture-sized inputs.
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    ]
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        o = (
+            analytics.load_table(spark, SF_DIR, "orders")
+            .where(F.col("o_orderstatus") == "P")
+        )
+        li = analytics.load_table(spark, SF_DIR, "lineitem")
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan  # probe-side pushdown filter
+        assert "bloom_filter_agg" in plan  # build-side partial aggregate
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
