@@ -149,9 +149,13 @@ _CHECK_FIRST = [
 # r7 NOTE: the driver's window covers the first 50 entries only. This
 # round it records the 47 r2-r5-never-checked entries + the first three
 # r6b additions; next round, rotate the tail of _CHECK_FIRST (everything
-# from "docs_pii_redact" on) into the head so the newer surface earns
-# driver rows too — all entries already carry local check_queries
-# evidence (114/114 at sf0.01, tools/check_queries.py).
+# from "docs_pii_redact" on) into the head PLUS the r6d additions
+# (q4/q7/q8/q9/q14/q15/q17/q18/q19/q21/q22/q2 classics,
+# jsonl_corpus_roundtrip, ev_gap_fill, ev_entropy, a12_winsorize,
+# u4_except_all) so the newer surface earns driver rows too — all
+# entries already carry local check_queries evidence (sf0.01,
+# tools/check_queries.py, green at registration time and in the full
+# 138/138 r6d sweep).
 
 
 def _reordered(d: dict) -> dict:
@@ -5905,3 +5909,120 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(filled / F.lit(100.0), 6).alias("daily_value"),
         F.col("cents").isNull().alias("interpolated"),
     )
+
+
+@register(
+    "ev_entropy",
+    """
+    WITH tc AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           round(-(SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))))
+                   / SUM(c) + ln(SUM(c)), 6) AS type_entropy,
+           CAST(SUM(c) AS BIGINT) AS n_events
+    FROM tc GROUP BY user_id
+    """,
+)
+def ev_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity metric corpus curation uses to separate bots
+    (entropy ~0, one action repeated) from organic sessions. Algebraic
+    identity H = ln N − (Σ c·ln c)/N keeps it a single mergeable
+    aggregate over exact integer counts: two shuffles total (type
+    counts, then per-user fold), no per-row probability column. The only
+    floats are ln() of exact ints folded over ≤5 terms, rounded to 6dp —
+    cross-engine-stable."""
+    e = load_table(spark, sf_dir, "events")
+    tc = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    cd = F.col("c").cast("double")
+    return tc.groupBy("user_id").agg(
+        F.round(
+            -(F.sum(cd * F.log(cd)) / F.sum("c")) + F.log(F.sum("c")), 6
+        ).alias("type_entropy"),
+        F.sum("c").cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "a12_winsorize",
+    """
+    WITH q AS (
+      SELECT c_mktsegment AS seg,
+             quantile_cont(c_acctbal, 0.05) AS p05,
+             quantile_cont(c_acctbal, 0.95) AS p95
+      FROM customer GROUP BY 1
+    )
+    SELECT seg,
+           round(p05, 6) AS p05,
+           round(p95, 6) AS p95,
+           CAST(COUNT(*) FILTER (WHERE c_acctbal < p05 OR c_acctbal > p95)
+                AS BIGINT) AS n_clipped,
+           CAST(SUM(CAST(
+                 CAST(round(100 * CASE WHEN c_acctbal < p05 THEN p05
+                                       WHEN c_acctbal > p95 THEN p95
+                                       ELSE c_acctbal END) AS BIGINT)
+                 AS DECIMAL(18,0))) AS DOUBLE) / 100.0 AS winsorized_total
+    FROM customer JOIN q ON c_mktsegment = seg
+    GROUP BY seg, p05, p95
+    """,
+)
+def a12_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clip to [p05, p95]) — the outlier
+    treatment quality-score pipelines apply before averaging. Exact
+    linear-interpolation percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`) computed per segment in one aggregate, broadcast
+    back over the stream (5-row join side), clip as a CASE expression.
+    The clipped total is summed in BIGINT cents (clip bounds rounded to
+    cents first) so the aggregate stays associative and exact."""
+    c = load_table(spark, sf_dir, "customer")
+    q = F.broadcast(
+        c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+            F.percentile("c_acctbal", F.lit(0.05)).alias("p05"),
+            F.percentile("c_acctbal", F.lit(0.95)).alias("p95"),
+        )
+    )
+    bal = F.col("c_acctbal")
+    clipped = (
+        F.when(bal < F.col("p05"), F.col("p05"))
+        .when(bal > F.col("p95"), F.col("p95"))
+        .otherwise(bal)
+    )
+    cents = F.round(F.lit(100) * clipped).cast("bigint").cast("decimal(18,0)")
+    return (
+        c.join(q, c.c_mktsegment == F.col("seg"))
+        .groupBy("seg", "p05", "p95")
+        .agg(
+            F.sum(((bal < F.col("p05")) | (bal > F.col("p95"))).cast("bigint"))
+            .cast("bigint")
+            .alias("n_clipped"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("winsorized_total"),
+        )
+        .select(
+            "seg",
+            F.round("p05", 6).alias("p05"),
+            F.round("p95", 6).alias("p95"),
+            "n_clipped",
+            "winsorized_total",
+        )
+    )
+
+
+@register(
+    "u4_except_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus IN ('O', 'P')
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def u4_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity-aware difference — the set
+    EXCEPT that u3/j2 cover would collapse duplicates). Spark plans
+    exceptAll as a count-tagged union + generate (one shuffle), never a
+    per-row correlated probe."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.where(F.col("o_orderstatus").isin("O", "P")).select("o_custkey")
+    right = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return left.exceptAll(right)
