@@ -154,6 +154,19 @@ def main() -> None:
             write_pipeline_partitioned,
         )
 
+        def _settle():
+            # the scale rows share one JVM: clear cached relations and
+            # nudge a full GC between rows so row N's heap churn (e.g.
+            # the 6M-row pipeline) doesn't tax row N+1's measurement —
+            # without this the minhash row has measured anywhere from
+            # 13 s to 55 s on identical code depending on predecessor
+            # heap state.
+            spark.catalog.clearCache()
+            try:
+                spark._jvm.System.gc()
+            except Exception:
+                pass
+
         permits_raw, universe = amplified_permits_from_tpch(spark, sf_dir, copies=10)
         out = tempfile.mkdtemp(prefix="bench_pipeline_sf1eq_")
         t0 = time.time()
@@ -162,6 +175,7 @@ def main() -> None:
         finally:
             shutil.rmtree(out, ignore_errors=True)
         times_scale["permit_pipeline_sf1eq"] = round(time.time() - t0, 3)
+        _settle()
 
         # dedup at 10x: documents unioned with shifted ids — every doc
         # gains 9 exact twins, the dup-heavy crawl shape LSH exists for.
@@ -180,6 +194,7 @@ def main() -> None:
         t0 = time.time()
         force(minhash_md5_pairs(amp))
         times_scale["dedup_minhash_md5_sf1eq"] = round(time.time() - t0, 3)
+        _settle()
 
         # tf-idf at 10x documents: the explode → tf → broadcast-df join →
         # per-doc top-3 window shape, where the token stream (not the
@@ -212,6 +227,45 @@ def main() -> None:
             .drop("rn")
         )
         times_scale["text_tfidf_sf1eq"] = round(time.time() - t0, 3)
+        _settle()
+
+        # classic-join shape at 10x: Q21's semi+anti pair on ~6M lineitem /
+        # 150k orders (suppliers unamplified — 10x the lineitems per
+        # supplier, the skew direction that stresses the orderkey
+        # shuffle). bench_oracle mirrors with UNION ALL views + the same
+        # oracle SQL.
+        from extract_permits_spark.plans.tpch_extra import q21_from_frames
+
+        li0 = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_returnflag"
+        )
+        o0 = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        sup = load_table(spark, sf_dir, "supplier")
+        stride = 10**7
+        amp_li, amp_o = li0, o0
+        for c in range(1, 10):
+            amp_li = amp_li.unionByName(
+                li0.withColumn("l_orderkey", _F.col("l_orderkey") + _F.lit(c * stride))
+            )
+            amp_o = amp_o.unionByName(
+                o0.withColumn("o_orderkey", _F.col("o_orderkey") + _F.lit(c * stride))
+            )
+        # materialize the amplified facts OUTSIDE the timed region: Q21
+        # references lineitem three times, and timing a lazy 10-copy
+        # union would measure 30 re-scans, not the join engine — at
+        # scale the 6M-row table exists on disk. bench_oracle mirrors
+        # (CREATE TABLE from the union, then time the query).
+        amp_dir = tempfile.mkdtemp(prefix="bench_q21_sf1eq_")
+        amp_li.write.parquet(os.path.join(amp_dir, "lineitem"))
+        amp_o.write.parquet(os.path.join(amp_dir, "orders"))
+        li_m = spark.read.parquet(os.path.join(amp_dir, "lineitem"))
+        o_m = spark.read.parquet(os.path.join(amp_dir, "orders"))
+        t0 = time.time()
+        force(q21_from_frames(li_m, o_m, sup))
+        times_scale["q21_waiting_supplier_sf1eq"] = round(time.time() - t0, 3)
+        shutil.rmtree(amp_dir, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
     print(

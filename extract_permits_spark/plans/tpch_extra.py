@@ -496,6 +496,12 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
+    return q21_from_frames(li, o, s)
+
+
+def q21_from_frames(li: DataFrame, o: DataFrame, s: DataFrame) -> DataFrame:
+    """Q21 logic over caller-supplied frames (bench.py reuses it on 10x
+    key-shifted facts for the sf1-equivalent scale row)."""
     l1 = li.where(F.col("l_returnflag") == "R").select(
         "l_orderkey", "l_suppkey"
     )

@@ -94,6 +94,21 @@ def main() -> None:
         con.execute(oracles["permit_pipeline_upload"]).fetchall()
         times["permit_pipeline_sf1eq"] = round(time.time() - t0, 3)
 
+    # classic-join shape at 10x: materialize the amplified facts first
+    # (mirror of bench.py, which writes them to parquet outside the
+    # timed region — Q21 references lineitem 3x, so timing the lazy
+    # union would measure re-scans, not the join), then time the query.
+    if "q21_waiting_supplier" in oracles and "permit_pipeline_upload" in oracles:
+        con.execute("CREATE TABLE _amp_orders AS SELECT * FROM orders")
+        con.execute("CREATE TABLE _amp_lineitem AS SELECT * FROM lineitem")
+        con.execute("CREATE OR REPLACE VIEW orders AS SELECT * FROM _amp_orders")
+        con.execute(
+            "CREATE OR REPLACE VIEW lineitem AS SELECT * FROM _amp_lineitem"
+        )
+        t0 = time.time()
+        con.execute(oracles["q21_waiting_supplier"]).fetchall()
+        times["q21_waiting_supplier_sf1eq"] = round(time.time() - t0, 3)
+
     # dedup at 10x: same amplified-documents input, same md5-banded
     # algorithm both engines (bench.py's dedup_minhash_md5_sf1eq row)
     if "dedup_minhash_md5" in oracles:
