@@ -112,3 +112,19 @@ def write_sorted_for_pruning(
     if options:  # e.g. parquet.block.size to bound row-group span
         w = w.options(**options)
     w.parquet(path)
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in `df`, leave every other partition's files untouched. This is the
+    incremental-rewrite primitive (recompute yesterday, keep history) —
+    static overwrite mode would drop the whole table. Per-write option,
+    not a session conf, so concurrent writers aren't affected."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

@@ -123,3 +123,42 @@ def test_compaction_with_sort_restores_pruning_layout(spark, tmp_path):
     )
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, ranges
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_path):
+    from extract_permits_spark.sinks.writers import overwrite_partitions
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "by_source")
+    overwrite_partitions(docs, path, ["source"])
+    sources = [r[0] for r in docs.select("source").distinct().collect()]
+    assert len(sources) >= 2
+    target, keep = sources[0], sources[1]
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(path, f"source={keep}", "*.parquet"))
+    }
+    assert before
+
+    # rewrite ONE partition with modified rows
+    patch = (
+        docs.where(F.col("source") == target)
+        .withColumn("n_chars", F.col("n_chars") + 1000000)
+    )
+    overwrite_partitions(patch, path, ["source"])
+
+    # untouched partition: same files, same mtimes
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(path, f"source={keep}", "*.parquet"))
+    }
+    assert after == before
+    # rewritten partition carries the new values; total row count unchanged
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert (
+        back.where(F.col("source") == target)
+        .agg(F.min("n_chars"))
+        .first()[0]
+        >= 1000000
+    )

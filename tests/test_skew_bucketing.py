@@ -90,3 +90,53 @@ def test_salted_join_accepts_spark_aliases(spark):
         skew.salted_join(left, right, "k", num_salts=2, how=how).collect()
     with _pytest.raises(ValueError, match="salted_join supports"):
         skew.salted_join(left, right, "k", how="full")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's OptimizeSkewedJoin must split a hot key's shuffle partition
+    into parallel sub-reads (SortMergeJoin(skew=true) + AQEShuffleRead
+    skewed in the FINAL adaptive plan). This is the runtime complement
+    to the explicit salting path (a8_salted_agg): at 100 TB the hot key
+    you didn't anticipate is handled by the engine, not a rewrite. Size
+    thresholds are cluster-scale, so they're lowered to reproduce the
+    decision on test-sized data; the final plan only materializes on
+    the frame's own query execution, hence collect(), not a write."""
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.shuffle.partitions",
+    ]
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # 2/3 of rows land on key 0 (the hot key); the rest spread over 100
+        left = spark.range(0, 100000).select(
+            F.when(F.col("id") % 3 != 2, 0)
+            .otherwise(F.col("id") % 100 + 1)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 101).select(
+            F.col("id").alias("k"), F.lit("dim").alias("name")
+        )
+        j = left.join(right.hint("merge"), "k").select("k", "pad", "name")
+        assert len(j.collect()) == 100000  # row fidelity across the split
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

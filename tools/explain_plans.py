@@ -33,6 +33,20 @@ CHECKS = {
     "ev_funnel": ["HashAggregate"],
     "x6_merge_upsert": ["SortMergeJoin"],
     "sketch_cms_topk": ["BroadcastHashJoin"],
+    # r6 session-4: adapted classics + curation stats
+    "q4_priority_exists": ["LeftSemi", "PushedFilters"],
+    "q7_nation_trade": ["BroadcastHashJoin"],
+    "q8_market_share": ["LeftSemi", "BroadcastHashJoin"],
+    "q9_profit_by_nation": ["BroadcastHashJoin"],
+    "q17_small_quantity": ["LeftSemi", "BroadcastHashJoin"],
+    "q18_large_volume": ["LeftSemi", "BroadcastHashJoin"],
+    "q19_disjunctive": ["PushedFilters", "BroadcastHashJoin"],
+    "q21_waiting_supplier": ["LeftSemi", "LeftAnti"],
+    "q22_idle_customers": ["LeftAnti", "BroadcastHashJoin"],
+    "q2_min_balance_supplier": ["Window", "BroadcastHashJoin"],
+    "ev_gap_fill": ["Window", "Generate"],
+    "ev_entropy": ["HashAggregate"],
+    "a12_winsorize": ["BroadcastHashJoin"],
 }
 
 
