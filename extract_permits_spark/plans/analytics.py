@@ -6026,3 +6026,98 @@ def u4_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = o.where(F.col("o_orderstatus").isin("O", "P")).select("o_custkey")
     right = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     return left.exceptAll(right)
+
+
+def _bpe_encode_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """DuckDB replay of BPE ENCODING as sequential merge application:
+    the same per-round CTE chain as the trainer's oracle, with `word`
+    carried through so the final representation maps each vocabulary
+    word to its token sequence. Hash-matching this against the Spark
+    side's rank-priority encoder (functions/bpe.py) is an empirical
+    proof of the two formulations' equivalence on the corpus."""
+    parts = [
+        """WITH wf AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    w0 AS MATERIALIZED (
+      SELECT word,
+             array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> '<' || substr(word, i, 1) || '>'), '') AS repr,
+             freq
+      FROM wf
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    p{r} AS MATERIALIZED (
+      SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq, unnest(list_transform(
+                 range(1, len(string_split(trim(repr, '<>'), '><'))),
+                 j -> '<' || string_split(trim(repr, '<>'), '><')[j]
+                      || '><' || string_split(trim(repr, '<>'), '><')[j + 1] || '>'
+               )) AS p
+        FROM w{r - 1}
+        WHERE len(string_split(trim(repr, '<>'), '><')) >= 2
+      ) GROUP BY p ORDER BY cnt DESC, p LIMIT 1
+    ),
+    w{r} AS MATERIALIZED (
+      SELECT word,
+             replace(repr, (SELECT p FROM p{r}),
+                     (SELECT '<' || replace(replace(p, '<', ''), '>', '') || '>'
+                      FROM p{r})) AS repr,
+             freq
+      FROM w{r - 1}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT word,
+           CAST(len(string_split(trim(repr, '<>'), '><')) AS BIGINT) AS n_syms,
+           array_to_string(string_split(trim(repr, '<>'), '><'), '|') AS token_str
+    FROM w{rounds}"""
+    )
+    return "".join(parts)
+
+
+@register("vocab_bpe_encode", _bpe_encode_oracle_sql())
+def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION over the corpus vocabulary: train the
+    8-round merge table (reusing vocab_bpe_train's distributed loop),
+    then encode every distinct word with the rank-priority encoder
+    (functions/bpe.py, Arrow-batched mapInPandas). The oracle replays
+    encoding as SEQUENTIAL merge application — the hash match proves
+    the two classic BPE formulations equivalent on this corpus, token
+    string by token string.
+
+    Scale shape: encoding runs on the VOCABULARY (distinct words), not
+    the word stream — the deployment pattern that makes a 50k-merge
+    tokenizer affordable at 100 TB (vocab-scale Python, corpus-scale
+    work stays a join). The 8-row merge table on the driver is bounded
+    state, same class as the k-means centroids."""
+    from extract_permits_spark.functions.bpe import encode_words
+    from extract_permits_spark.functions.similarity import tokens
+
+    merges_pdf = (
+        vocab_bpe_train(spark, sf_dir)
+        .orderBy("round")
+        .select("pair_a", "pair_b")
+        .toPandas()  # 8 rows — bounded driver state by construction
+    )
+    merges = list(zip(merges_pdf["pair_a"], merges_pdf["pair_b"]))
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    enc = encode_words(vocab, merges)
+    return enc.select(
+        "word",
+        F.size("tokens").cast("bigint").alias("n_syms"),
+        F.concat_ws("|", "tokens").alias("token_str"),
+    )

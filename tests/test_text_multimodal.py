@@ -186,3 +186,51 @@ def test_chunk_words_udtf(spark):
         (1, 0, "x y"),
         (1, 1, "z w"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# BPE encoder (functions/bpe.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_encode_word_hand_computed():
+    from extract_permits_spark.functions.bpe import bpe_encode_word
+
+    ranks = {("a", "b"): 0, ("ab", "c"): 1, ("d", "e"): 2}
+    assert bpe_encode_word("abc", ranks) == ["abc"]
+    assert bpe_encode_word("cab", ranks) == ["c", "ab"]
+    assert bpe_encode_word("abcabc", ranks) == ["abc", "abc"]
+    assert bpe_encode_word("deab", ranks) == ["de", "ab"]
+    assert bpe_encode_word("xyz", ranks) == ["x", "y", "z"]
+    assert bpe_encode_word("a", ranks) == ["a"]
+    assert bpe_encode_word("", ranks) == []
+
+
+def test_bpe_encode_priority_beats_position():
+    from extract_permits_spark.functions.bpe import bpe_encode_word
+
+    # ("b","c") has LOWER rank than ("a","b"): in "abc" the rank-priority
+    # encoder must merge bc first even though ab appears first
+    ranks = {("b", "c"): 0, ("a", "b"): 1}
+    assert bpe_encode_word("abc", ranks) == ["a", "bc"]
+
+
+def test_bpe_encode_words_mapinpandas(spark):
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.functions.bpe import bpe_encode_word, encode_words
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "r")]
+    df = spark.createDataFrame(
+        [("low",), ("lower",), ("lowest",), ("slow",)], ["word"]
+    )
+    got = {r["word"]: list(r["tokens"]) for r in encode_words(df, merges).collect()}
+    ranks = {m: i for i, m in enumerate(merges)}
+    for w in ("low", "lower", "lowest", "slow"):
+        assert got[w] == bpe_encode_word(w, ranks)
+        assert "".join(got[w]) == w  # lossless
+    # plan: Arrow-batched, not row-pickled
+    plan = (
+        encode_words(df, merges)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan
