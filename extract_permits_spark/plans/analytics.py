@@ -6121,3 +6121,110 @@ def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tokens").cast("bigint").alias("n_syms"),
         F.concat_ws("|", "tokens").alias("token_str"),
     )
+
+
+@register(
+    "docs_unigram_xent",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) AS word
+      FROM documents
+    ),
+    w AS (SELECT doc_id, word FROM words WHERE word <> ''),
+    uni AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY word
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           round(-sum(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / count(*), 6) AS xent
+    FROM w JOIN uni USING (word) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def docs_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus's own
+    unigram model — the perplexity-filter shape (CCNet/Gopher style):
+    documents whose words are corpus-atypical score high and get culled.
+    Exact integer counts feed the model; ln() of exact ratios is the
+    only float, folded per document and rounded once. The unigram model
+    is corpus-scale aggregated ONCE and joined back (broadcast at real
+    vocab sizes ~10^6); never a per-document vocabulary pass."""
+    from extract_permits_spark.functions.similarity import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).where(F.col("word") != "")
+    uni = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    return (
+        w.join(F.broadcast(uni), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.round(-F.sum(F.log(p)) / F.count(F.lit(1)), 6).alias("xent"),
+        )
+    )
+
+
+@register(
+    "docs_quality_score",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(length(COALESCE(text, '')) AS DOUBLE) AS len_chars,
+             CAST(len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+'))
+                  AS DOUBLE) AS n_words,
+             CAST(length(COALESCE(text,''))
+                  - length(replace(replace(replace(COALESCE(text,''),
+                            '.', ''), ',', ''), '!', '')) AS DOUBLE) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(
+             -2.0 + 0.004 * len_chars + 0.02 * n_words - 0.1 * n_punct
+           ))), 6) AS quality,
+           CASE WHEN 1.0 / (1.0 + exp(-(
+             -2.0 + 0.004 * len_chars + 0.02 * n_words - 0.1 * n_punct
+           ))) >= 0.5 THEN 'keep' ELSE 'cull' END AS verdict
+    FROM feats
+    """,
+)
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model inference as columnar math: a logistic quality classifier
+    with FIXED published weights (the fasttext-filter deployment shape —
+    weights are artifacts, not data) over engineered text features.
+    Entirely whole-stage-codegen expressions: at 100 TB this is a narrow
+    map over the scan, no shuffle, no Python. The same closed form runs
+    on both engines; one 6dp round after the sigmoid."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    len_chars = F.length(text).cast("double")
+    n_words = F.size(F.split(F.trim(F.lower(text)), r"\s+")).cast("double")
+    n_punct = (
+        F.length(text)
+        - F.length(
+            F.replace(
+                F.replace(F.replace(text, F.lit("."), F.lit("")), F.lit(","), F.lit("")),
+                F.lit("!"),
+                F.lit(""),
+            )
+        )
+    ).cast("double")
+    logit = (
+        F.lit(-2.0)
+        + F.lit(0.004) * len_chars
+        + F.lit(0.02) * n_words
+        - F.lit(0.1) * n_punct
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return d.select(
+        "doc_id",
+        F.round(score, 6).alias("quality"),
+        F.when(score >= 0.5, "keep").otherwise("cull").alias("verdict"),
+    )
