@@ -365,3 +365,11 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_quality_score_is_narrow_no_shuffle(spark):
+    # model inference with fixed weights must stay a narrow map over the
+    # scan — any Exchange here means a rewrite snuck in a shuffle
+    plan = _plan(spark, "docs_quality_score")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
