@@ -6228,3 +6228,61 @@ def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("quality"),
         F.when(score >= 0.5, "keep").otherwise("cull").alias("verdict"),
     )
+
+
+@register(
+    "ann_batch_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(
+               list_sum(list_transform(range(1, 65),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))),
+               6) AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim FROM ranked WHERE rn <= 20
+    """,
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact retrieval: top-20 per query for a BATCH of query
+    vectors in one corpus pass — the serving shape (RAG retrieval runs
+    thousands of queries per batch, never one scan per query). The
+    query set broadcasts (bounded fan-out = corpus x n_queries rows,
+    all narrow); the per-query top-k is a rank-limit window, which
+    Spark executes as WindowGroupLimit — per-partition top-k heaps
+    BEFORE the exchange, so the shuffle carries ~n_queries x k rows,
+    not the scored corpus. Ordering on the ROUNDED similarity + id on
+    both engines keeps tie-breaks hash-stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    scored = emb.crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        F.round(simfn.cosine(F.col("embedding"), F.col("qv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("query_id", "vec_id", "cosine_sim")
+    )

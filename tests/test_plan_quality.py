@@ -373,3 +373,12 @@ def test_quality_score_is_narrow_no_shuffle(spark):
     plan = _plan(spark, "docs_quality_score")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_batch_topk_uses_window_group_limit(spark):
+    # batched retrieval's rank-limit must plan as WindowGroupLimit:
+    # per-partition top-k heaps run BEFORE the exchange, so the shuffle
+    # carries ~n_queries x k rows, not the scored corpus
+    plan = _plan(spark, "ann_batch_topk")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
