@@ -6286,3 +6286,38 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("query_id", "vec_id", "cosine_sim")
     )
+
+
+@register(
+    "x8_schema_evolution_union",
+    """
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority,
+           'v1' AS shard_ver
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderpriority,
+           'v2' AS shard_ver
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def x8_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution harmonization: shards written at different
+    pipeline versions carry different column sets; the union fills the
+    missing columns with NULL instead of failing or silently dropping
+    data (`unionByName(allowMissingColumns=True)` — the ingestion shape
+    for a corpus whose schema grew over time). Narrow on both branches;
+    at 100 TB this is scan-cost only."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = (
+        o.where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("shard_ver", F.lit("v1"))
+    )
+    v2 = (
+        o.where(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", F.col("o_orderpriority").cast("string"))
+        .withColumn("shard_ver", F.lit("v2"))
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "shard_ver"
+    )
