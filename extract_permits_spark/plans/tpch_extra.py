@@ -744,3 +744,86 @@ def jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean, bad = split_corrupt(read_jsonl_corpus(spark, path, schema))
     n_bad = bad.count()  # bounded scalar (shard QA gate), not a hot path
     return clean.withColumn("n_corrupt", F.lit(n_bad).cast("int"))
+
+
+@register(
+    "q13_custdist",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) co
+    GROUP BY c_count
+    """,
+)
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts (the
+    filter rides the JOIN CONDITION, not a WHERE — customers with zero
+    qualifying orders must survive with c_count = 0, which a WHERE on
+    the outer join would silently delete). Double aggregation: the
+    first shuffles on the customer key, the second on the tiny count
+    domain — at 100 TB the second agg is effectively free after the
+    first's partial combine."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    co = (
+        c.join(
+            o.where(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q16_supplier_cnt",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT sk) AS supplier_cnt
+    FROM ps
+    JOIN part ON p_partkey = pk
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND sk NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute,
+    excluding a supplier denylist. The part-supplier relation derives
+    from DISTINCT lineitem pairs (no partsupp in the fixtures); the
+    NOT IN subquery decorrelates to a LEFT ANTI join (safe here —
+    s_suppkey is non-null, so NOT IN's three-valued-logic trap doesn't
+    bite, and the anti join is the shape that scales). The denylist is
+    broadcast; COUNT(DISTINCT) shuffles once on the grouping keys with
+    the distinct folded into the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    pk_filter = F.broadcast(
+        p.where(
+            (F.col("p_brand") != "Brand#5")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        ).select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    denylist = F.broadcast(
+        s.where(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("bad_sk"))
+    )
+    pairs = (
+        li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+        .join(denylist, F.col("sk") == F.col("bad_sk"), "left_anti")
+    )
+    return (
+        pairs.join(pk_filter, F.col("pk") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("sk").alias("supplier_cnt"))
+    )
