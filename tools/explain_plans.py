@@ -47,6 +47,9 @@ CHECKS = {
     "ev_gap_fill": ["Window", "Generate"],
     "ev_entropy": ["HashAggregate"],
     "a12_winsorize": ["BroadcastHashJoin"],
+    "q13_custdist": ["HashAggregate"],
+    "q16_supplier_cnt": ["LeftAnti", "BroadcastHashJoin"],
+    "ann_batch_topk": ["WindowGroupLimit"],
 }
 
 
