@@ -260,33 +260,38 @@ def main() -> None:
         amp_dir = tempfile.mkdtemp(prefix="bench_q21_sf1eq_")
         amp_li.write.parquet(os.path.join(amp_dir, "lineitem"))
         amp_o.write.parquet(os.path.join(amp_dir, "orders"))
-        li_m = spark.read.parquet(os.path.join(amp_dir, "lineitem"))
-        o_m = spark.read.parquet(os.path.join(amp_dir, "orders"))
-        t0 = time.time()
-        force(q21_from_frames(li_m, o_m, sup))
-        times_scale["q21_waiting_supplier_sf1eq"] = round(time.time() - t0, 3)
-        shutil.rmtree(amp_dir, ignore_errors=True)
+        try:
+            li_m = spark.read.parquet(os.path.join(amp_dir, "lineitem"))
+            o_m = spark.read.parquet(os.path.join(amp_dir, "orders"))
+            t0 = time.time()
+            force(q21_from_frames(li_m, o_m, sup))
+            times_scale["q21_waiting_supplier_sf1eq"] = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(amp_dir, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "queries_min": times_min,
-                "queries_cold": times_cold,
-                "queries_scale": times_scale,
-                "sf": sf,
-                "methodology": "each query forced 4x: 1 cold run "
-                "(queries_cold) + 3 steady runs; queries = per-query "
-                "median of steady runs, queries_min = min; value sums "
-                "the medians; queries_scale rows are single-run at 10x "
-                "the bench sf and excluded from value",
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "queries_min": times_min,
+            "queries_cold": times_cold,
+            "queries_scale": times_scale,
+            "sf": sf,
+            "methodology": "each query forced 4x: 1 cold run "
+            "(queries_cold) + 3 steady runs; queries = per-query "
+            "median of steady runs, queries_min = min; value sums "
+            "the medians; queries_scale rows are single-run at 10x "
+            "the bench sf and excluded from value",
+        }
     )
+    print(line)
+    # The driver captures stdout via a tail that has truncated the final
+    # JSON line mid-way (BENCH_r06); the file copy is the durable record.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"), "w") as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -71,13 +71,27 @@ def read_jsonl_corpus(
     # unparseable line yields all-null data fields with the raw line in
     # _corrupt — ordinary column logic from here on.
     parsed = raw.select(
+        F.col("value"),
         F.from_json(
             F.col("value"),
             full,
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-        ).alias("_r")
+        ).alias("_r"),
     )
-    return parsed.select(*[F.col(f"_r.{f.name}").alias(f.name) for f in full.fields])
+    # A blank line or a literal `null` line makes from_json return a NULL
+    # struct — every field including _corrupt comes back null, which would
+    # read as a clean all-null row. Quarantine those too (raw line as
+    # evidence), keeping only genuinely-blank lines out of both rails.
+    fields = [
+        F.col(f"_r.{f.name}").alias(f.name)
+        for f in full.fields
+        if f.name != CORRUPT_COL
+    ]
+    corrupt = F.coalesce(
+        F.col(f"_r.{CORRUPT_COL}"),
+        F.when(F.col("_r").isNull() & (F.trim("value") != ""), F.col("value")),
+    ).alias(CORRUPT_COL)
+    return parsed.where(F.trim("value") != "").select(*fields, corrupt)
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:

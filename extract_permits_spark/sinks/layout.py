@@ -39,8 +39,14 @@ def zvalue(cols: list[Column], bounds: list[tuple[float, float]], bits: int = 16
 
     Bounds come from the caller (one bounded agg over the data, or
     known domain constants) so the expression itself stays
-    deterministic and data-independent."""
+    deterministic and data-independent.
+
+    bits is capped so len(cols) * bits <= 63: the interleaved key must
+    fit the positive range of a signed bigint (a bit in position 63
+    flips the sign and breaks Z-curve sort monotonicity; positions >= 64
+    would wrap silently)."""
     n = len(cols)
+    bits = min(bits, 63 // n)
     cells = []
     for c, (lo, hi) in zip(cols, bounds):
         span = (hi - lo) or 1.0

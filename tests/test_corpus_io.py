@@ -64,6 +64,26 @@ def test_jsonl_corrupt_lines_quarantined_not_nulled(spark, tmp_path):
     assert CORRUPT_COL not in clean.columns
 
 
+def test_jsonl_null_struct_lines_quarantined_blank_lines_dropped(spark, tmp_path):
+    # a literal `null` line (and a whitespace-only line) make from_json
+    # return a NULL struct — every field including _corrupt null. Those
+    # must NOT pass as clean all-null rows: `null` is quarantined with
+    # the raw line as evidence; genuinely blank lines are dropped.
+    path = str(tmp_path / "nulls")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.json"), "w") as f:
+        f.write('{"doc_id": 1, "text": "ok", "lang": "en", "source": "a", "n_chars": 2}\n')
+        f.write("null\n")
+        f.write("\n")
+        f.write("   \n")
+        f.write('{"doc_id": 2, "text": "ok2", "lang": "en", "source": "a", "n_chars": 3}\n')
+    back = read_jsonl_corpus(spark, path, DOC_SCHEMA)
+    clean, bad = split_corrupt(back)
+    assert clean.count() == 2
+    assert clean.where(F.col("doc_id").isNull()).count() == 0  # no silent all-null rows
+    assert [r[0] for r in bad.collect()] == ["null"]
+
+
 def test_jsonl_schema_is_explicit_never_inferred(spark, tmp_path):
     # a field missing from the declared schema must not resurrect via
     # inference — it is simply absent (schema is the contract)

@@ -91,6 +91,26 @@ def test_zorder_beats_single_column_sort_on_second_column(spark, tmp_path):
     assert avg_sk_cover(zpath) < 0.6
 
 
+def test_zvalue_bits_capped_to_signed_bigint(spark):
+    # 4 cols at the default bits=16 would put the top interleaved bit in
+    # the bigint sign bit (negative keys sort first, breaking Z-curve
+    # monotonicity); 5+ cols would shiftleft past 63 and wrap silently.
+    # zvalue must auto-cap bits so len(cols) * bits <= 63 — every key
+    # stays non-negative and the interleave is monotone.
+    from extract_permits_spark.sinks.layout import zvalue
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    cols = ["l_partkey", "l_suppkey", "l_quantity", "l_orderkey", "l_linenumber"]
+    row = li.agg(
+        *[f for c in cols for f in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))]
+    ).first()
+    bounds = [(float(row[f"lo_{c}"]), float(row[f"hi_{c}"])) for c in cols]
+    for n in (4, 5):
+        z = zvalue([F.col(c) for c in cols[:n]], bounds[:n], bits=16)
+        mn = li.select(F.min(z).alias("m")).first()["m"]
+        assert mn >= 0, f"{n} cols: negative z-key {mn} (sign-bit overflow)"
+
+
 def test_compaction_hits_target_file_count_and_preserves_rows(spark, tmp_path):
     docs = load_table(spark, SF_DIR, "documents")
     frag = str(tmp_path / "fragmented")
