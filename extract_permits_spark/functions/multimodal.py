@@ -70,12 +70,20 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Where a real pipeline calls PIL.Image.open / torchvision decode.
-    Image libs are not available in this container."""
+def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an image payload to ``(width, height, channels, pixels)``.
+
+    PNG decodes for real via the pure-stdlib codec
+    (functions/png_codec.py — zlib inflate + per-row unfilter). Other
+    formats (JPEG/WebP/...) need a codec library absent from this
+    container; deployment swaps in PIL/libvips for those."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from extract_permits_spark.functions.png_codec import decode_png
+
+        return decode_png(payload)
     raise NotImplementedError(
-        "image decode requires PIL/torchvision, not present in this environment; "
-        "swap this function body in deployment"
+        "non-PNG image decode requires PIL/libvips, not present in this "
+        "environment; swap this branch in deployment"
     )
 
 
@@ -108,6 +116,137 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield _features_batch(b)
 
     return media.select("media_id", "payload").mapInPandas(run, FEATURES_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("r_mean", T.DoubleType()),
+        T.StructField("g_mean", T.DoubleType()),
+        T.StructField("b_mean", T.DoubleType()),
+    ]
+)
+
+
+def _synthetic_image_shape(media_id: int) -> tuple[int, int, int]:
+    """Deterministic (width, height, channels) for the synthetic corpus.
+    Shared contract with the mm_image_stats DuckDB oracle — change both
+    together. Mix of RGB and RGBA exercises both 3- and 4-byte strides."""
+    return (
+        8 + (media_id % 5) * 4,
+        8 + (media_id % 7) * 2,
+        3 if media_id % 2 == 0 else 4,
+    )
+
+
+def _synthetic_pixels(media_id: int, width: int, height: int, channels: int) -> bytes:
+    """Sample value at (x, y, c) = (media_id + 7x + 13y + 101c) mod 256 —
+    closed-form, so the oracle recomputes expected channel sums in SQL
+    without ever seeing a PNG byte."""
+    return bytes(
+        (media_id + 7 * x + 13 * y + 101 * c) % 256
+        for y in range(height)
+        for x in range(width)
+        for c in range(channels)
+    )
+
+
+def synthetic_png_media(docs: DataFrame) -> DataFrame:
+    """One real PNG per document row: deterministic pixels encoded with
+    the stdlib codec (filter types cycle per row, so a decode downstream
+    exercises all five unfilter branches). Arrow-batched mapInPandas —
+    the same worker-side shape a scrape-ingest decode job has."""
+    from extract_permits_spark.functions.png_codec import encode_png
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            ids = b["media_id"].astype("int64")
+            payloads, widths, heights = [], [], []
+            for m in ids:
+                w, h, ch = _synthetic_image_shape(int(m))
+                payloads.append(encode_png(w, h, ch, _synthetic_pixels(int(m), w, h, ch)))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "mime": "image/png",
+                    "width": pd.array(widths, dtype="int32"),
+                    "height": pd.array(heights, dtype="int32"),
+                    "n_bytes": pd.array([len(p) for p in payloads], dtype="int64"),
+                }
+            )
+
+    flat = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    out = docs.select(F.col("doc_id").alias("media_id")).mapInPandas(run, flat)
+    return out.select(
+        "media_id",
+        "payload",
+        F.struct("mime", "width", "height", "n_bytes").alias("meta"),
+    )
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Decode each PNG payload and emit per-image shape + channel means.
+
+    Means are a single double division of exact integer sums — the
+    cross-engine-deterministic form (see plans/analytics.py module doc).
+    Runs as Arrow-batched mapInPandas over (media_id, payload) only, so
+    column pruning keeps metadata out of the Python worker."""
+    from extract_permits_spark.functions.png_codec import decode_png
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for m, payload in zip(b["media_id"], b["payload"]):
+                w, h, ch, px = decode_png(bytes(payload))
+                n = w * h
+                sums = [sum(px[c::ch]) for c in range(3)]
+                rows.append(
+                    (
+                        int(m),
+                        w,
+                        h,
+                        ch,
+                        n,
+                        sums[0] / n,
+                        sums[1] / n,
+                        sums[2] / n,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "n_pixels",
+                    "r_mean",
+                    "g_mean",
+                    "b_mean",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, IMAGE_STATS_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:

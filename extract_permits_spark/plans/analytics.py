@@ -6282,3 +6282,52 @@ def x8_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionByName(v2, allowMissingColumns=True).select(
         "o_orderkey", "o_totalprice", "o_orderpriority", "shard_ver"
     )
+
+
+@register(
+    "mm_image_stats",
+    """
+    WITH imgs AS (
+        SELECT doc_id AS media_id,
+               8 + (doc_id % 5) * 4 AS width,
+               8 + (doc_id % 7) * 2 AS height,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS BIGINT) AS channels
+        FROM documents
+    ),
+    sums AS (
+        SELECT i.media_id, i.width, i.height, i.channels, c.c,
+               SUM((i.media_id + 7 * x.x + 13 * y.y + 101 * c.c) % 256) AS s
+        FROM imgs i,
+             generate_series(0, 23) AS x(x),
+             generate_series(0, 19) AS y(y),
+             (VALUES (0), (1), (2)) AS c(c)
+        WHERE x.x < i.width AND y.y < i.height
+        GROUP BY i.media_id, i.width, i.height, i.channels, c.c
+    )
+    SELECT media_id, width, height, channels,
+           width * height AS n_pixels,
+           CAST(MAX(CASE WHEN c = 0 THEN s END) AS DOUBLE) / (width * height) AS r_mean,
+           CAST(MAX(CASE WHEN c = 1 THEN s END) AS DOUBLE) / (width * height) AS g_mean,
+           CAST(MAX(CASE WHEN c = 2 THEN s END) AS DOUBLE) / (width * height) AS b_mean
+    FROM sums
+    GROUP BY media_id, width, height, channels
+    """,
+)
+def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable image decode: one real PNG per document (deterministic
+    pixels, stdlib encoder cycling all five scanline filters), decoded
+    back with the pure-stdlib PNG codec (zlib inflate + unfilter,
+    functions/png_codec.py) inside Arrow-batched mapInPandas, emitting
+    per-image width/height/channels and exact-sum channel means.
+
+    The oracle never sees a PNG byte: it recomputes the expected channel
+    sums in closed form from the shared pixel formula, so a hash match
+    proves the whole encode -> filter -> deflate -> inflate -> unfilter
+    chain is bit-faithful. Both mapInPandas stages are narrow (no
+    shuffle); at 100 TB this is the scrape-ingest decode shape — scan +
+    per-item Python, Arrow-batched, metadata pruned out of the worker.
+    Ref: the reference has no multimodal surface (SURVEY §2.11); this is
+    north-star capability."""
+    d = load_table(spark, sf_dir, "documents")
+    media = mmfn.synthetic_png_media(d)
+    return mmfn.image_stats(media)

@@ -234,3 +234,72 @@ def test_bpe_encode_words_mapinpandas(spark):
         encode_words(df, merges)._jdf.queryExecution().executedPlan().toString()
     )
     assert "MapInPandas" in plan
+
+
+# ---------------------------------------------------------------------------
+# PNG codec: the executable image-decode slice of the multimodal path
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_exercises_all_filter_types():
+    import random
+
+    from extract_permits_spark.functions.png_codec import decode_png, encode_png
+
+    rng = random.Random(7)
+    for channels in (1, 2, 3, 4):
+        w, h = 13, 9  # h > 4 rows => encoder's cycle hits all 5 filters
+        px = bytes(rng.randrange(256) for _ in range(w * h * channels))
+        back_w, back_h, back_ch, back_px = decode_png(encode_png(w, h, channels, px))
+        assert (back_w, back_h, back_ch) == (w, h, channels)
+        assert back_px == px  # bit-exact through filter+deflate
+
+
+def test_png_corrupt_and_unsupported_are_loud():
+    import pytest
+
+    from extract_permits_spark.functions.png_codec import decode_png, encode_png
+
+    good = encode_png(4, 4, 3, bytes(range(48)))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JFIF" + good)
+    flipped = bytearray(good)
+    flipped[40] ^= 0xFF  # inside IHDR/IDAT body -> CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(flipped))
+
+
+def test_decode_image_dispatches_png_and_stays_loud_otherwise():
+    import pytest
+
+    from extract_permits_spark.functions.multimodal import decode_image
+    from extract_permits_spark.functions.png_codec import encode_png
+
+    w, h, ch, px = decode_image(encode_png(5, 3, 4, bytes(range(60))))
+    assert (w, h, ch) == (5, 3, 4) and px == bytes(range(60))
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+
+
+def test_image_stats_plan_is_narrow_arrow_batched(spark):
+    from extract_permits_spark.functions import multimodal as mmfn
+    from extract_permits_spark.sources.readers import load_table
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").where(
+        F.col("doc_id") < 20
+    )
+    stats = mmfn.image_stats(mmfn.synthetic_png_media(docs))
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2  # encode stage + decode stage
+    assert "Exchange" not in plan  # decode is embarrassingly parallel
+    rows = {r["media_id"]: r for r in stats.collect()}
+    assert len(rows) == 20
+    # spot-check one image against the closed-form pixel formula
+    m = sorted(rows)[0]
+    w, h, ch = mmfn._synthetic_image_shape(m)
+    r = rows[m]
+    assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
+    exp = sum((m + 7 * x + 13 * y) % 256 for x in range(w) for y in range(h)) / (w * h)
+    assert r["r_mean"] == exp
