@@ -61,6 +61,10 @@ HEADLINE = [
     "q9_profit_by_nation",
     "q18_large_volume",
     "q21_waiting_supplier",
+    # composed corpus-curation flagship (r7) — custom runnable below
+    # clears the pair/components memo caches before every run so each
+    # timing is the full end-to-end chain, like DuckDB's replay
+    "llm_corpus_curation",
 ]
 
 
@@ -114,12 +118,23 @@ def main() -> None:
         force(simfn.simhash_pairs(load_table(spark, sf_dir, "documents"),
                                   max_hamming=7))
 
+    def run_curation_fresh() -> None:
+        # end-to-end each run: the registry memoizes the shingle-pair
+        # list and the components fixpoint per (session, fixture) —
+        # legitimate reuse for the correctness harness, but a bench
+        # steady-state that skips the closure would not be comparable
+        # to DuckDB's full-query replay.
+        analytics._JACCARD_PAIRS_CACHE.clear()
+        analytics._COMPONENTS_CACHE.clear()
+        force(qs["llm_corpus_curation"](spark, sf_dir))
+
     runnables: list[tuple[str, object]] = [
         (name, lambda name=name: force(qs[name](spark, sf_dir)))
         for name in HEADLINE
-        if name in qs and name != "dedup_simhash"
+        if name in qs and name not in ("dedup_simhash", "llm_corpus_curation")
     ]
     runnables.append(("dedup_simhash", run_simhash_production))
+    runnables.append(("llm_corpus_curation", run_curation_fresh))
     runnables.append(("permit_pipeline", run_pipeline_once))
 
     times: dict[str, float] = {}
@@ -268,6 +283,71 @@ def main() -> None:
             times_scale["q21_waiting_supplier_sf1eq"] = round(time.time() - t0, 3)
         finally:
             shutil.rmtree(amp_dir, ignore_errors=True)
+        _settle()
+
+        # tf-idf at 100x documents (sf10-equivalent, ~500k docs): the
+        # scale where the shape crosses the 2x gate (r7 probe: Spark
+        # 14.5 s vs DuckDB 10.1 s -> 1.44x; at 10x the per-job floor
+        # still dominates, 4.7x). Amplified corpus materialized outside
+        # the timed region on BOTH engines (bench_oracle mirrors with
+        # CREATE TABLE from a 100-copy union).
+        amp100 = docs
+        for c in range(1, 100):
+            amp100 = amp100.unionByName(
+                docs.withColumn("doc_id", _F.col("doc_id") + _F.lit(c * 10**7))
+            )
+        tf_dir = tempfile.mkdtemp(prefix="bench_tfidf_sf10eq_")
+        amp100.write.parquet(os.path.join(tf_dir, "documents"))
+        try:
+            amp_m = spark.read.parquet(os.path.join(tf_dir, "documents"))
+            n100 = amp_m.count()
+            tok100 = amp_m.select(
+                "doc_id", _F.explode(_F.split("text", " ")).alias("term")
+            ).where(_F.length("term") > 0)
+            tf100 = tok100.groupBy("doc_id", "term").agg(
+                _F.count(_F.lit(1)).alias("tf")
+            )
+            df100 = tf100.groupBy("term").agg(_F.count(_F.lit(1)).alias("df"))
+            scored100 = tf100.join(_F.broadcast(df100), "term").select(
+                "doc_id",
+                "term",
+                _F.round(
+                    _F.col("tf")
+                    * _F.log(
+                        _F.lit(float(n100 + 1)) / (_F.col("df") + _F.lit(1.0))
+                    ),
+                    6,
+                ).alias("tfidf"),
+            )
+            w100 = _W.partitionBy("doc_id").orderBy(
+                _F.col("tfidf").desc(), _F.col("term")
+            )
+            t0 = time.time()
+            force(
+                scored100.withColumn("rn", _F.row_number().over(w100))
+                .where(_F.col("rn") <= 3)
+                .drop("rn")
+            )
+            times_scale["text_tfidf_sf10eq"] = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(tf_dir, ignore_errors=True)
+        _settle()
+
+        # curation flagship at 10x documents: the dup-heavy crawl shape
+        # (every doc gains 9 exact twins). Amplified corpus materialized
+        # to parquet OUTSIDE the timed region (the chain scans documents
+        # several times; bench_oracle mirrors with a CREATE TABLE), then
+        # the full filter -> exact-collapse near-dup components ->
+        # canonical -> leakage-safe-split chain runs end-to-end against
+        # a fresh fixture dir, so nothing is memoized going in.
+        cur_dir = tempfile.mkdtemp(prefix="bench_curation_sf1eq_")
+        amp.write.parquet(os.path.join(cur_dir, "documents.parquet"))
+        try:
+            t0 = time.time()
+            force(qs["llm_corpus_curation"](spark, cur_dir))
+            times_scale["llm_corpus_curation_sf1eq"] = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(cur_dir, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
     line = json.dumps(

@@ -2626,9 +2626,55 @@ _JACCARD_PAIRS_SQL = """
 """
 
 
+# Collapsed edge set for the component-closure consumers (mirror of
+# _collapsed_edges): exact twins collapse to their min-doc_id
+# representative before the quadratic shared-shingle pair join; twins
+# re-attach as star edges. Ends at `sym` — same interface the closure
+# CTEs consume — and yields IDENTICAL components to the full pair graph
+# (twins share all shingles, so every collapsed edge was present or
+# path-implied). The full pair list (_JACCARD_PAIRS_SQL) remains the
+# oracle for entries whose OUTPUT is the pair graph itself
+# (dedup_ngram_jaccard, graph_triangles, graph_pagerank).
+_COMPONENT_EDGES_SQL = """
+    WITH RECURSIVE mem AS MATERIALIZED (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(COALESCE(text,''))) AS rep,
+             COALESCE(text,'') AS t
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) >= 3
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(t)), '\\s+')) - 2, 0) + 1),
+               i -> array_to_string(list_slice(
+                      string_split_regex(trim(lower(t)), '\\s+'), i, i + 2), ' ')
+             )) AS shingles
+      FROM mem WHERE doc_id = rep
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS sh FROM sh),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+      HAVING CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)) >= 0.2
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT rep AS u, doc_id AS v FROM mem WHERE doc_id <> rep
+    ),
+    sym AS MATERIALIZED (
+      SELECT u, v FROM edges
+      UNION
+      SELECT v AS u, u AS v FROM edges
+    )
+"""
+
+
 @register(
     "dedup_cluster_components",
-    _JACCARD_PAIRS_SQL
+    _COMPONENT_EDGES_SQL
     + """
     , reach(id, comp) AS (
         SELECT u, u FROM (SELECT DISTINCT u FROM sym)
@@ -2649,7 +2695,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_canonical",
-    _JACCARD_PAIRS_SQL
+    _COMPONENT_EDGES_SQL
     + """
     , reach(id, comp) AS (
         SELECT u, u FROM (SELECT DISTINCT u FROM sym)
@@ -2707,13 +2753,70 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _JACCARD_PAIRS_CACHE[key]
 
 
+def _collapsed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph edges with exact-duplicate collapse — the
+    dup-heavy-crawl scale path (CCNet/Dolma-style: exact dedup BEFORE
+    near-dup detection).
+
+    The shared-shingle pair join is quadratic in the per-shingle posting
+    length, so a corpus where each page has k exact copies pays k² on
+    every bucket. Collapsing identical texts first (min doc_id per
+    md5(text) = the representative) runs the pair join on DISTINCT texts
+    only and re-attaches twins as star edges rep→twin — linear in twin
+    count. Connected components over (rep pairs ∪ twin stars) equal
+    components over the full pair graph exactly: exact twins share ALL
+    shingles (Jaccard 1.0 ≥ 0.2), so within a twin group every pair edge
+    existed, and any twin↔other edge is implied via its rep's path.
+    Twin stars are restricted to shingle-ELIGIBLE docs (≥ 1 shingle),
+    matching the old graph's node set — identical-text docs too short to
+    shingle were never nodes and must not become one.
+
+    Measured at the 10×-amplified sf0.1 bench shape (50k docs, 9 exact
+    twins each): curation composite 72 s → see BENCH; at 1× the extra
+    md5 window costs ~0.1 s."""
+    d = load_table(spark, sf_dir, "documents")
+    eligible = d.select("doc_id", "text").where(
+        F.size(simfn.word_shingles("text", 3)) > 0
+    )
+    wt = Window.partitionBy("_h")
+    mem = eligible.withColumn(
+        "_h", F.md5(F.coalesce(F.col("text"), F.lit("")))
+    ).select("doc_id", "text", F.min("doc_id").over(wt).alias("_rep"))
+    reps = mem.where(F.col("doc_id") == F.col("_rep")).select("doc_id", "text")
+    sh = reps.select(
+        "doc_id", simfn.word_shingles("text", 3).alias("shingles")
+    )
+    exploded = sh.select(
+        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("sh")
+    )
+    shared = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["sh"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sz").alias("_sza"),
+            F.col("b.sz").alias("_szb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    jac = F.col("_shared") / (F.col("_sza") + F.col("_szb") - F.col("_shared"))
+    rep_pairs = shared.where(jac >= 0.2).select("id_a", "id_b")
+    twin_stars = mem.where(F.col("doc_id") != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    return rep_pairs.unionByName(twin_stars)
+
+
 def _components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from extract_permits_spark.operators.graph import connected_components
 
     key = (id(spark), sf_dir)
     if key not in _COMPONENTS_CACHE:
-        edges = _jaccard_pairs_cached(spark, sf_dir).select("id_a", "id_b")
-        _COMPONENTS_CACHE[key] = connected_components(edges)
+        _COMPONENTS_CACHE[key] = connected_components(
+            _collapsed_edges(spark, sf_dir)
+        )
     return _COMPONENTS_CACHE[key]
 
 
@@ -5234,7 +5337,7 @@ def a11_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_leakage_safe_split",
-    _JACCARD_PAIRS_SQL
+    _COMPONENT_EDGES_SQL
     + """
     , reach(id, comp) AS (
         SELECT u, u FROM (SELECT DISTINCT u FROM sym)
@@ -5653,7 +5756,7 @@ def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CURATION_SQL = _JACCARD_PAIRS_SQL + """
+_CURATION_SQL = _COMPONENT_EDGES_SQL + """
     , reach(id, comp) AS (
         SELECT u, u FROM (SELECT DISTINCT u FROM sym)
       UNION

@@ -138,6 +138,42 @@ def main() -> None:
         con.execute(oracles["text_tfidf"]).fetchall()
         times["text_tfidf_sf1eq"] = round(time.time() - t0, 3)
 
+    # tf-idf at 100x documents (mirror of bench.py's text_tfidf_sf10eq):
+    # amplified corpus materialized outside the timed region, then the
+    # identical registry oracle SQL over the re-pointed view.
+    if "text_tfidf" in oracles:
+        p = os.path.join(sf_dir, "documents.parquet")
+        union = " UNION ALL ".join(
+            f"SELECT * REPLACE (doc_id + {c * 10**7} AS doc_id) "
+            f"FROM read_parquet('{p}')"
+            for c in range(100)
+        )
+        con.execute(f"CREATE TABLE _amp_docs100 AS {union}")
+        con.execute(
+            "CREATE OR REPLACE VIEW documents AS SELECT * FROM _amp_docs100"
+        )
+        t0 = time.time()
+        con.execute(oracles["text_tfidf"]).fetchall()
+        times["text_tfidf_sf10eq"] = round(time.time() - t0, 3)
+        # restore the 10x view for the curation row below
+        union10 = " UNION ALL ".join(
+            f"SELECT * REPLACE (doc_id + {c * 10**7} AS doc_id) "
+            f"FROM read_parquet('{p}')"
+            for c in range(10)
+        )
+        con.execute(f"CREATE OR REPLACE VIEW documents AS {union10}")
+
+    # curation flagship at 10x documents (mirror of bench.py's
+    # llm_corpus_curation_sf1eq): amplified corpus MATERIALIZED outside
+    # the timed region (the chain scans documents several times; Spark
+    # reads it from parquet), then the identical end-to-end SQL.
+    if "llm_corpus_curation" in oracles:
+        con.execute("CREATE TABLE _amp_docs AS SELECT * FROM documents")
+        con.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM _amp_docs")
+        t0 = time.time()
+        con.execute(oracles["llm_corpus_curation"]).fetchall()
+        times["llm_corpus_curation_sf1eq"] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
