@@ -249,6 +249,117 @@ def image_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, IMAGE_STATS_SCHEMA)
 
 
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("peak_amp", T.LongType()),
+    ]
+)
+
+
+def _synthetic_audio_shape(media_id: int) -> tuple[int, int, int]:
+    """Deterministic (sample_rate, channels, n_frames) — shared contract
+    with the mm_audio_stats DuckDB oracle; change both together."""
+    return (
+        8000 + (media_id % 3) * 4000,
+        1 + (media_id % 2),
+        256 + (media_id % 7) * 64,
+    )
+
+
+def _synthetic_samples(media_id: int, n_samples: int) -> list[int]:
+    """Interleaved sample i = ((media_id*17 + i*31) mod 65536) - 32768 —
+    closed-form so the oracle recomputes expected sums/peaks in SQL."""
+    return [((media_id * 17 + i * 31) % 65536) - 32768 for i in range(n_samples)]
+
+
+def synthetic_wav_media(docs: DataFrame) -> DataFrame:
+    """One real PCM WAV per document row, encoded with the stdlib RIFF
+    codec. Same Arrow-batched mapInPandas shape as synthetic_png_media."""
+    from extract_permits_spark.functions.wav_codec import encode_wav
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            ids = b["media_id"].astype("int64")
+            payloads = []
+            for m in ids:
+                rate, ch, frames = _synthetic_audio_shape(int(m))
+                payloads.append(
+                    encode_wav(rate, ch, _synthetic_samples(int(m), frames * ch))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                    "n_bytes": pd.array([len(p) for p in payloads], dtype="int64"),
+                }
+            )
+
+    flat = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    return docs.select(F.col("doc_id").alias("media_id")).mapInPandas(run, flat)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Decode each WAV payload and emit stream shape + amplitude stats.
+
+    mean_amp / duration_ms are single double divisions of exact integer
+    operands (cross-engine deterministic); peak is an integer max.
+    Arrow-batched mapInPandas over (media_id, payload) only."""
+    import struct as _struct
+
+    from extract_permits_spark.functions.wav_codec import decode_wav
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for m, payload in zip(b["media_id"], b["payload"]):
+                rate, ch, frames, pcm = decode_wav(bytes(payload))
+                vals = _struct.unpack(f"<{frames * ch}h", pcm)
+                n = frames * ch
+                rows.append(
+                    (
+                        int(m),
+                        rate,
+                        ch,
+                        frames,
+                        frames * 1000 / rate,
+                        sum(vals) / n,
+                        max(abs(v) for v in vals),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "channels",
+                    "n_frames",
+                    "duration_ms",
+                    "mean_amp",
+                    "peak_amp",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Video-frame-sampling *plan* shape: explode byte offsets as stand-in
     frame indices (real impl: pts timestamps from the container index).

@@ -72,9 +72,14 @@ def test_media_features_roundtrip(spark):
     assert feats[2]["n_bytes"] == 0 and feats[2]["byte_mean"] == 0.0
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_non_png_is_env_gated():
+    # PNG decodes for real (png_codec); anything else — including a
+    # truncated PNG prefix that fails the 8-byte signature — stays an
+    # explicit NotImplementedError environment gate, never silent.
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")
+        mm.decode_image(b"\x89PNG")  # not the full signature
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\xff\xd8\xff\xe0")  # JPEG
 
 
 def test_frame_sample_plan(spark):
@@ -303,3 +308,60 @@ def test_image_stats_plan_is_narrow_arrow_batched(spark):
     assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
     exp = sum((m + 7 * x + 13 * y) % 256 for x in range(w) for y in range(h)) / (w * h)
     assert r["r_mean"] == exp
+
+
+def test_wav_roundtrip_and_loud_failures():
+    import pytest
+
+    from extract_permits_spark.functions.wav_codec import decode_wav, encode_wav
+
+    samples = [((i * 37) % 65536) - 32768 for i in range(300 * 2)]
+    payload = encode_wav(12000, 2, samples)
+    rate, ch, frames, pcm = decode_wav(payload)
+    assert (rate, ch, frames) == (12000, 2, 300)
+    import struct
+
+    assert list(struct.unpack("<600h", pcm)) == samples
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + payload)
+    # float-PCM format tag must refuse, not decode garbage
+    bad = bytearray(payload)
+    bad[20] = 3  # fmt audio_format field: 1 (PCM) -> 3 (IEEE float)
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        decode_wav(bytes(bad))
+
+
+def test_audio_stats_matches_formula(spark):
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.functions import multimodal as mmfn
+    from extract_permits_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").where(
+        F.col("doc_id") < 10
+    )
+    stats = mmfn.audio_stats(mmfn.synthetic_wav_media(docs))
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2 and "Exchange" not in plan
+    rows = {r["media_id"]: r for r in stats.collect()}
+    m = sorted(rows)[0]
+    rate, ch, frames = mmfn._synthetic_audio_shape(m)
+    vals = mmfn._synthetic_samples(m, frames * ch)
+    r = rows[m]
+    assert (r["sample_rate"], r["channels"], r["n_frames"]) == (rate, ch, frames)
+    assert r["mean_amp"] == sum(vals) / len(vals)
+    assert r["peak_amp"] == max(abs(v) for v in vals)
+    assert r["duration_ms"] == frames * 1000 / rate
+
+
+def test_delta_probe_is_honest_gate():
+    import pytest
+
+    from extract_permits_spark.sinks import delta_io
+
+    if delta_io.delta_available():  # deployment environment
+        pytest.skip("delta-spark present; gate not exercised")
+    with pytest.raises(NotImplementedError, match="delta-spark"):
+        delta_io.write_delta(None, "/tmp/nowhere")
+    with pytest.raises(NotImplementedError, match="delta-spark"):
+        delta_io.read_delta(None, "/tmp/nowhere")
