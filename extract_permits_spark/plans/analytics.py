@@ -115,9 +115,10 @@ _CHECK_FIRST = [
 # row — rotate them into the head next round: the 7 r6-era holdovers
 #   a12_winsorize, u4_except_all, vocab_bpe_encode, docs_unigram_xent,
 #   docs_quality_score, ann_batch_topk, x8_schema_evolution_union
-# (green in the judge's r6 sf0.01 sweep) plus the two r7 additions
-#   mm_image_stats, mm_audio_stats
-# (green in this round's local 154/154 sweep).
+# (green in the judge's r6 sf0.01 sweep) plus the six r7 additions
+#   mm_image_stats, mm_audio_stats, mm_frame_sample,
+#   ann_matryoshka_topk, ann_matryoshka_rerank, ann_matryoshka_recall
+# (green in this round's local 158/158 sweep).
 
 
 def _reordered(d: dict) -> dict:
@@ -6473,3 +6474,169 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     capability (SURVEY §2.11)."""
     d = load_table(spark, sf_dir, "documents")
     return mmfn.audio_stats(mmfn.synthetic_wav_media(d))
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) truncated-dimension ANN: coarse search in a prefix of
+# the embedding space, exact rerank of the shortlist only. The serving
+# pattern for matryoshka-trained embeddings — corpus-scale work touches
+# 16 of 64 dims (4x less compute+bandwidth per scanned row), full-dim
+# cosine runs on the 100-row shortlist alone.
+# ---------------------------------------------------------------------------
+
+_MRL_Q16 = """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), coarse AS (
+      SELECT vec_id,
+             round(
+               list_sum(list_transform(range(1, 17),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+               / (sqrt(list_sum(list_transform(range(1, 17),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 17), i -> q.qv[i] * q.qv[i])))),
+               6) AS sim16
+      FROM embeddings e, q
+    )
+"""
+
+
+@register(
+    "ann_matryoshka_topk",
+    _MRL_Q16
+    + """
+    SELECT vec_id, sim16 AS cosine_sim
+    FROM coarse
+    ORDER BY sim16 DESC, vec_id
+    LIMIT 20
+    """,
+)
+def ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse top-k in the 16-dim PREFIX of the 64-dim embedding space
+    (Kusupati et al., "Matryoshka Representation Learning", NeurIPS'22 —
+    public). One narrow scan over sliced vectors + TakeOrderedAndProject;
+    per-row cost is 1/4 of full-dim, no shuffle. The quality cost is
+    measured by ann_matryoshka_recall; the funnel that recovers it is
+    ann_matryoshka_rerank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ][:16]
+    trunc = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    return simfn.brute_force_topk(trunc, qvec, k=20)
+
+
+@register(
+    "ann_matryoshka_rerank",
+    _MRL_Q16
+    + """
+    , shortlist AS (
+      SELECT vec_id FROM coarse ORDER BY sim16 DESC, vec_id LIMIT 100
+    )
+    SELECT e.vec_id,
+           round(
+             list_sum(list_transform(range(1, 65),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))),
+             6) AS cosine_sim
+    FROM embeddings e
+    JOIN shortlist s ON e.vec_id = s.vec_id, q
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 20
+    """,
+)
+def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MRL serving funnel: 16-dim coarse scan -> 100-row shortlist ->
+    full-dim exact rerank -> top-20. Corpus-scale work is the truncated
+    scan only; the full 64-dim cosine runs on 100 rows via a broadcast
+    semi-join back to the corpus. At 100 TB this is the difference
+    between streaming 16 and 64 floats per scanned row — the shortlist
+    rerank cost is constant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qfull = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    trunc = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    shortlist = simfn.brute_force_topk(trunc, qfull[:16], k=100).select("vec_id")
+    qcol = F.array(*[F.lit(float(x)) for x in qfull])
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .select(
+            "vec_id",
+            F.round(simfn.cosine(F.col("embedding"), qcol), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.col("vec_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "ann_matryoshka_recall",
+    _MRL_Q16
+    + """
+    , coarse20 AS (
+      SELECT vec_id FROM coarse ORDER BY sim16 DESC, vec_id LIMIT 20
+    ),
+    exact20 AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               round(
+                 list_sum(list_transform(range(1, 65),
+                          i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))),
+                 6) AS sim
+        FROM embeddings e, q
+        ORDER BY sim DESC, vec_id
+        LIMIT 20
+      )
+    )
+    SELECT CAST(20 AS INT) AS k,
+           CAST(COUNT(*) AS DOUBLE) / 20 AS recall
+    FROM exact20 x JOIN coarse20 c ON x.vec_id = c.vec_id
+    """,
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@20 of the 16-dim coarse top-20 vs the exact 64-dim top-20 —
+    the measured quality cost of 4x-truncation WITHOUT the rerank funnel
+    (the rerank entry recovers exact@20 whenever the true top-20 sits
+    inside the coarse top-100). Oracled as a full SQL replay of both
+    rankings, so the recall VALUE must match."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qfull = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    trunc = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    return _ann_recall_frame(
+        simfn.brute_force_topk(trunc, qfull[:16], k=20),
+        simfn.brute_force_topk(emb, qfull, k=20),
+        k=20,
+    )
+
+
+@register(
+    "mm_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0,
+                greatest(octet_length(encode(COALESCE(text,''))) - 1, 0) + 1,
+                1024)) AS BIGINT) AS frame_offset
+    FROM documents
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame-sampling plan shape over the binary media column:
+    explode a stride of byte offsets per payload (stand-in for container
+    pts indices — no video codec in this container, and the PLAN is what
+    matters: narrow metadata-only explode, payload bytes untouched, so a
+    100 TB scan reads the meta column and never the binary pages).
+    Oracle is pure sequence arithmetic over the same lengths."""
+    d = load_table(spark, sf_dir, "documents")
+    media = mmfn.documents_as_media(d)
+    return mmfn.frame_sample_plan(media, 1024)

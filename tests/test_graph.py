@@ -56,3 +56,48 @@ def test_canonical_without_quality_is_min_id(spark):
     out = canonical_per_cluster(comp, docs).collect()
     assert len(out) == 1
     assert (out[0].component, out[0].canonical_id, out[0].cluster_size) == (5, 5, 3)
+
+
+def test_collapsed_edges_components_equal_full_pair_graph(spark, tmp_path):
+    """The r7 exact-collapse-first optimization's proof obligation, run
+    empirically: components over _collapsed_edges (pair join on
+    distinct-text representatives + twin star edges) must equal
+    components over the FULL shared-shingle pair graph — on the real
+    fixture AND on a twin-amplified copy (each doc duplicated 3x, the
+    dup-heavy shape the collapse exists for)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.plans import analytics
+    from extract_permits_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+
+    def comps_of(edges):
+        return {
+            (r["id"], r["component"])
+            for r in connected_components(edges).collect()
+        }
+
+    # 1x fixture: collapsed vs full pair graph
+    full = analytics._jaccard_pairs_uncached(spark, sf).select("id_a", "id_b")
+    collapsed = analytics._collapsed_edges(spark, sf)
+    assert comps_of(collapsed) == comps_of(full)
+
+    # 3x twins: every doc gains 2 exact copies with shifted ids
+    docs = load_table(spark, sf, "documents")
+    amp = docs
+    for c in (1, 2):
+        amp = amp.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(c * 10**7))
+        )
+    amp_dir = str(tmp_path / "amp")
+    amp.write.parquet(os.path.join(amp_dir, "documents.parquet"))
+    full3 = analytics._jaccard_pairs_uncached(spark, amp_dir).select("id_a", "id_b")
+    coll3 = analytics._collapsed_edges(spark, amp_dir)
+    got, want = comps_of(coll3), comps_of(full3)
+    assert got == want
+    # and the collapse actually collapses: far fewer edges than the
+    # full graph (every twin pair materializes there)
+    assert coll3.count() < full3.count()

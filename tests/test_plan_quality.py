@@ -382,3 +382,19 @@ def test_batch_topk_uses_window_group_limit(spark):
     plan = _plan(spark, "ann_batch_topk")
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_matryoshka_rerank_broadcasts_shortlist_no_corpus_shuffle(spark):
+    """MRL funnel plan contract: the corpus is scanned ONCE at 16 dims
+    (TakeOrderedAndProject shortlist) and once more only to rerank the
+    broadcast 100-row shortlist — the ONLY Exchange is the shortlist
+    broadcast; the corpus itself is never shuffled."""
+    from extract_permits_spark.plans import analytics
+
+    df = analytics.ann_matryoshka_rerank(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # shortlist joins broadcast-side
+    assert plan.count("TakeOrderedAndProject") == 2  # coarse + final top-k
+    # exactly one Exchange, and it is the broadcast (no shuffle exchange)
+    assert plan.count("Exchange") == 1 and "BroadcastExchange" in plan
+    assert "ShuffleExchange" not in plan and "SortMergeJoin" not in plan
