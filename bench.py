@@ -65,6 +65,13 @@ HEADLINE = [
     # clears the pair/components memo caches before every run so each
     # timing is the full end-to-end chain, like DuckDB's replay
     "llm_corpus_curation",
+    # r7 additions: the MRL serving funnel (fair DuckDB pair — both
+    # engines replay the coarse+rerank rankings) and the real PNG
+    # decode path (timed Spark-side only; bench_oracle skips it — its
+    # oracle is closed-form arithmetic, not a codec, so the pair would
+    # be algorithmically asymmetric)
+    "ann_matryoshka_rerank",
+    "mm_image_stats",
 ]
 
 
