@@ -115,10 +115,11 @@ _CHECK_FIRST = [
 # row — rotate them into the head next round: the 7 r6-era holdovers
 #   a12_winsorize, u4_except_all, vocab_bpe_encode, docs_unigram_xent,
 #   docs_quality_score, ann_batch_topk, x8_schema_evolution_union
-# (green in the judge's r6 sf0.01 sweep) plus the six r7 additions
+# (green in the judge's r6 sf0.01 sweep) plus the eight r7 additions
 #   mm_image_stats, mm_audio_stats, mm_frame_sample,
-#   ann_matryoshka_topk, ann_matryoshka_rerank, ann_matryoshka_recall
-# (green in this round's local 158/158 sweep).
+#   ann_matryoshka_topk, ann_matryoshka_rerank, ann_matryoshka_recall,
+#   ann_matryoshka_mrr, docs_span_dup_rate
+# (green in this round's local 160/160 sweep).
 
 
 def _reordered(d: dict) -> dict:
@@ -6640,3 +6641,181 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = mmfn.documents_as_media(d)
     return mmfn.frame_sample_plan(media, 1024)
+
+
+@register(
+    "docs_span_dup_rate",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(COALESCE(text,''))), '\\s+') AS toks
+      FROM documents
+      WHERE trim(lower(COALESCE(text,''))) <> ''
+    ),
+    w AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 16 THEN (len(toks) - 16) // 8 + 1
+                  ELSE 0 END AS nwin
+      FROM t
+    ),
+    occ AS (
+      SELECT doc_id, i.i AS win_idx,
+             md5(array_to_string(list_slice(toks, i.i*8 + 1, i.i*8 + 16), ' ')) AS whash
+      FROM w, generate_series(0, 4095) AS i(i)
+      WHERE i.i < w.nwin
+    ),
+    own AS (
+      SELECT whash, MIN(doc_id) AS owner, COUNT(DISTINCT doc_id) AS ndocs
+      FROM occ GROUP BY whash
+    )
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN m.ndocs > 1 AND o.doc_id <> m.owner
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+           CAST(SUM(CASE WHEN m.ndocs > 1 AND o.doc_id <> m.owner
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate
+    FROM occ o JOIN own m ON o.whash = m.whash
+    GROUP BY o.doc_id
+    """,
+)
+def docs_span_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document SPAN-level duplication rate — the window-granular
+    form of exact-substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL'22 — public; their
+    suffix-array substring match becomes 16-token windows at stride 8,
+    the standard approximation when a distributed suffix array is not
+    worth its build). Per doc: how many of its token windows also appear
+    in an EARLIER doc (min-doc_id ownership, so exactly one copy of any
+    span is never flagged).
+
+    Shape: narrow window-hash explode (one md5 per window, codegen'd) →
+    one groupBy on the 16-byte hash (inverted index, same class as
+    winnowing) → one groupBy back per doc. No pairwise comparison
+    anywhere; corpus-scale cost is ~n_tokens/8 hashed rows. The measure
+    feeds span-level masking/removal downstream (the rate is the audit
+    number a 100 TB curation run reports per source)."""
+    toks = simfn.tokens("text")
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+    n = F.size("toks")
+    nwin = F.when(n >= 16, F.floor((n - F.lit(16)) / F.lit(8)).cast("int") + 1).otherwise(
+        F.lit(0)
+    )
+    wins = F.when(
+        nwin > 0,
+        F.transform(
+            F.sequence(F.lit(0), nwin - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i * 8 + 1, 16))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select("doc_id", F.posexplode(wins).alias("win_idx", "whash"))
+    own = occ.groupBy("whash").agg(
+        F.min("doc_id").alias("owner"),
+        F.countDistinct("doc_id").alias("ndocs"),
+    )
+    dup = (F.col("ndocs") > 1) & (F.col("doc_id") != F.col("owner"))
+    return (
+        occ.join(own, "whash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(dup.cast("long")).alias("n_dup_windows"),
+            (
+                F.sum(dup.cast("long")).cast("double") / F.count(F.lit(1))
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@register(
+    "ann_matryoshka_mrr",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    coarse AS (
+      SELECT q.query_id, e.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(
+                 list_sum(list_transform(range(1, 17),
+                          i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, 17),
+                          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, 17), i -> q.qv[i] * q.qv[i])))),
+                 6) DESC, e.vec_id
+             ) AS coarse_rank
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    ),
+    target AS (
+      SELECT query_id, vec_id AS target_id FROM (
+        SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(
+                   list_sum(list_transform(range(1, 65),
+                            i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+                   / (sqrt(list_sum(list_transform(range(1, 65),
+                            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))),
+                   6) DESC, e.vec_id
+               ) AS rnk
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rnk = 1
+    )
+    SELECT t.query_id, t.target_id,
+           CAST(c.coarse_rank AS BIGINT) AS coarse_rank,
+           1.0 / c.coarse_rank AS rr
+    FROM target t
+    JOIN coarse c ON c.query_id = t.query_id AND c.vec_id = t.target_id
+    """,
+)
+def ann_matryoshka_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-eval metric for the truncated-dim ranking: per query in
+    a 5-query batch, where does the TRUE (full-dim) nearest neighbor
+    land in the 16-dim coarse ranking? rr = 1/rank; the batch mean is
+    MRR — the standard serving-quality number alongside recall@k.
+    Self-matches excluded on both sides. One corpus pass per ranking ×
+    a broadcast query batch; per-query ranks are WindowGroupLimit-class
+    windows over the batch partition (same shape as ann_batch_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    pool = emb.crossJoin(q).where(F.col("vec_id") != F.col("query_id"))
+    sim16 = F.round(
+        simfn.cosine(F.slice("embedding", 1, 16), F.slice("qv", 1, 16)), 6
+    )
+    sim64 = F.round(simfn.cosine(F.col("embedding"), F.col("qv")), 6)
+    wc = Window.partitionBy("query_id").orderBy(sim16.desc(), F.col("vec_id"))
+    we = Window.partitionBy("query_id").orderBy(sim64.desc(), F.col("vec_id"))
+    ranked = pool.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(wc).alias("coarse_rank"),
+        F.row_number().over(we).alias("exact_rank"),
+    )
+    target = ranked.where(F.col("exact_rank") == 1).select(
+        F.col("query_id").alias("t_query_id"), F.col("vec_id").alias("target_id")
+    )
+    return (
+        ranked.join(
+            target,
+            (F.col("query_id") == F.col("t_query_id"))
+            & (F.col("vec_id") == F.col("target_id")),
+        )
+        .select(
+            "query_id",
+            "target_id",
+            F.col("coarse_rank").cast("long").alias("coarse_rank"),
+            (F.lit(1.0) / F.col("coarse_rank")).alias("rr"),
+        )
+    )
