@@ -6555,7 +6555,14 @@ def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan only; the full 64-dim cosine runs on 100 rows via a broadcast
     semi-join back to the corpus. At 100 TB this is the difference
     between streaming 16 and 64 floats per scanned row — the shortlist
-    rerank cost is constant."""
+    rerank cost is constant.
+
+    Honesty note: the fixture embeddings are RANDOM, the adversarial
+    case for truncation (prefix dims carry only 16/64 of the signal;
+    recall ~0.2, see ann_matryoshka_recall + test_recall.py). Trained
+    MRL embeddings concentrate information in the prefix and sit near
+    recall 1.0 — the entries verify the MACHINERY and measure honestly
+    on the fixture."""
     emb = load_table(spark, sf_dir, "embeddings")
     qfull = [
         float(x)

@@ -118,3 +118,44 @@ def test_lsh_neardup_pairs_planted_duplicates(spark):
         math.sqrt(sum(a * a for a in v0)) * math.sqrt(sum(b * b for b in n0))
     )
     assert cos > 0.999
+
+
+def test_matryoshka_funnel_consistency_and_floor(spark):
+    """MRL funnel invariants on the RANDOM fixture embeddings — the
+    adversarial case for truncation (no matryoshka training, so prefix
+    dims carry only 16/64 of the signal; recall ~0.2 here is expected
+    and documented, where trained MRL embeddings sit near 1.0):
+
+    1. rerank output == exact full-dim ranking OF the coarse shortlist
+       (the funnel's own contract — rerank can't invent candidates);
+    2. funnel recall >= coarse-only recall (rerank never hurts);
+    3. recall in (0, 1]."""
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.functions import similarity as simfn
+    from extract_permits_spark.plans import analytics
+    from extract_permits_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    q = [float(v) for v in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+
+    rer = [(r["vec_id"], r["cosine_sim"]) for r in analytics.ann_matryoshka_rerank(spark, sf).collect()]
+    trunc = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    shortlist = [r["vec_id"] for r in simfn.brute_force_topk(trunc, q[:16], k=100).collect()]
+    exact_over_shortlist = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in simfn.brute_force_topk(
+            emb.where(F.col("vec_id").isin(shortlist)), q, k=20
+        ).collect()
+    ]
+    assert rer == exact_over_shortlist  # (1)
+
+    exact20 = {r["vec_id"] for r in simfn.brute_force_topk(emb, q, k=20).collect()}
+    funnel_recall = len(exact20 & {v for v, _ in rer}) / 20
+    coarse20 = {r["vec_id"] for r in simfn.brute_force_topk(trunc, q[:16], k=20).collect()}
+    coarse_recall = len(exact20 & coarse20) / 20
+    assert funnel_recall >= coarse_recall  # (2)
+
+    got = analytics.ann_matryoshka_recall(spark, sf).first()
+    assert 0 < got["recall"] <= 1 and got["recall"] == coarse_recall  # (3)

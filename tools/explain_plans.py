@@ -50,6 +50,13 @@ CHECKS = {
     "q13_custdist": ["HashAggregate"],
     "q16_supplier_cnt": ["LeftAnti", "BroadcastHashJoin"],
     "ann_batch_topk": ["WindowGroupLimit"],
+    # r7: MRL funnel, span dedup, multimodal codec path
+    "ann_matryoshka_rerank": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "ann_matryoshka_mrr": ["Window", "BroadcastNestedLoopJoin"],
+    "docs_span_dup_rate": ["HashAggregate", "Generate"],
+    "mm_image_stats": ["MapInPandas"],
+    "mm_audio_stats": ["MapInPandas"],
+    "llm_corpus_curation": ["Window"],
 }
 
 
