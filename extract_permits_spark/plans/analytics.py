@@ -115,11 +115,11 @@ _CHECK_FIRST = [
 # row — rotate them into the head next round: the 7 r6-era holdovers
 #   a12_winsorize, u4_except_all, vocab_bpe_encode, docs_unigram_xent,
 #   docs_quality_score, ann_batch_topk, x8_schema_evolution_union
-# (green in the judge's r6 sf0.01 sweep) plus the eight r7 additions
+# (green in the judge's r6 sf0.01 sweep) plus the nine r7 additions
 #   mm_image_stats, mm_audio_stats, mm_frame_sample,
 #   ann_matryoshka_topk, ann_matryoshka_rerank, ann_matryoshka_recall,
-#   ann_matryoshka_mrr, docs_span_dup_rate
-# (green in this round's local 160/160 sweep).
+#   ann_matryoshka_mrr, docs_span_dup_rate, docs_span_mask
+# (green in this round's local 161/161 sweep).
 
 
 def _reordered(d: dict) -> dict:
@@ -6824,5 +6824,124 @@ def ann_matryoshka_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "target_id",
             F.col("coarse_rank").cast("long").alias("coarse_rank"),
             (F.lit(1.0) / F.col("coarse_rank")).alias("rr"),
+        )
+    )
+
+
+@register(
+    "docs_span_mask",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(COALESCE(text,''))), '\\s+') AS toks
+      FROM documents
+      WHERE trim(lower(COALESCE(text,''))) <> ''
+    ),
+    w AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 16 THEN (len(toks) - 16) // 8 + 1
+                  ELSE 0 END AS nwin
+      FROM t
+    ),
+    occ AS (
+      SELECT doc_id, i.i AS win_idx,
+             md5(array_to_string(list_slice(toks, i.i*8 + 1, i.i*8 + 16), ' ')) AS whash
+      FROM w, generate_series(0, 4095) AS i(i)
+      WHERE i.i < w.nwin
+    ),
+    own AS (
+      SELECT whash, MIN(doc_id) AS owner, COUNT(DISTINCT doc_id) AS ndocs
+      FROM occ GROUP BY whash
+    ),
+    dupw AS (
+      SELECT o.doc_id, o.win_idx
+      FROM occ o JOIN own m ON o.whash = m.whash
+      WHERE m.ndocs > 1 AND o.doc_id <> m.owner
+    ),
+    kept AS (
+      SELECT w.doc_id, p.p AS pos, w.toks[p.p + 1] AS tok
+      FROM w, generate_series(0, 32767) AS p(p)
+      WHERE p.p < len(w.toks)
+        AND NOT EXISTS (
+          SELECT 1 FROM dupw d
+          WHERE d.doc_id = w.doc_id
+            AND p.p >= d.win_idx * 8 AND p.p < d.win_idx * 8 + 16
+        )
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(tok, ' ' ORDER BY pos), '') AS masked_text,
+           -- COUNT(tok), not COUNT(*): a fully-masked doc survives the
+           -- LEFT JOIN as one all-NULL row and must count 0 kept tokens
+           CAST(COUNT(tok) AS BIGINT) AS n_kept_tokens
+    FROM t LEFT JOIN kept USING (doc_id)
+    GROUP BY doc_id
+    """,
+)
+def docs_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-dedup ACTION (docs_span_dup_rate is the audit): remove
+    every token covered by a cross-doc duplicated window (16-token
+    windows, stride 8, min-doc_id ownership — the span's first
+    appearance survives untouched) and reassemble the doc's remaining
+    tokens in order.
+
+    Shape: the window inverted index from the rate entry, then one
+    flatten of dup windows to covered-position ranges, an anti-join of
+    token positions against covered ranges (range predicate pushed into
+    a single join condition — positions explode is ~n_tokens rows, the
+    same scale as tokenization), and one ordered string_agg per doc.
+    Everything hash-partitions on doc_id after the ownership groupBy;
+    no pairwise work. Lee et al. ACL'22 is the public reference for
+    dropping repeated spans rather than whole near-dup docs."""
+    toks = simfn.tokens("text")
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+    n = F.size("toks")
+    nwin = F.when(n >= 16, F.floor((n - F.lit(16)) / F.lit(8)).cast("int") + 1).otherwise(
+        F.lit(0)
+    )
+    wins = F.when(
+        nwin > 0,
+        F.transform(
+            F.sequence(F.lit(0), nwin - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i * 8 + 1, 16))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select("doc_id", F.posexplode(wins).alias("win_idx", "whash"))
+    own = occ.groupBy("whash").agg(
+        F.min("doc_id").alias("owner"),
+        F.countDistinct("doc_id").alias("ndocs"),
+    )
+    dupw = (
+        occ.join(own, "whash")
+        .where((F.col("ndocs") > 1) & (F.col("doc_id") != F.col("owner")))
+        .select("doc_id", "win_idx")
+    )
+    # covered positions, deduped (windows overlap at stride < width)
+    covered = dupw.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("win_idx") * 8, F.col("win_idx") * 8 + 15)
+        ).alias("pos"),
+    ).distinct()
+    positions = base.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    kept = positions.join(covered, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("pos", "tok")))["tok"]).alias(
+            "masked_text"
+        ),
+        F.count(F.lit(1)).alias("n_kept_tokens"),
+    )
+    return (
+        base.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("masked_text", F.lit("")).alias("masked_text"),
+            F.coalesce("n_kept_tokens", F.lit(0)).alias("n_kept_tokens"),
         )
     )

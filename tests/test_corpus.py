@@ -234,3 +234,27 @@ def test_incremental_dedup_flags(spark):
     for r in out.values():
         if not r["bloom_candidate"]:
             assert not r["is_dup"]
+
+
+def test_span_mask_owner_survives_twin_fully_masked(spark, tmp_path):
+    """docs_span_mask semantics pinned on a constructed corpus: the span
+    owner (min doc_id) keeps its text verbatim, an exact-copy doc is
+    fully masked (empty text, 0 kept tokens — the COUNT(tok)-vs-COUNT(*)
+    edge), and sub-window docs are untouched."""
+    import os
+
+    from extract_permits_spark.plans import analytics
+
+    words = " ".join(f"w{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, words), (2, words), (3, "short text")], "doc_id long, text string"
+    )
+    d = str(tmp_path / "corpus")
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        r["doc_id"]: (r["masked_text"], r["n_kept_tokens"])
+        for r in analytics.docs_span_mask(spark, d).collect()
+    }
+    assert out[1] == (words, 16)
+    assert out[2] == ("", 0)
+    assert out[3] == ("short text", 2)
