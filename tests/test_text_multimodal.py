@@ -365,3 +365,58 @@ def test_delta_probe_is_honest_gate():
         delta_io.write_delta(None, "/tmp/nowhere")
     with pytest.raises(NotImplementedError, match="delta-spark"):
         delta_io.read_delta(None, "/tmp/nowhere")
+
+
+# ---------------------------------------------------------------------------
+# Codec property tests (hypothesis): any image/stream shape round-trips
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from extract_permits_spark.functions.png_codec import decode_png, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def inner(w, h, ch, seed):
+        import random
+
+        px = bytes(random.Random(seed).randrange(256) for _ in range(w * h * ch))
+        assert decode_png(encode_png(w, h, ch, px)) == (w, h, ch, px)
+
+    inner()
+
+
+def test_wav_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from extract_permits_spark.functions.wav_codec import decode_wav, encode_wav
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        rate=st.sampled_from([8000, 16000, 44100]),
+        ch=st.integers(1, 8),
+        frames=st.integers(1, 200),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def inner(rate, ch, frames, seed):
+        import random
+        import struct
+
+        vals = [
+            random.Random(seed + i).randrange(-32768, 32768)
+            for i in range(frames * ch)
+        ]
+        r, c, f, pcm = decode_wav(encode_wav(rate, ch, vals))
+        assert (r, c, f) == (rate, ch, frames)
+        assert list(struct.unpack(f"<{frames * ch}h", pcm)) == vals
+
+    inner()
