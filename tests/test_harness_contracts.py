@@ -1,0 +1,49 @@
+"""Meta-tests for the driver-facing harness contracts.
+
+Two past failure modes these pin down:
+- r5's bench crashed because a headline name drifted from the registry;
+- a typo in the _CHECK_FIRST rotation would SILENTLY drop the entry
+  from the driver's 50-entry correctness window (_reordered skips
+  unknown names), so the window would record something else instead.
+"""
+
+from __future__ import annotations
+
+
+def test_bench_headline_names_resolve_and_have_oracles():
+    import bench
+    from extract_permits_spark.plans import analytics
+
+    qs = analytics.queries()
+    oracles = analytics.oracle_sql()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert missing == [], f"HEADLINE names not in registry: {missing}"
+    # every headline entry has an oracle twin (bench_oracle pairs them,
+    # modulo its documented skip_timing set)
+    no_oracle = [n for n in bench.HEADLINE if n not in oracles]
+    assert no_oracle == [], f"HEADLINE names without oracle SQL: {no_oracle}"
+
+
+def test_check_first_rotation_is_exact_window():
+    from extract_permits_spark.plans import analytics
+
+    qs = analytics.queries()
+    unknown = [n for n in analytics._CHECK_FIRST if n not in analytics._QUERIES]
+    assert unknown == [], f"_CHECK_FIRST names not registered: {unknown}"
+    assert len(analytics._CHECK_FIRST) == len(set(analytics._CHECK_FIRST))
+    # the driver records the FIRST 50 queries() entries; the rotation
+    # list must fill that window exactly (no accidental shrink)
+    assert len(analytics._CHECK_FIRST) >= 50
+    assert list(qs)[: len(analytics._CHECK_FIRST)] == analytics._CHECK_FIRST
+
+
+def test_every_query_has_matching_oracle_or_is_documented():
+    from extract_permits_spark.plans import analytics
+
+    qs = analytics.queries()
+    oracles = analytics.oracle_sql()
+    # current repo state: every entry is oracle-checked; if a future
+    # non-SQL-expressible entry lands, list it here explicitly
+    documented_rows_only: set[str] = set()
+    missing = [n for n in qs if n not in oracles and n not in documented_rows_only]
+    assert missing == []
