@@ -115,11 +115,12 @@ _CHECK_FIRST = [
 # row — rotate them into the head next round: the 7 r6-era holdovers
 #   a12_winsorize, u4_except_all, vocab_bpe_encode, docs_unigram_xent,
 #   docs_quality_score, ann_batch_topk, x8_schema_evolution_union
-# (green in the judge's r6 sf0.01 sweep) plus the nine r7 additions
+# (green in the judge's r6 sf0.01 sweep) plus the twelve r7 additions
 #   mm_image_stats, mm_audio_stats, mm_frame_sample,
 #   ann_matryoshka_topk, ann_matryoshka_rerank, ann_matryoshka_recall,
-#   ann_matryoshka_mrr, docs_span_dup_rate, docs_span_mask
-# (green in this round's local 161/161 sweep).
+#   ann_matryoshka_mrr, docs_span_dup_rate, docs_span_mask,
+#   q11_important_stock, q12_late_ship_priority, q20_potential_promotion
+# (green in this round's local 164/164 sweep).
 
 
 def _reordered(d: dict) -> dict:

@@ -827,3 +827,128 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("sk").alias("supplier_cnt"))
     )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS v
+      FROM lineitem
+      GROUP BY l_suppkey, l_partkey
+    ),
+    tot AS (SELECT SUM(v) AS t FROM val)
+    SELECT l_suppkey, l_partkey, CAST(v AS DOUBLE) AS value
+    FROM val, tot
+    WHERE CAST(v AS DOUBLE) > CAST(t AS DOUBLE) * 0.00005
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (the fixtures carry no partsupp, so "stock
+    value" is the shipped revenue per (supplier, part)): groups whose
+    value exceeds a fraction of the GLOBAL total — the classic
+    HAVING-vs-scalar-subquery shape. One groupBy shuffle; the scalar
+    total is a 1-row broadcast cross join (bounded state), so the
+    filter runs map-side against the grouped output. Exact decimal
+    sums both engines; the threshold compare is double-vs-double of
+    exact operands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    val = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("v")
+    )
+    tot = val.agg(F.sum("v").alias("t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(F.col("v").cast("double") > F.col("t").cast("double") * F.lit(0.00005))
+        .select("l_suppkey", "l_partkey", F.col("v").cast("double").alias("value"))
+    )
+
+
+@register(
+    "q12_late_ship_priority",
+    """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (fixtures carry no shipmode/receiptdate):
+    lines shipped more than 90 days after the order date, counted per
+    returnflag split by order priority — the classic two-branch
+    conditional aggregation over a fact-fact equi-join. The date
+    predicate is a row-local comparison (no shuffle cost), the join
+    shuffles once on orderkey, and the two counts come from one
+    aggregate pass (map-side partials)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    """
+    WITH promo AS (
+      SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+    ),
+    shipped AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM promo)
+      GROUP BY l_suppkey
+    ),
+    bar AS (SELECT AVG(CAST(qty AS DOUBLE)) AS avg_qty FROM shipped)
+    SELECT s.s_suppkey, s.s_name, CAST(sh.qty AS DOUBLE) AS promo_qty
+    FROM supplier s
+    JOIN shipped sh ON s.s_suppkey = sh.l_suppkey, bar
+    WHERE CAST(sh.qty AS DOUBLE) > bar.avg_qty * 1.1
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp: "availqty vs half of shipped"
+    becomes "shipped promo quantity vs 1.1x the average supplier"):
+    dimension filter -> semi-join the fact against it -> per-supplier
+    aggregate -> scalar threshold -> join back to the supplier
+    dimension. The promo part list broadcasts into the fact scan (semi
+    join, no fact shuffle before the aggregate's own), the scalar is a
+    1-row broadcast, and the final supplier join broadcasts the small
+    side. Exact decimal sums; threshold compare in double of exact
+    operands."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    promo = part.where(F.col("p_type") == "PROMO").select("p_partkey")
+    shipped = (
+        li.join(
+            F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+    )
+    bar = shipped.agg(F.avg(F.col("qty").cast("double")).alias("avg_qty"))
+    return (
+        shipped.crossJoin(F.broadcast(bar))
+        .where(F.col("qty").cast("double") > F.col("avg_qty") * F.lit(1.1))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("qty").cast("double").alias("promo_qty")
+        )
+    )
