@@ -50,6 +50,10 @@ CHECKS = {
     "q13_custdist": ["HashAggregate"],
     "q16_supplier_cnt": ["LeftAnti", "BroadcastHashJoin"],
     "ann_batch_topk": ["WindowGroupLimit"],
+    # r7: the classics completing the 22 (Q11/Q12/Q20 adapted)
+    "q11_important_stock": ["HashAggregate", "BroadcastNestedLoopJoin"],
+    "q12_late_ship_priority": ["HashAggregate", "HashJoin"],
+    "q20_potential_promotion": ["LeftSemi", "BroadcastHashJoin"],
     # r7: MRL funnel, span dedup, multimodal codec path
     "ann_matryoshka_rerank": ["BroadcastHashJoin", "TakeOrderedAndProject"],
     "ann_matryoshka_mrr": ["Window", "BroadcastNestedLoopJoin"],
