@@ -115,12 +115,13 @@ _CHECK_FIRST = [
 # row — rotate them into the head next round: the 7 r6-era holdovers
 #   a12_winsorize, u4_except_all, vocab_bpe_encode, docs_unigram_xent,
 #   docs_quality_score, ann_batch_topk, x8_schema_evolution_union
-# (green in the judge's r6 sf0.01 sweep) plus the twelve r7 additions
+# (green in the judge's r6 sf0.01 sweep) plus the thirteen r7 additions
 #   mm_image_stats, mm_audio_stats, mm_frame_sample,
 #   ann_matryoshka_topk, ann_matryoshka_rerank, ann_matryoshka_recall,
 #   ann_matryoshka_mrr, docs_span_dup_rate, docs_span_mask,
-#   q11_important_stock, q12_late_ship_priority, q20_potential_promotion
-# (green in this round's local 164/164 sweep).
+#   q11_important_stock, q12_late_ship_priority, q20_potential_promotion,
+#   docs_corpus_report
+# (green in this round's local 165/165 sweep).
 
 
 def _reordered(d: dict) -> dict:
@@ -6944,5 +6945,145 @@ def docs_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("masked_text", F.lit("")).alias("masked_text"),
             F.coalesce("n_kept_tokens", F.lit(0)).alias("n_kept_tokens"),
+        )
+    )
+
+
+@register(
+    "docs_corpus_report",
+    _COMPONENT_EDGES_SQL
+    + """
+    , reach(id, comp) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+        SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id
+    ),
+    comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+    cstats AS (
+      SELECT CAST(COUNT(DISTINCT component) AS BIGINT) AS nc,
+             CAST(COUNT(*) AS BIGINT) AS nm
+      FROM comp
+    ),
+    st AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(COALESCE(text,''))), '\\s+') AS toks
+      FROM documents
+      WHERE trim(lower(COALESCE(text,''))) <> ''
+    ),
+    sw AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 16 THEN (len(toks) - 16) // 8 + 1
+                  ELSE 0 END AS nwin
+      FROM st
+    ),
+    soc AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, i.i*8 + 1, i.i*8 + 16), ' ')) AS whash
+      FROM sw, generate_series(0, 4095) AS i(i)
+      WHERE i.i < sw.nwin
+    ),
+    sown AS (
+      SELECT whash, MIN(doc_id) AS owner, COUNT(DISTINCT doc_id) AS ndocs
+      FROM soc GROUP BY whash
+    ),
+    sstats AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN m.ndocs > 1 AND o.doc_id <> m.owner
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS ndw
+      FROM soc o JOIN sown m ON o.whash = m.whash
+    ),
+    tok AS (SELECT unnest(toks) AS t FROM st),
+    tstats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS tt,
+             CAST(COUNT(DISTINCT t) AS BIGINT) AS dt
+      FROM tok
+    ),
+    dstats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(COUNT(*) - COUNT(DISTINCT md5(COALESCE(text,''))) AS BIGINT) AS ned
+      FROM documents
+    )
+    SELECT nd AS n_docs,
+           ned AS n_exact_dup_docs,
+           nc AS n_neardup_clusters,
+           nm AS n_docs_in_clusters,
+           ndw AS n_span_dup_windows,
+           tt AS total_tokens,
+           dt AS distinct_tokens
+    FROM dstats, cstats, sstats, tstats
+    """,
+)
+def docs_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus report card a curation run prints before
+    training: doc count, exact-dup docs, near-dup clusters + membership,
+    cross-doc duplicated span windows, total and distinct tokens. Every
+    number composes independently-oracled machinery (exact-collapse
+    components, span window index, tokenization) and the COMPOSITION is
+    hash-checked — one DuckDB replay recomputes all seven.
+
+    Shape: five 1-row aggregates cross-joined (each a broadcast scalar —
+    bounded state by construction). The expensive members (components,
+    span index, distinct tokens) are each single-shuffle plans; nothing
+    here is worse than its standalone entry."""
+    d = load_table(spark, sf_dir, "documents")
+    dstats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.md5(F.coalesce(F.col("text"), F.lit(""))))
+        ).alias("n_exact_dup_docs"),
+    )
+    comp = _components_cached(spark, sf_dir)
+    cstats = comp.agg(
+        F.countDistinct("component").alias("n_neardup_clusters"),
+        F.count(F.lit(1)).alias("n_docs_in_clusters"),
+    )
+    toks = simfn.tokens("text")
+    base = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    n = F.size("toks")
+    nwin = F.when(n >= 16, F.floor((n - F.lit(16)) / F.lit(8)).cast("int") + 1).otherwise(
+        F.lit(0)
+    )
+    wins = F.when(
+        nwin > 0,
+        F.transform(
+            F.sequence(F.lit(0), nwin - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i * 8 + 1, 16))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select("doc_id", F.explode(wins).alias("whash"))
+    own = occ.groupBy("whash").agg(
+        F.min("doc_id").alias("owner"), F.countDistinct("doc_id").alias("ndocs")
+    )
+    sstats = (
+        occ.join(own, "whash")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    ((F.col("ndocs") > 1) & (F.col("doc_id") != F.col("owner"))).cast(
+                        "long"
+                    )
+                ),
+                F.lit(0),
+            ).alias("n_span_dup_windows")
+        )
+    )
+    tok = base.select(F.explode("toks").alias("t"))
+    tstats = tok.agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("t").alias("distinct_tokens"),
+    )
+    # four 1-row frames x broadcast cross join = bounded driver state
+    return (
+        dstats.crossJoin(F.broadcast(cstats))
+        .crossJoin(F.broadcast(sstats))
+        .crossJoin(F.broadcast(tstats))
+        .select(
+            "n_docs",
+            "n_exact_dup_docs",
+            "n_neardup_clusters",
+            "n_docs_in_clusters",
+            "n_span_dup_windows",
+            "total_tokens",
+            "distinct_tokens",
         )
     )
