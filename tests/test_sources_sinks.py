@@ -245,3 +245,21 @@ def test_corrupt_json_ingestion_is_explicit(spark):
     # type mismatch: field nulls out, corrupt column keeps the evidence
     assert got[1]["k"] is None and got[1]["_corrupt"] is not None
     assert got[2]["k"] is None and got[2]["_corrupt"] is not None
+
+
+def test_avro_probe_is_honest_gate(spark):
+    import pytest
+
+    from extract_permits_spark.sinks import avro_io
+
+    if avro_io.avro_available(spark):  # deployment environment
+        import tempfile
+
+        d = tempfile.mkdtemp() + "/t"
+        avro_io.write_avro(spark.range(3), d)
+        assert avro_io.read_avro(spark, d).count() == 3
+    else:
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            avro_io.write_avro(spark.range(1), "/tmp/nowhere_avro")
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            avro_io.read_avro(spark, "/tmp/nowhere_avro")
