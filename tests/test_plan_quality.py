@@ -398,3 +398,26 @@ def test_matryoshka_rerank_broadcasts_shortlist_no_corpus_shuffle(spark):
     # exactly one Exchange, and it is the broadcast (no shuffle exchange)
     assert plan.count("Exchange") == 1 and "BroadcastExchange" in plan
     assert "ShuffleExchange" not in plan and "SortMergeJoin" not in plan
+
+
+def test_q11_q20_scalar_thresholds_broadcast_not_shuffled(spark):
+    """The two scalar-subquery classics (adapted Q11/Q20): the 1-row
+    global aggregate must reach the filter as a broadcast (BNLJ of a
+    single row), never as a shuffled join; Q20's promo part list must
+    semi-join broadcast-side into the fact scan."""
+    from extract_permits_spark.plans import analytics
+
+    qs = analytics.queries()
+    p11 = (
+        qs["q11_important_stock"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in p11  # 1-row scalar rides broadcast
+    assert "SortMergeJoin" not in p11
+
+    p20 = (
+        qs["q20_potential_promotion"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in p20 and "BroadcastHashJoin" in p20
+    assert "SortMergeJoin" not in p20
