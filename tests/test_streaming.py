@@ -336,3 +336,46 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ev_test_wmdedup").collect()
     }
     assert got == expected
+
+
+def test_stream_corpus_ingest_quarantines_poison_lines(spark, tmp_path):
+    """The streaming ingest's quarantine rail: garbage, literal-null,
+    and truncated-JSON lines land in the side table with the raw line
+    as evidence; clean rows match the batch source exactly."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from extract_permits_spark.sinks.corpus_io import write_jsonl_corpus
+    from extract_permits_spark.sources.readers import load_table
+    from extract_permits_spark.streaming.corpus_ingest import (
+        run_ingest_available_now,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    src = str(tmp_path / "in")
+    write_jsonl_corpus(docs.repartition(2), src, compression=None)
+    poison = ["xx not json", "null", '{"doc_id": 1, "text": "trunc']
+    with open(os.path.join(src, "poison.json"), "w") as f:
+        f.write("\n".join(poison) + "\n\n")  # plus a blank line: dropped
+    qc, qb = run_ingest_available_now(
+        spark, src, str(tmp_path / "ckpt"), schema, "t_clean_x", "t_bad_x"
+    )
+    qc.awaitTermination(120)
+    qb.awaitTermination(120)
+    clean = spark.sql("SELECT * FROM t_clean_x")
+    bad = [r[0] for r in spark.sql("SELECT * FROM t_bad_x").collect()]
+    assert clean.count() == docs.count()
+    assert clean.where(clean.doc_id.isNull()).count() == 0
+    assert sorted(bad) == sorted(poison)
