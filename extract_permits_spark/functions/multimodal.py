@@ -146,13 +146,13 @@ def _synthetic_image_shape(media_id: int) -> tuple[int, int, int]:
 def _synthetic_pixels(media_id: int, width: int, height: int, channels: int) -> bytes:
     """Sample value at (x, y, c) = (media_id + 7x + 13y + 101c) mod 256 —
     closed-form, so the oracle recomputes expected channel sums in SQL
-    without ever seeing a PNG byte."""
-    return bytes(
-        (media_id + 7 * x + 13 * y + 101 * c) % 256
-        for y in range(height)
-        for x in range(width)
-        for c in range(channels)
-    )
+    without ever seeing a PNG byte. Vectorized broadcast (y, x, c)."""
+    import numpy as np
+
+    y = 13 * np.arange(height, dtype=np.int64)[:, None, None]
+    x = 7 * np.arange(width, dtype=np.int64)[None, :, None]
+    c = 101 * np.arange(channels, dtype=np.int64)[None, None, :]
+    return ((media_id + y + x + c) % 256).astype(np.uint8).tobytes()
 
 
 def synthetic_png_media(docs: DataFrame) -> DataFrame:
@@ -214,12 +214,16 @@ def image_stats(media: DataFrame) -> DataFrame:
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        import numpy as np
+
         for b in batches:
             rows = []
             for m, payload in zip(b["media_id"], b["payload"]):
                 w, h, ch, px = decode_png(bytes(payload))
                 n = w * h
-                sums = [sum(px[c::ch]) for c in range(3)]
+                # exact int64 channel sums, vectorized over the pixel buffer
+                lanes = np.frombuffer(px, dtype=np.uint8).reshape(-1, ch)
+                sums = [int(s) for s in lanes[:, :3].sum(axis=0, dtype=np.int64)]
                 rows.append(
                     (
                         int(m),
@@ -272,10 +276,14 @@ def _synthetic_audio_shape(media_id: int) -> tuple[int, int, int]:
     )
 
 
-def _synthetic_samples(media_id: int, n_samples: int) -> list[int]:
+def _synthetic_samples(media_id: int, n_samples: int) -> bytes:
     """Interleaved sample i = ((media_id*17 + i*31) mod 65536) - 32768 —
-    closed-form so the oracle recomputes expected sums/peaks in SQL."""
-    return [((media_id * 17 + i * 31) % 65536) - 32768 for i in range(n_samples)]
+    closed-form so the oracle recomputes expected sums/peaks in SQL.
+    Returns little-endian int16 bytes (what encode_wav consumes)."""
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    return (((media_id * 17 + i * 31) % 65536) - 32768).astype("<i2").tobytes()
 
 
 def synthetic_wav_media(docs: DataFrame) -> DataFrame:
@@ -318,20 +326,22 @@ def audio_stats(media: DataFrame) -> DataFrame:
     """Decode each WAV payload and emit stream shape + amplitude stats.
 
     mean_amp / duration_ms are single double divisions of exact integer
-    operands (cross-engine deterministic); peak is an integer max.
-    Arrow-batched mapInPandas over (media_id, payload) only."""
-    import struct as _struct
-
+    operands (cross-engine deterministic; numpy int64 accumulators keep
+    the sums exact); peak is an integer max with an int32 upcast so
+    abs(-32768) survives. Arrow-batched mapInPandas over
+    (media_id, payload) only."""
     from extract_permits_spark.functions.wav_codec import decode_wav
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        import numpy as np
+
         for b in batches:
             rows = []
             for m, payload in zip(b["media_id"], b["payload"]):
                 rate, ch, frames, pcm = decode_wav(bytes(payload))
-                vals = _struct.unpack(f"<{frames * ch}h", pcm)
+                vals = np.frombuffer(pcm, dtype="<i2")
                 n = frames * ch
                 rows.append(
                     (
@@ -340,8 +350,8 @@ def audio_stats(media: DataFrame) -> DataFrame:
                         ch,
                         frames,
                         frames * 1000 / rate,
-                        sum(vals) / n,
-                        max(abs(v) for v in vals),
+                        int(vals.sum(dtype=np.int64)) / n,
+                        int(np.abs(vals.astype(np.int32)).max()),
                     )
                 )
             yield pd.DataFrame(

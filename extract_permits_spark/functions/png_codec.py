@@ -60,40 +60,76 @@ def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
     if len(pixels) != stride * height:
         raise ValueError(f"expected {stride * height} pixel bytes, got {len(pixels)}")
 
-    raw = bytearray()
-    prev = bytes(stride)
-    for r in range(height):
-        row = pixels[r * stride : (r + 1) * stride]
-        ftype = r % 5
-        raw.append(ftype)
-        if ftype == 0:  # None
-            raw += row
-        elif ftype == 1:  # Sub
-            raw += bytes(
-                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
-                for i in range(stride)
-            )
-        elif ftype == 2:  # Up
-            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
-        elif ftype == 3:  # Average
-            raw += bytes(
-                (row[i] - ((row[i - bpp] if i >= bpp else 0) + prev[i]) // 2) & 0xFF
-                for i in range(stride)
-            )
-        else:  # Paeth
-            raw += bytes(
-                (
-                    row[i]
-                    - _paeth(
-                        row[i - bpp] if i >= bpp else 0,
-                        prev[i],
-                        prev[i - bpp] if i >= bpp else 0,
-                    )
+    # Encoding filters read ORIGINAL row bytes (not filtered output), so
+    # every filter — Paeth included — vectorizes with numpy shifts of the
+    # original arrays; the stdlib loop below is the fallback + reference.
+    try:
+        import numpy as np
+
+        px = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride)
+        left = np.zeros_like(px)
+        left[:, bpp:] = px[:, :-bpp]
+        up = np.zeros_like(px)
+        up[1:] = px[:-1]
+        upleft = np.zeros_like(px)
+        upleft[1:, bpp:] = px[:-1, :-bpp]
+        # Paeth predictor, elementwise in int16 (p - a/b/c stays in range)
+        a16 = left.astype(np.int16)
+        b16 = up.astype(np.int16)
+        c16 = upleft.astype(np.int16)
+        p = a16 + b16 - c16
+        pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+        paeth = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+        )
+        filtered = {
+            0: px,
+            1: px - left,
+            2: px - up,
+            3: px - ((a16 + b16) // 2).astype(np.uint8),
+            4: px - paeth,
+        }
+        raw = bytearray()
+        for r in range(height):
+            ftype = r % 5
+            raw.append(ftype)
+            raw += filtered[ftype][r].tobytes()
+    except ImportError:  # pragma: no cover - numpy is baked into this env
+        raw = bytearray()
+        prev = bytes(stride)
+        for r in range(height):
+            row = pixels[r * stride : (r + 1) * stride]
+            ftype = r % 5
+            raw.append(ftype)
+            if ftype == 0:  # None
+                raw += row
+            elif ftype == 1:  # Sub
+                raw += bytes(
+                    (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                    for i in range(stride)
                 )
-                & 0xFF
-                for i in range(stride)
-            )
-        prev = row
+            elif ftype == 2:  # Up
+                raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+            elif ftype == 3:  # Average
+                raw += bytes(
+                    (row[i] - ((row[i - bpp] if i >= bpp else 0) + prev[i]) // 2)
+                    & 0xFF
+                    for i in range(stride)
+                )
+            else:  # Paeth
+                raw += bytes(
+                    (
+                        row[i]
+                        - _paeth(
+                            row[i - bpp] if i >= bpp else 0,
+                            prev[i],
+                            prev[i - bpp] if i >= bpp else 0,
+                        )
+                    )
+                    & 0xFF
+                    for i in range(stride)
+                )
+            prev = row
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (
@@ -155,30 +191,50 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             f"inflated size {len(raw)} != {(stride + 1) * height} for {width}x{height}x{channels}"
         )
 
+    # numpy fast paths for the filters with vectorizable recurrences
+    # (None; Up = elementwise add; Sub = per-lane cumulative sum, exact
+    # in uint8 wraparound). Average/Paeth have floor/conditional
+    # sequential dependencies and keep the reference loop. All paths
+    # produce identical bytes (round-trip + hypothesis tests pin this).
+    try:
+        import numpy as _np
+    except ImportError:  # pragma: no cover - numpy is baked into this env
+        _np = None
+
     out = bytearray(stride * height)
     prev = bytes(stride)
     for r in range(height):
         ftype = raw[r * (stride + 1)]
-        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
-        if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                c = prev[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        row_bytes = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        if _np is not None and ftype in (0, 1, 2):
+            arr = _np.frombuffer(row_bytes, dtype=_np.uint8).copy()
+            if ftype == 1:  # Sub: cumsum per channel lane, mod-256 exact
+                lanes = arr.reshape(-1, bpp)
+                _np.cumsum(lanes, axis=0, dtype=_np.uint8, out=lanes)
+            elif ftype == 2:  # Up
+                arr += _np.frombuffer(prev, dtype=_np.uint8)
+            line = bytearray(arr.tobytes())
         else:
-            raise ValueError(f"bad filter type {ftype} on row {r}")
+            line = bytearray(row_bytes)
+            if ftype == 0:
+                pass
+            elif ftype == 1:  # Sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    c = prev[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+            else:
+                raise ValueError(f"bad filter type {ftype} on row {r}")
         out[r * stride : (r + 1) * stride] = line
         prev = bytes(line)
     return width, height, channels, bytes(out)

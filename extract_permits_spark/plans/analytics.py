@@ -111,7 +111,7 @@ _CHECK_FIRST = [
 ]
 
 # r8 NOTE: the driver's window covers the first 50 entries only. After
-# r7 records the 50 above, exactly 9 entries remain without a driver
+# r7 records the 50 above, exactly 21 entries remain without a driver
 # row — rotate them into the head next round: the 7 r6-era holdovers
 #   a12_winsorize, u4_except_all, vocab_bpe_encode, docs_unigram_xent,
 #   docs_quality_score, ann_batch_topk, x8_schema_evolution_union

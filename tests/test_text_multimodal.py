@@ -345,8 +345,11 @@ def test_audio_stats_matches_formula(spark):
     assert plan.count("MapInPandas") == 2 and "Exchange" not in plan
     rows = {r["media_id"]: r for r in stats.collect()}
     m = sorted(rows)[0]
+    import struct
+
     rate, ch, frames = mmfn._synthetic_audio_shape(m)
-    vals = mmfn._synthetic_samples(m, frames * ch)
+    raw = mmfn._synthetic_samples(m, frames * ch)
+    vals = struct.unpack(f"<{frames * ch}h", raw)
     r = rows[m]
     assert (r["sample_rate"], r["channels"], r["n_frames"]) == (rate, ch, frames)
     assert r["mean_amp"] == sum(vals) / len(vals)
