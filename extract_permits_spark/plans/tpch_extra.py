@@ -489,10 +489,21 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: the sole at-fault supplier on multi-supplier orders.
 
-    EXISTS -> LEFT SEMI and NOT EXISTS -> LEFT ANTI, both on l_orderkey
-    with the `other supplier` inequality as a join residual. Both
-    compile onto the same orderkey shuffle (AQE reuses the exchange);
-    no correlated per-row subquery execution anywhere."""
+    Rewritten as ONE pass over lineitem instead of the textbook three
+    (l1/l2/l3 with semi+anti joins). Per orderkey the two subqueries
+    reduce to aggregates over the order's own lines:
+
+    - EXISTS other-supplier      <=> min(l_suppkey) != max(l_suppkey)
+    - NOT EXISTS other-R-supplier <=> exactly one DISTINCT supplier has
+      returnflag 'R' <=> min_r == max_r (non-null) — and every R row in
+      that order then belongs to that supplier, so the per-order
+      contribution to numwait is the order's R-row count r_cnt.
+
+    min/max instead of countDistinct keeps the aggregate single-phase
+    (no Expand), so the whole query is one orderkey shuffle with
+    map-side partial aggregation, a semi join with F-status orders on
+    the same key, and a broadcast supplier lookup. At 100 TB this reads
+    the fact table once where the decorrelated form reads it thrice."""
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -502,37 +513,33 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_from_frames(li: DataFrame, o: DataFrame, s: DataFrame) -> DataFrame:
     """Q21 logic over caller-supplied frames (bench.py reuses it on 10x
     key-shifted facts for the sf1-equivalent scale row)."""
-    l1 = li.where(F.col("l_returnflag") == "R").select(
-        "l_orderkey", "l_suppkey"
-    )
-    l2 = li.select(
-        F.col("l_orderkey").alias("l2_ok"), F.col("l_suppkey").alias("l2_sk")
-    )
-    l3 = li.where(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("l3_ok"), F.col("l_suppkey").alias("l3_sk")
+    is_r = F.col("l_returnflag") == "R"
+    per_order = (
+        li.select("l_orderkey", "l_suppkey", is_r.alias("is_r"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("sk_min"),
+            F.max("l_suppkey").alias("sk_max"),
+            F.min(F.when(F.col("is_r"), F.col("l_suppkey"))).alias("r_min"),
+            F.max(F.when(F.col("is_r"), F.col("l_suppkey"))).alias("r_max"),
+            F.sum(F.when(F.col("is_r"), 1).otherwise(0)).alias("r_cnt"),
+        )
+        .where(
+            (F.col("sk_min") != F.col("sk_max"))
+            & F.col("r_min").isNotNull()
+            & (F.col("r_min") == F.col("r_max"))
+        )
     )
     return (
-        l1.join(
+        per_order.join(
             o.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
             "left_semi",
         )
-        .join(
-            l2,
-            (F.col("l_orderkey") == F.col("l2_ok"))
-            & (F.col("l_suppkey") != F.col("l2_sk")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("l3_ok"))
-            & (F.col("l_suppkey") != F.col("l3_sk")),
-            "left_anti",
-        )
         .join(F.broadcast(s.select("s_suppkey", "s_name")),
-              F.col("l_suppkey") == F.col("s_suppkey"))
+              F.col("r_min") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("r_cnt").cast("long").alias("numwait"))
     )
 
 

@@ -285,12 +285,17 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
 
 
 def test_tpch_extra_semi_anti_shapes(spark):
-    # Q4's EXISTS and Q21's EXISTS/NOT EXISTS pair decorrelate to semi/anti
-    # joins — never a per-row correlated subquery.
+    # Q4's EXISTS and Q22's NOT EXISTS decorrelate to semi/anti joins —
+    # never a per-row correlated subquery.
     assert "LeftSemi" in _plan(spark, "q4_priority_exists")
-    q21 = _plan(spark, "q21_waiting_supplier")
-    assert "LeftSemi" in q21 and "LeftAnti" in q21
     assert "LeftAnti" in _plan(spark, "q22_idle_customers")
+    # Q21's EXISTS/NOT EXISTS pair is rewritten into per-order min/max
+    # aggregates: ONE lineitem scan (not three), one semi join with
+    # orders, no anti join, no Expand (countDistinct avoided).
+    q21 = _plan(spark, "q21_waiting_supplier")
+    assert "LeftSemi" in q21 and "LeftAnti" not in q21
+    assert q21.count("lineitem.parquet") == 1  # fact table scanned once
+    assert "Expand" not in q21
 
 
 def test_tpch_extra_broadcasts_and_no_bnlj(spark):
