@@ -72,6 +72,9 @@ HEADLINE = [
     # be algorithmically asymmetric)
     "ann_matryoshka_rerank",
     "mm_image_stats",
+    # composed shard-assembly flagship (r7): filter -> chunk -> next-fit
+    # pack; the DuckDB pair replays the identical walk as a recursive CTE
+    "llm_tokenize_pack",
 ]
 
 

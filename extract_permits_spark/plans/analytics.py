@@ -111,8 +111,9 @@ _CHECK_FIRST = [
 ]
 
 # r8 NOTE: the driver's window covers the first 50 entries only. After
-# r7 records the 50 above, exactly 21 entries remain without a driver
-# row — rotate them into the head next round: the 7 r6-era holdovers
+# r7 records the 50 above, exactly 22 entries remain without a driver
+# row — rotate them into the head next round: llm_tokenize_pack (added
+# late in r7), the 7 r6-era holdovers
 #   a12_winsorize, u4_except_all, vocab_bpe_encode, docs_unigram_xent,
 #   docs_quality_score, ann_batch_topk, x8_schema_evolution_union
 # (green in the judge's r6 sf0.01 sweep) plus the fourteen r7 additions
@@ -5874,6 +5875,111 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < 90, "valid")
         .otherwise("test")
         .alias("split"),
+    )
+
+
+_TOKPACK_SQL = """
+    WITH RECURSIVE cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(COALESCE(text,''), 'https?://\\S+', '', 'g'),
+               '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ), gated AS (
+      SELECT doc_id, t, len(string_split_regex(t, '\\s+')) AS n_toks
+      FROM cleaned
+      WHERE length(t) >= 20 AND length(t) <= 50000
+        AND len(string_split_regex(t, '\\s+')) >= 5
+    ), filt AS (
+      SELECT doc_id, t FROM gated
+      QUALIFY row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) = 1
+    ), toked AS (
+      SELECT doc_id, string_split_regex(trim(lower(t)), '\\s+') AS toks
+      FROM filt
+    ), chunks AS (
+      SELECT doc_id,
+             CAST((start - 1) // 64 AS INT) AS chunk_idx,
+             CAST(least(64, len(toks) - start + 1) AS BIGINT) AS weight
+      FROM (
+        SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks), 1) + 1, 64)) AS start
+        FROM toked
+      )
+    ), seq AS MATERIALIZED (
+      SELECT doc_id % 8 AS shard, doc_id, chunk_idx, weight,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx
+             ) AS rn
+      FROM chunks
+    ), pack(shard, rn, doc_id, chunk_idx, weight, bin, used) AS (
+        SELECT shard, rn, doc_id, chunk_idx, weight, 0, weight
+        FROM seq WHERE rn = 1
+      UNION ALL
+        SELECT s.shard, s.rn, s.doc_id, s.chunk_idx, s.weight,
+               CASE WHEN p.used + s.weight > 256 THEN p.bin + 1 ELSE p.bin END,
+               CASE WHEN p.used + s.weight > 256 THEN s.weight
+                    ELSE p.used + s.weight END
+        FROM pack p JOIN seq s ON s.shard = p.shard AND s.rn = p.rn + 1
+    )
+    SELECT shard, doc_id, chunk_idx, weight, CAST(bin AS BIGINT) AS bin
+    FROM pack
+"""
+
+
+@register("llm_tokenize_pack", _TOKPACK_SQL)
+def llm_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed shard-assembly flagship — the stage a trainer consumes
+    AFTER curation: quality filter (URL-strip, length/token gates, exact
+    dedup keep-first, same contract as docs_pretrain_filter) →
+    non-overlapping 64-token chunking (the context-window grain) →
+    next-fit packing of chunks into 256-token bins per shard. Output is
+    one row per chunk: (shard, doc_id, chunk_idx, weight, bin) — the
+    physical training-shard layout.
+
+    Scale shape: cleaning + chunking are narrow (tokenize once,
+    posexplode arithmetic starts; chunk_text is never materialized —
+    column pruning removes the slice/join); the only shuffles are the
+    dedup hash and the per-shard repartition for the stateful pack walk
+    (Arrow-batched applyInPandas, sequential only WITHIN a shard — at
+    100 TB the shard count scales with the cluster, 8 here for oracle
+    tractability). The walk orders on seq_id = doc_id*1024 + chunk_idx
+    (== (doc_id, chunk_idx): the 50k-char gate bounds chunks/doc at 391
+    < 1024). The DuckDB oracle replays the identical walk one row per
+    shard per step as a recursive CTE, hash-checking the composition
+    end-to-end like llm_corpus_curation."""
+    from extract_permits_spark.functions.corpus import next_fit_pack
+
+    d = load_table(spark, sf_dir, "documents")
+    t = textfn.collapse_whitespace(textfn.strip_urls("text"))
+    cleaned = d.select("doc_id", t.alias("t"))
+    gated = cleaned.withColumn("n_toks", F.size(F.split("t", r"\s+"))).where(
+        (F.length("t") >= 20)
+        & (F.length("t") <= 50000)
+        & (F.col("n_toks") >= 5)
+    )
+    w = Window.partitionBy(F.md5(F.col("t").cast("binary"))).orderBy("doc_id")
+    filt = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "t")
+    )
+    chunks = textfn.chunk_documents(
+        filt, id_col="doc_id", text_col="t", chunk_tokens=64, overlap=0
+    )
+    seq = chunks.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        (F.col("doc_id") * 1024 + F.col("chunk_idx")).alias("seq_id"),
+        F.col("n_tokens").cast("long").alias("w"),
+    )
+    packed = next_fit_pack(
+        seq, id_col="seq_id", weight_col="w", shard_col="shard", budget=256
+    )
+    return packed.select(
+        "shard",
+        F.floor(F.col("seq_id") / 1024).cast("long").alias("doc_id"),
+        (F.col("seq_id") % 1024).cast("int").alias("chunk_idx"),
+        "weight",
+        "bin",
     )
 
 

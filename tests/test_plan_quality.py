@@ -426,3 +426,14 @@ def test_q11_q20_scalar_thresholds_broadcast_not_shuffled(spark):
     )
     assert "LeftSemi" in p20 and "BroadcastHashJoin" in p20
     assert "SortMergeJoin" not in p20
+
+
+def test_tokenize_pack_chunk_text_pruned_and_arrow_batched(spark):
+    """llm_tokenize_pack: the chunker's chunk_text (a slice+concat per
+    chunk) must be pruned away — packing needs only (shard, seq_id,
+    weight) — and the pack walk must be Arrow-batched per shard
+    (FlatMapGroupsInPandas), with no nested-loop join anywhere."""
+    plan = _plan(spark, "llm_tokenize_pack")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "chunk_text" not in plan  # column pruning removed the slice
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
