@@ -41,7 +41,7 @@ CHECKS = {
     "q17_small_quantity": ["LeftSemi", "BroadcastHashJoin"],
     "q18_large_volume": ["LeftSemi", "BroadcastHashJoin"],
     "q19_disjunctive": ["PushedFilters", "BroadcastHashJoin"],
-    "q21_waiting_supplier": ["LeftSemi", "LeftAnti"],
+    "q21_waiting_supplier": ["LeftSemi", "HashAggregate"],  # r7 rewrite: single-pass, no anti join
     "q22_idle_customers": ["LeftAnti", "BroadcastHashJoin"],
     "q2_min_balance_supplier": ["Window", "BroadcastHashJoin"],
     "ev_gap_fill": ["Window", "Generate"],
@@ -61,6 +61,7 @@ CHECKS = {
     "mm_image_stats": ["MapInPandas"],
     "mm_audio_stats": ["MapInPandas"],
     "llm_corpus_curation": ["Window"],
+    "llm_tokenize_pack": ["FlatMapGroupsInPandas", "Generate"],
 }
 
 
