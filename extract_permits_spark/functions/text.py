@@ -359,3 +359,40 @@ def chunk_documents(
             F.lit(chunk_tokens), F.size("_t") - F.col("_start") + 1
         ).cast("int").alias("n_tokens"),
     )
+
+
+def hashed_tf(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 64,
+):
+    """Feature-hashing (hashing-trick) term-frequency vectorizer — the
+    embedding every corpus can afford at 100 TB: no vocabulary pass, no
+    model, each token maps to ``bucket = md5(token)[:4] mod dims`` with
+    a sign bit from the next hex digit (the signed variant keeps the
+    estimator unbiased under collisions, Weinberger et al. 2009).
+    Returns the vector in LONG FORMAT, ``(id, dim, val)`` with exact
+    integer ``val = Σ sign(token)`` over the document's tokens — sparse
+    (zero dims absent), shuffle-free until the caller aggregates, and
+    bit-reproducible across engines (md5 on UTF-8 bytes both sides).
+
+    One narrow explode + one (id, dim) groupBy; at corpus scale the
+    groupBy is the only shuffle and partial aggregation folds the token
+    stream map-side.
+    """
+    from extract_permits_spark.functions.similarity import tokens
+
+    w = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_w")
+    ).where(F.col("_w") != "")
+    h = F.md5(F.col("_w").cast("binary"))
+    dim = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % dims).cast("int")
+    sign = F.when(
+        F.conv(F.substring(h, 5, 1), 16, 10).cast("long") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        w.select(F.col(id_col), dim.alias("dim"), sign.alias("_s"))
+        .groupBy(id_col, "dim")
+        .agg(F.sum("_s").cast("long").alias("val"))
+    )

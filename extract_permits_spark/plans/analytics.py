@@ -111,9 +111,10 @@ _CHECK_FIRST = [
 ]
 
 # r8 NOTE: the driver's window covers the first 50 entries only. After
-# r7 records the 50 above, exactly 22 entries remain without a driver
-# row — rotate them into the head next round: llm_tokenize_pack (added
-# late in r7), the 7 r6-era holdovers
+# r7 records the 50 above, exactly 24 entries remain without a driver
+# row — rotate them into the head next round: llm_tokenize_pack,
+# text_hash_embed, rag_hash_retrieval (added late in r7), the 7 r6-era
+# holdovers
 #   a12_winsorize, u4_except_all, vocab_bpe_encode, docs_unigram_xent,
 #   docs_quality_score, ann_batch_topk, x8_schema_evolution_union
 # (green in the judge's r6 sf0.01 sweep) plus the fourteen r7 additions
@@ -5980,6 +5981,113 @@ def llm_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("seq_id") % 1024).cast("int").alias("chunk_idx"),
         "weight",
         "bin",
+    )
+
+
+_HASH_EMBED_SQL_BODY = """
+    w AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) AS word
+      FROM documents
+    ),
+    t AS (SELECT doc_id, md5(word) AS h FROM w WHERE word <> ''),
+    v AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substring(h, 1, 4)) AS INTEGER) % 64 AS INT) AS dim,
+             CAST(sum(CASE WHEN CAST(('0x' || substring(h, 5, 1)) AS INTEGER) % 2 = 0
+                           THEN 1 ELSE -1 END) AS BIGINT) AS val
+      FROM t GROUP BY doc_id, dim
+    )
+"""
+
+_RAG_QUERY_TEXT = "spark table join fast query vector"
+
+
+@register("text_hash_embed", "WITH " + _HASH_EMBED_SQL_BODY + "SELECT doc_id, dim, val FROM v")
+def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer over the corpus (functions/text.py:
+    hashed_tf) — signed hashing-trick term frequencies in long format
+    (doc_id, dim, val), exact integers, md5-derived buckets/signs so
+    the 'embedding' is bit-reproducible across engines with no
+    vocabulary pass and no model. The bridge between the text family
+    and the embedding/ANN family: any text corpus becomes a vector
+    corpus in one explode + one (id, dim) groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    return textfn.hashed_tf(d, id_col="doc_id", text_col="text", dims=64)
+
+
+@register(
+    "rag_hash_retrieval",
+    "WITH " + _HASH_EMBED_SQL_BODY + f"""
+    , q AS (
+      SELECT CAST(CAST(('0x' || substring(md5(word), 1, 4)) AS INTEGER) % 64 AS INT) AS dim,
+             CAST(sum(CASE WHEN CAST(('0x' || substring(md5(word), 5, 1)) AS INTEGER) % 2 = 0
+                           THEN 1 ELSE -1 END) AS BIGINT) AS qval
+      FROM (SELECT unnest(string_split_regex('{_RAG_QUERY_TEXT}', '\\s+')) AS word)
+      GROUP BY dim
+    ),
+    scored AS (
+      SELECT v.doc_id,
+             CAST(sum(v.val * COALESCE(q.qval, 0)) AS BIGINT) AS dot,
+             CAST(sum(v.val * v.val) AS BIGINT) AS n2
+      FROM v LEFT JOIN q USING (dim)
+      GROUP BY v.doc_id
+    ),
+    qn AS (SELECT CAST(sum(qval * qval) AS BIGINT) AS q2 FROM q)
+    SELECT doc_id,
+           floor(CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM scored CROSS JOIN qn
+    ORDER BY cos_sim DESC, doc_id
+    LIMIT 20
+    """,
+)
+def rag_hash_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free text retrieval end-to-end: hash-embed the corpus
+    (text_hash_embed), hash-embed the query string the same way
+    (computed driver-side with hashlib — a ≤64-row literal, broadcast),
+    cosine top-20 with doc_id tiebreak. The dot product and the corpus
+    norm fold in ONE groupBy over one corpus scan: the broadcast query
+    vector LEFT-joins onto the sparse dims (missing dims contribute 0
+    to dot but still count toward the norm), so the whole query is one
+    shuffle + an ordered limit. The only float is the final cosine,
+    rounded with the half-up floor spelling on BOTH engines. At 100 TB
+    this is the serving-side retrieval shape: one corpus pass,
+    broadcast query, map-side partial aggregation."""
+    import hashlib
+    from collections import defaultdict
+
+    d = load_table(spark, sf_dir, "documents")
+    v = textfn.hashed_tf(d, id_col="doc_id", text_col="text", dims=64)
+
+    qv: dict[int, int] = defaultdict(int)
+    for word in _RAG_QUERY_TEXT.strip().lower().split():
+        h = hashlib.md5(word.encode()).hexdigest()
+        qv[int(h[:4], 16) % 64] += 1 if int(h[4], 16) % 2 == 0 else -1
+    q2 = sum(x * x for x in qv.values())
+    qdf = spark.createDataFrame(
+        [(int(k), int(x)) for k, x in sorted(qv.items()) if x != 0],
+        "dim int, qval long",
+    )
+    folded = (
+        v.join(F.broadcast(qdf), "dim", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("val") * F.coalesce(F.col("qval"), F.lit(0)))
+            .cast("long")
+            .alias("dot"),
+            F.sum(F.col("val") * F.col("val")).cast("long").alias("n2"),
+        )
+    )
+    cos = (
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("n2").cast("double") * F.lit(float(q2)))
+    )
+    cos6 = F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        folded.select("doc_id", cos6.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(20)
     )
 
 

@@ -437,3 +437,14 @@ def test_tokenize_pack_chunk_text_pruned_and_arrow_batched(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "chunk_text" not in plan  # column pruning removed the slice
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_rag_hash_retrieval_single_scan_one_pass(spark):
+    """rag_hash_retrieval: dot product and corpus norm fold in ONE
+    groupBy over ONE corpus scan (broadcast query vector LEFT-joined
+    onto the sparse dims); top-k plans as an ordered limit, and the
+    query side never induces a shuffle join."""
+    plan = _plan(spark, "rag_hash_retrieval")
+    assert plan.count("documents.parquet") == 1
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan

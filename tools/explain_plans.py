@@ -72,6 +72,11 @@ def main() -> int:
     only = sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark("explain")
+    # AQE wraps every plan in an un-finalized AdaptiveSparkPlan, under
+    # which explain("codegen") always reports 0 subtrees — disable it
+    # for the audit so the codegen count is the real span count (the
+    # production session keeps AQE on; this is an inspection-only knob).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     qs = analytics.queries()
     for name in only or CHECKS:
         df = qs[name](spark, sf_dir)
