@@ -75,6 +75,9 @@ HEADLINE = [
     # composed shard-assembly flagship (r7): filter -> chunk -> next-fit
     # pack; the DuckDB pair replays the identical walk as a recursive CTE
     "llm_tokenize_pack",
+    # lexical retrieval representative (r7): BM25 over the token stream,
+    # exact-integer stats, fair like-for-like DuckDB pair
+    "rag_bm25_topk",
 ]
 
 

