@@ -111,10 +111,10 @@ _CHECK_FIRST = [
 ]
 
 # r8 NOTE: the driver's window covers the first 50 entries only. After
-# r7 records the 50 above, exactly 25 entries remain without a driver
+# r7 records the 50 above, exactly 26 entries remain without a driver
 # row — rotate them into the head next round: llm_tokenize_pack,
-# text_hash_embed, rag_hash_retrieval, rag_bm25_topk (added late in
-# r7), the 7 r6-era holdovers
+# text_hash_embed, rag_hash_retrieval, rag_bm25_topk, rag_rrf_fusion
+# (added late in r7), the 7 r6-era holdovers
 #   a12_winsorize, u4_except_all, vocab_bpe_encode, docs_unigram_xent,
 #   docs_quality_score, ann_batch_topk, x8_schema_evolution_union
 # (green in the judge's r6 sf0.01 sweep) plus the fourteen r7 additions
@@ -6190,6 +6190,59 @@ def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("doc_id", bm25.alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
+    )
+
+
+_RRF_SQL = f"""
+    WITH bm AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+      FROM ({_ORACLES["rag_bm25_topk"]})
+    ),
+    hv AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rnk
+      FROM ({_ORACLES["rag_hash_retrieval"]})
+    ),
+    u AS (
+      SELECT doc_id, rnk FROM bm UNION ALL SELECT doc_id, rnk FROM hv
+    )
+    SELECT doc_id, sum(1.0 / (60 + rnk)) AS rrf
+    FROM u GROUP BY doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+"""
+
+
+@register("rag_rrf_fusion", _RRF_SQL)
+def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al., k=60)
+    of the lexical (rag_bm25_topk) and vector (rag_hash_retrieval)
+    candidate lists for the same query — the standard production
+    combiner when neither scorer dominates. rrf = Σ 1/(60+rank) over
+    the lists a document appears in; 1/(60+r) is an exact-int rational
+    and at most two such doubles sum per doc, so the score is
+    bit-identical across engines with no rounding.
+
+    The two global row_number windows run over the 20-row CANDIDATE
+    lists (bounded by each scorer's LIMIT), not the corpus — a
+    single-partition sort of ≤20 rows is a driver-scale epilogue, while
+    all corpus-scale work stays inside the two scorers' one-pass plans.
+    The oracle embeds both scorers' full SQL and fuses identically —
+    the composition, including both rankers' tiebreaks, is what's
+    hash-checked."""
+    bm = rag_bm25_topk(spark, sf_dir)
+    hv = rag_hash_retrieval(spark, sf_dir)
+    wb = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    wh = Window.orderBy(F.col("cos_sim").desc(), "doc_id")
+    u = bm.select(
+        "doc_id", F.row_number().over(wb).alias("rnk")
+    ).unionByName(
+        hv.select("doc_id", F.row_number().over(wh).alias("rnk"))
+    )
+    return (
+        u.groupBy("doc_id")
+        .agg(F.sum(F.lit(1.0) / (F.lit(60) + F.col("rnk"))).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
     )
 
 
