@@ -208,53 +208,68 @@ def main() -> None:
         # dedup at 10x: documents unioned with shifted ids — every doc
         # gains 9 exact twins, the dup-heavy crawl shape LSH exists for.
         # md5 variant so bench_oracle can run the SAME algorithm in DuckDB.
+        # The amplified corpus is MATERIALIZED outside the timed region
+        # (r7: the lazy 10-copy union put 10 re-scans of documents.parquet
+        # inside the timing and the row swung 11-43 s on identical code;
+        # at scale the 50k-doc table exists on disk). bench_oracle mirrors
+        # with CREATE TABLE from the same union.
         from pyspark.sql import functions as _F
 
         from extract_permits_spark.functions.similarity import minhash_md5_pairs
         from extract_permits_spark.sources.readers import load_table
 
         docs = load_table(spark, sf_dir, "documents")
-        amp = docs
+        amp_lazy = docs
         for c in range(1, 10):
-            amp = amp.unionByName(
+            amp_lazy = amp_lazy.unionByName(
                 docs.withColumn("doc_id", _F.col("doc_id") + _F.lit(c * 10**7))
             )
-        t0 = time.time()
-        force(minhash_md5_pairs(amp))
-        times_scale["dedup_minhash_md5_sf1eq"] = round(time.time() - t0, 3)
-        _settle()
+        docs_dir = tempfile.mkdtemp(prefix="bench_docs_sf1eq_")
+        amp_lazy.write.parquet(os.path.join(docs_dir, "documents"))
+        try:
+            amp = spark.read.parquet(os.path.join(docs_dir, "documents"))
+            t0 = time.time()
+            force(minhash_md5_pairs(amp))
+            times_scale["dedup_minhash_md5_sf1eq"] = round(time.time() - t0, 3)
+            _settle()
 
-        # tf-idf at 10x documents: the explode → tf → broadcast-df join →
-        # per-doc top-3 window shape, where the token stream (not the
-        # vocabulary) is what grows 10x. Same amplified frame both
-        # engines (bench_oracle mirrors the UNION ALL view).
-        from pyspark.sql import Window as _W
+            # tf-idf at 10x documents: the explode → tf → broadcast-df
+            # join → per-doc top-3 window shape, where the token stream
+            # (not the vocabulary) is what grows 10x. Same materialized
+            # frame both engines.
+            from pyspark.sql import Window as _W
 
-        tok = amp.select(
-            "doc_id", _F.explode(_F.split("text", " ")).alias("term")
-        ).where(_F.length("term") > 0)
-        tf = tok.groupBy("doc_id", "term").agg(_F.count(_F.lit(1)).alias("tf"))
-        df_ = tf.groupBy("term").agg(_F.count(_F.lit(1)).alias("df"))
-        n_docs = amp.count()
-        scored = tf.join(_F.broadcast(df_), "term").select(
-            "doc_id",
-            "term",
-            _F.round(
-                _F.col("tf")
-                * _F.log(_F.lit(float(n_docs + 1)) / (_F.col("df") + _F.lit(1.0))),
-                6,
-            ).alias("tfidf"),
-        )
-        w10 = _W.partitionBy("doc_id").orderBy(
-            _F.col("tfidf").desc(), _F.col("term")
-        )
-        t0 = time.time()
-        force(
-            scored.withColumn("rn", _F.row_number().over(w10))
-            .where(_F.col("rn") <= 3)
-            .drop("rn")
-        )
-        times_scale["text_tfidf_sf1eq"] = round(time.time() - t0, 3)
+            tok = amp.select(
+                "doc_id", _F.explode(_F.split("text", " ")).alias("term")
+            ).where(_F.length("term") > 0)
+            tf = tok.groupBy("doc_id", "term").agg(
+                _F.count(_F.lit(1)).alias("tf")
+            )
+            df_ = tf.groupBy("term").agg(_F.count(_F.lit(1)).alias("df"))
+            n_docs = amp.count()
+            scored = tf.join(_F.broadcast(df_), "term").select(
+                "doc_id",
+                "term",
+                _F.round(
+                    _F.col("tf")
+                    * _F.log(
+                        _F.lit(float(n_docs + 1)) / (_F.col("df") + _F.lit(1.0))
+                    ),
+                    6,
+                ).alias("tfidf"),
+            )
+            w10 = _W.partitionBy("doc_id").orderBy(
+                _F.col("tfidf").desc(), _F.col("term")
+            )
+            t0 = time.time()
+            force(
+                scored.withColumn("rn", _F.row_number().over(w10))
+                .where(_F.col("rn") <= 3)
+                .drop("rn")
+            )
+            times_scale["text_tfidf_sf1eq"] = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(docs_dir, ignore_errors=True)
         _settle()
 
         # classic-join shape at 10x: Q21's semi+anti pair on ~6M lineitem /
@@ -354,7 +369,10 @@ def main() -> None:
         # canonical -> leakage-safe-split chain runs end-to-end against
         # a fresh fixture dir, so nothing is memoized going in.
         cur_dir = tempfile.mkdtemp(prefix="bench_curation_sf1eq_")
-        amp.write.parquet(os.path.join(cur_dir, "documents.parquet"))
+        # amp_lazy, not amp: the materialized 10x parquet was cleaned up
+        # after the tfidf row, and this write runs outside the timed
+        # region anyway (the union re-scans cost nothing measured)
+        amp_lazy.write.parquet(os.path.join(cur_dir, "documents.parquet"))
         try:
             t0 = time.time()
             force(qs["llm_corpus_curation"](spark, cur_dir))

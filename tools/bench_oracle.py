@@ -113,7 +113,10 @@ def main() -> None:
         times["q21_waiting_supplier_sf1eq"] = round(time.time() - t0, 3)
 
     # dedup at 10x: same amplified-documents input, same md5-banded
-    # algorithm both engines (bench.py's dedup_minhash_md5_sf1eq row)
+    # algorithm both engines (bench.py's dedup_minhash_md5_sf1eq row).
+    # Materialized outside the timed region (r7: bench.py materializes
+    # its amplified frame to parquet, so the lazy UNION ALL's 10
+    # re-scans must leave the DuckDB timing too).
     if "dedup_minhash_md5" in oracles:
         p = os.path.join(sf_dir, "documents.parquet")
         union = " UNION ALL ".join(
@@ -121,22 +124,18 @@ def main() -> None:
             f"FROM read_parquet('{p}')"
             for c in range(10)
         )
-        con.execute(f"CREATE OR REPLACE VIEW documents AS {union}")
+        con.execute(f"CREATE TABLE _amp_docs10 AS {union}")
+        con.execute(
+            "CREATE OR REPLACE VIEW documents AS SELECT * FROM _amp_docs10"
+        )
         t0 = time.time()
         con.execute(oracles["dedup_minhash_md5"]).fetchall()
         times["dedup_minhash_md5_sf1eq"] = round(time.time() - t0, 3)
 
     # tf-idf at 10x documents (mirror of bench.py's text_tfidf_sf1eq):
-    # same amplified UNION ALL view, same query text as the registry
-    # oracle (which reads the `documents` view, re-pointed here).
-    if "text_tfidf" in oracles:
-        p = os.path.join(sf_dir, "documents.parquet")
-        union = " UNION ALL ".join(
-            f"SELECT * REPLACE (doc_id + {c * 10**7} AS doc_id) "
-            f"FROM read_parquet('{p}')"
-            for c in range(10)
-        )
-        con.execute(f"CREATE OR REPLACE VIEW documents AS {union}")
+    # same materialized 10x table, same query text as the registry
+    # oracle (which reads the `documents` view, re-pointed above).
+    if "text_tfidf" in oracles and "dedup_minhash_md5" in oracles:
         t0 = time.time()
         con.execute(oracles["text_tfidf"]).fetchall()
         times["text_tfidf_sf1eq"] = round(time.time() - t0, 3)
