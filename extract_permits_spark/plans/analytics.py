@@ -111,10 +111,10 @@ _CHECK_FIRST = [
 ]
 
 # r8 NOTE: the driver's window covers the first 50 entries only. After
-# r7 records the 50 above, exactly 26 entries remain without a driver
+# r7 records the 50 above, exactly 27 entries remain without a driver
 # row — rotate them into the head next round: llm_tokenize_pack,
-# text_hash_embed, rag_hash_retrieval, rag_bm25_topk, rag_rrf_fusion
-# (added late in r7), the 7 r6-era holdovers
+# text_hash_embed, rag_hash_retrieval, rag_bm25_topk, rag_rrf_fusion,
+# docs_snapshot_diff (added late in r7), the 7 r6-era holdovers
 #   a12_winsorize, u4_except_all, vocab_bpe_encode, docs_unigram_xent,
 #   docs_quality_score, ann_batch_topk, x8_schema_evolution_union
 # (green in the judge's r6 sf0.01 sweep) plus the fourteen r7 additions
@@ -6243,6 +6243,63 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.lit(1.0) / (F.lit(60) + F.col("rnk"))).alias("rrf"))
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(10)
+    )
+
+
+@register(
+    "docs_snapshot_diff",
+    """
+    WITH v1 AS (
+      SELECT doc_id, md5(COALESCE(text, '')) AS h
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    v2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 3 = 0
+                      THEN COALESCE(text, '') || ' [rev2]'
+                      ELSE COALESCE(text, '') END) AS h
+      FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.h <> v2.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    """,
+)
+def docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot delta: classify every document across two corpus
+    snapshots as added / removed / changed / unchanged by content hash
+    — the daily-ingest primitive that decides what re-enters the dedup
+    and embedding pipelines. The two snapshots are derived
+    deterministically from the fixture (v1 drops doc_id%5==0, v2 drops
+    %7==0 and revises %3==0) so both engines diff identical inputs.
+
+    Scale shape: one md5 per row per side (narrow, codegen'd), one
+    full-outer hash join on the id — at 100 TB both snapshots shuffle
+    once on doc_id (or zero times if both are bucketed/partitioned by
+    id, the layout a daily differ would keep); content comparison rides
+    the join as a 16-byte residual, never a text compare."""
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    v1 = d.where(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("id1"), F.md5(txt.cast("binary")).alias("h1")
+    )
+    txt2 = F.when(F.col("doc_id") % 3 == 0, F.concat(txt, F.lit(" [rev2]"))).otherwise(
+        txt
+    )
+    v2 = d.where(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("id2"), F.md5(txt2.cast("binary")).alias("h2")
+    )
+    joined = v1.join(v2, v1.id1 == v2.id2, "full_outer")
+    return joined.select(
+        F.coalesce("id1", "id2").alias("doc_id"),
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
     )
 
 
