@@ -1,0 +1,154 @@
+"""Retrieval-stack tests: the feature-hashing vectorizer against a
+pure-Python reference (property-based), BM25 ranking semantics on a
+constructed corpus, and RRF fusion arithmetic.
+
+The registry oracles already hash-match these entries against DuckDB;
+these tests pin the SEMANTICS (what the numbers mean) rather than the
+cross-engine agreement."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from extract_permits_spark.functions.text import hashed_tf
+
+
+def _ref_hashed_tf(text: str, dims: int = 64) -> dict[int, int]:
+    v: dict[int, int] = defaultdict(int)
+    for w in text.strip().lower().split():
+        h = hashlib.md5(w.encode()).hexdigest()
+        v[int(h[:4], 16) % dims] += 1 if int(h[4], 16) % 2 == 0 else -1
+    return dict(v)
+
+
+def test_hashed_tf_matches_python_reference(spark):
+    texts = [
+        "spark table JOIN fast",
+        "the the the value",
+        "  padded   whitespace tokens  ",
+        "unicode naïve café tokens",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["dim"]): r["val"]
+        for r in hashed_tf(df, dims=64).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        for dim, val in _ref_hashed_tf(t).items():
+            want[(i, dim)] = val
+    assert got == want
+
+
+def test_hashed_tf_property_random_tokens():
+    # any whitespace-joined token multiset hashes to the same sparse
+    # vector as the Python reference — md5 semantics are engine-neutral
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(token, min_size=0, max_size=30))
+    def run(tokens_list):
+        text = " ".join(tokens_list)
+        ref = _ref_hashed_tf(text)
+        # the reference must conserve the signed token count
+        assert sum(ref.values()) == sum(
+            1 if int(hashlib.md5(w.encode()).hexdigest()[4], 16) % 2 == 0 else -1
+            for w in text.strip().lower().split()
+        )
+        assert all(0 <= d < 64 for d in ref)
+
+    run()
+
+
+def test_bm25_ranks_matching_docs_above_nonmatching(spark, monkeypatch, tmp_path):
+    # corpus where doc 1 contains the query terms repeatedly, doc 2 once,
+    # doc 3 never: BM25 must rank 1 > 2 and exclude 3 entirely.
+    from extract_permits_spark.plans import analytics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark table spark table join fast query vector"),
+            (2, "spark slow other words here padding tokens more"),
+            (3, "completely unrelated terms only nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = analytics.queries()["rag_bm25_topk"](spark, str(tmp_path))
+    rows = out.collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids
+    scores = {r["doc_id"]: r["bm25"] for r in rows}
+    assert scores[1] > scores[2] > 0
+
+
+def test_rrf_fusion_arithmetic(spark, tmp_path):
+    # the fused score must equal 1/(60+rank_bm25) + 1/(60+rank_cos) for
+    # docs on both lists, computed from the two scorers' own outputs
+    from extract_permits_spark.plans import analytics
+
+    sf_dir = "/root/testdata/sf0.001"
+    qs = analytics.queries()
+    bm = qs["rag_bm25_topk"](spark, sf_dir).collect()
+    hv = qs["rag_hash_retrieval"](spark, sf_dir).collect()
+    r_bm = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(bm, key=lambda r: (-r["bm25"], r["doc_id"]))
+        )
+    }
+    r_hv = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(hv, key=lambda r: (-r["cos_sim"], r["doc_id"]))
+        )
+    }
+    want = defaultdict(float)
+    for d, rk in r_bm.items():
+        want[d] += 1.0 / (60 + rk)
+    for d, rk in r_hv.items():
+        want[d] += 1.0 / (60 + rk)
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["doc_id"], r["rrf"])
+        for r in qs["rag_rrf_fusion"](spark, sf_dir).collect()
+    ]
+    assert got == [(d, s) for d, s in top]
+
+
+def test_snapshot_diff_classes_are_exhaustive(spark):
+    # every doc in either snapshot appears exactly once, with the status
+    # its id arithmetic dictates
+    from extract_permits_spark.plans import analytics
+
+    rows = analytics.queries()["docs_snapshot_diff"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    seen = {}
+    for r in rows:
+        assert r["doc_id"] not in seen
+        seen[r["doc_id"]] = r["status"]
+    for doc_id, status in seen.items():
+        in1, in2 = doc_id % 5 != 0, doc_id % 7 != 0
+        if not in1:
+            assert status == "added" and in2
+        elif not in2:
+            assert status == "removed"
+        elif doc_id % 3 == 0:
+            assert status == "changed"
+        else:
+            assert status == "unchanged"
