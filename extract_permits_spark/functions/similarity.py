@@ -264,21 +264,19 @@ def minhash_lsh_pairs(
     return verified
 
 
-def minhash_md5_pairs(
+def minhash_md5_bands(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
-    jaccard_threshold: float = 0.2,
 ) -> DataFrame:
-    """MinHash-LSH with the md5 hash family — the cross-engine-
-    deterministic variant whose banding a DuckDB oracle replays verbatim
-    (registry entry ``dedup_minhash_md5``; xxhash64 ``minhash_lsh_pairs``
-    is the production fast path). Same banded shape: shingle → per-seed
-    min(md5) signature → per-band md5 bucket → candidate join → exact
-    Jaccard verification."""
+    """The md5-family band index on its own: (id, band_idx, band_hash),
+    one row per band per document with ≥ shingle_n tokens. Factored out
+    of ``minhash_md5_pairs`` so a STATIC corpus index can be built once
+    and probed by later arrivals (streaming ingest scoring) with the
+    exact same hashes the batch dedup and its DuckDB oracle use."""
     sh = docs.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("_shingles")
     ).where(F.size("_shingles") > 0)
@@ -306,6 +304,30 @@ def minhash_md5_pairs(
         band_frames = (
             part if band_frames is None else band_frames.unionByName(part)
         )
+    return band_frames
+
+
+def minhash_md5_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash-LSH with the md5 hash family — the cross-engine-
+    deterministic variant whose banding a DuckDB oracle replays verbatim
+    (registry entry ``dedup_minhash_md5``; xxhash64 ``minhash_lsh_pairs``
+    is the production fast path). Same banded shape: shingle → per-seed
+    min(md5) signature → per-band md5 bucket → candidate join → exact
+    Jaccard verification."""
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("_shingles")
+    ).where(F.size("_shingles") > 0)
+    band_frames = minhash_md5_bands(
+        docs, id_col, text_col, shingle_n, num_hashes, bands
+    )
     a = band_frames.select(
         "band_idx", "band_hash", F.col(id_col).alias("id_a")
     )

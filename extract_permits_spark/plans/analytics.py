@@ -111,10 +111,11 @@ _CHECK_FIRST = [
 ]
 
 # r8 NOTE: the driver's window covers the first 50 entries only. After
-# r7 records the 50 above, exactly 27 entries remain without a driver
+# r7 records the 50 above, exactly 28 entries remain without a driver
 # row — rotate them into the head next round: llm_tokenize_pack,
 # text_hash_embed, rag_hash_retrieval, rag_bm25_topk, rag_rrf_fusion,
-# docs_snapshot_diff (added late in r7), the 7 r6-era holdovers
+# docs_snapshot_diff, stream_neardup_ingest (added late in r7), the 7
+# r6-era holdovers
 #   a12_winsorize, u4_except_all, vocab_bpe_encode, docs_unigram_xent,
 #   docs_quality_score, ann_batch_topk, x8_schema_evolution_union
 # (green in the judge's r6 sf0.01 sweep) plus the fourteen r7 additions
@@ -2015,6 +2016,82 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simfn.minhash_md5_pairs(
         d, num_hashes=_MH_SEEDS, bands=_MH_BANDS, jaccard_threshold=0.2
     )
+
+
+_STREAM_NEARDUP_SQL = f"""
+    WITH static_docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+    ),
+    new_docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+    ),
+    toks_s AS ({_MH_SHINGLE_SQL.replace("FROM documents", "FROM static_docs")}),
+    sh_s AS (SELECT doc_id, unnest(shingles) AS sh FROM toks_s),
+    sigs_s AS (SELECT doc_id, {_MH_SIG_COLS} FROM sh_s GROUP BY doc_id),
+    bands_s AS ({_MH_BAND_ROWS.replace("FROM sigs", "FROM sigs_s")}),
+    toks_n AS ({_MH_SHINGLE_SQL.replace("FROM documents", "FROM new_docs")}),
+    sh_n AS (SELECT doc_id, unnest(shingles) AS sh FROM toks_n),
+    sigs_n AS (SELECT doc_id, {_MH_SIG_COLS} FROM sh_n GROUP BY doc_id),
+    bands_n AS ({_MH_BAND_ROWS.replace("FROM sigs", "FROM sigs_n")}),
+    hits AS (
+      SELECT DISTINCT n.doc_id
+      FROM bands_n n JOIN bands_s s USING (band_idx, band_hash)
+    )
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS is_neardup
+    FROM new_docs d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@register("stream_neardup_ingest", _STREAM_NEARDUP_SQL)
+def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static near-dup on ingest: new documents (doc_id%4==0)
+    arrive through a file stream in multiple micro-batches
+    (maxFilesPerTrigger=1) and each is flagged iff it shares ≥1 MinHash
+    band bucket with the STATIC corpus (doc_id%4!=0), whose band index
+    is built once with the exact hashes the batch dedup uses
+    (streaming/neardup_ingest.py, similarity.minhash_md5_bands). The
+    oracle replays both sides' banding in one batch query — proving the
+    incremental, per-micro-batch decision equals what a full-corpus
+    batch run would conclude, the invariant that makes ingest-time
+    scoring trustworthy."""
+    import os
+    import shutil
+    import tempfile
+
+    from extract_permits_spark.streaming.neardup_ingest import (
+        run_neardup_ingest_available_now,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    static_docs = d.where(F.col("doc_id") % 4 != 0)
+    new_docs = d.where(F.col("doc_id") % 4 == 0)
+
+    work = tempfile.mkdtemp(prefix="stream_neardup_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    new_docs.where((F.col("doc_id") / 4).cast("long") % 2 == 0).coalesce(
+        1
+    ).write.parquet(os.path.join(src, "f0"))
+    new_docs.where((F.col("doc_id") / 4).cast("long") % 2 == 1).coalesce(
+        1
+    ).write.parquet(os.path.join(src, "f1"))
+    for sub in ("f0", "f1"):
+        for fn in os.listdir(os.path.join(src, sub)):
+            if fn.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(src, sub, fn),
+                    os.path.join(src, f"{sub}.parquet"),
+                )
+        shutil.rmtree(os.path.join(src, sub), ignore_errors=True)
+
+    name = f"stream_neardup_{abs(hash(sf_dir)) % 10**8}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = run_neardup_ingest_available_now(
+        spark, src, static_docs, os.path.join(work, "ckpt"), table_name=name
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
 
 
 # ===========================================================================

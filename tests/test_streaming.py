@@ -379,3 +379,34 @@ def test_stream_corpus_ingest_quarantines_poison_lines(spark, tmp_path):
     assert clean.count() == docs.count()
     assert clean.where(clean.doc_id.isNull()).count() == 0
     assert sorted(bad) == sorted(poison)
+
+
+def test_stream_neardup_scoring_against_static_index(spark):
+    # an arriving doc that exactly duplicates a static doc must flag
+    # (identical shingles -> identical signature -> same band buckets);
+    # a doc sharing no 3-gram cannot flag; a too-short doc scores false
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.functions.similarity import minhash_md5_bands
+    from extract_permits_spark.streaming.neardup_ingest import (
+        score_batch_against_index,
+    )
+
+    static = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (101, "completely different words appear here only"),  # novel
+            (102, "too short"),  # < 3 tokens: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    idx = minhash_md5_bands(static)
+    got = {
+        r["doc_id"]: r["is_neardup"]
+        for r in score_batch_against_index(batch, idx).collect()
+    }
+    assert got == {100: True, 101: False, 102: False}
