@@ -111,11 +111,11 @@ _CHECK_FIRST = [
 ]
 
 # r8 NOTE: the driver's window covers the first 50 entries only. After
-# r7 records the 50 above, exactly 28 entries remain without a driver
+# r7 records the 50 above, exactly 29 entries remain without a driver
 # row — rotate them into the head next round: llm_tokenize_pack,
 # text_hash_embed, rag_hash_retrieval, rag_bm25_topk, rag_rrf_fusion,
-# docs_snapshot_diff, stream_neardup_ingest (added late in r7), the 7
-# r6-era holdovers
+# docs_snapshot_diff, stream_neardup_ingest, docs_quality_prune (added
+# late in r7), the 7 r6-era holdovers
 #   a12_winsorize, u4_except_all, vocab_bpe_encode, docs_unigram_xent,
 #   docs_quality_score, ann_batch_topk, x8_schema_evolution_union
 # (green in the judge's r6 sf0.01 sweep) plus the fourteen r7 additions
@@ -6799,6 +6799,82 @@ def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(score, 6).alias("quality"),
         F.when(score >= 0.5, "keep").otherwise("cull").alias("verdict"),
+    )
+
+
+@register(
+    "docs_quality_prune",
+    """
+    WITH feats AS (
+      SELECT doc_id, source,
+             CAST(length(COALESCE(text, '')) AS DOUBLE) AS len_chars,
+             CAST(len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+'))
+                  AS DOUBLE) AS n_words,
+             CAST(length(COALESCE(text,''))
+                  - length(replace(replace(replace(COALESCE(text,''),
+                            '.', ''), ',', ''), '!', '')) AS DOUBLE) AS n_punct
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source,
+             round(1.0 / (1.0 + exp(-(
+               -2.0 + 0.004 * len_chars + 0.02 * n_words - 0.1 * n_punct
+             ))), 6) AS quality
+      FROM feats
+    )
+    SELECT doc_id, source, quality FROM (
+      SELECT doc_id, source, quality,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM q
+    )
+    WHERE rn <= CAST(ceil(0.3 * n) AS BIGINT)
+    """,
+)
+def docs_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality pruning, the FineWeb/DCLM selection step: keep the top
+    30% of documents PER SOURCE by the fixed-weight logistic quality
+    score (docs_quality_score's classifier — per-source quotas stop a
+    high-quality-on-average source from crowding out the others). The
+    6dp-rounded score with a doc_id tiebreak makes the cut deterministic
+    across engines and partitionings. One narrow scoring map + one
+    per-source window (WindowGroupLimit-eligible rank filter); at
+    100 TB the only shuffle is the source partition, and a skewed
+    mega-source is exactly the case the per-group top-k limit keeps
+    map-side-boundable."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    len_chars = F.length(text).cast("double")
+    n_words = F.size(F.split(F.trim(F.lower(text)), r"\s+")).cast("double")
+    n_punct = (
+        F.length(text)
+        - F.length(
+            F.replace(
+                F.replace(F.replace(text, F.lit("."), F.lit("")), F.lit(","), F.lit("")),
+                F.lit("!"),
+                F.lit(""),
+            )
+        )
+    ).cast("double")
+    logit = (
+        F.lit(-2.0)
+        + F.lit(0.004) * len_chars
+        + F.lit(0.02) * n_words
+        - F.lit(0.1) * n_punct
+    )
+    quality = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    scored = d.select("doc_id", "source", quality.alias("quality"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    wn = Window.partitionBy("source")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .where(F.col("rn") <= F.ceil(F.lit(0.3) * F.col("n")).cast("long"))
+        .select("doc_id", "source", "quality")
     )
 
 
