@@ -6839,11 +6839,12 @@ def docs_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     score (docs_quality_score's classifier — per-source quotas stop a
     high-quality-on-average source from crowding out the others). The
     6dp-rounded score with a doc_id tiebreak makes the cut deterministic
-    across engines and partitionings. One narrow scoring map + one
-    per-source window (WindowGroupLimit-eligible rank filter); at
-    100 TB the only shuffle is the source partition, and a skewed
-    mega-source is exactly the case the per-group top-k limit keeps
-    map-side-boundable."""
+    across engines and partitionings. One narrow scoring map, ONE
+    shuffle on source, and both windows (rank + group count) share that
+    single exchange; the 30%-of-group limit is row-count-dependent, so
+    WindowGroupLimit does NOT apply (it needs a constant k) — a fixed
+    per-source quota variant would get the map-side partial top-k, the
+    documented trade for a relative cut."""
     d = load_table(spark, sf_dir, "documents")
     text = F.coalesce(F.col("text"), F.lit(""))
     len_chars = F.length(text).cast("double")
