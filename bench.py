@@ -295,10 +295,12 @@ def main() -> None:
             amp_o = amp_o.unionByName(
                 o0.withColumn("o_orderkey", _F.col("o_orderkey") + _F.lit(c * stride))
             )
-        # materialize the amplified facts OUTSIDE the timed region: Q21
-        # references lineitem three times, and timing a lazy 10-copy
-        # union would measure 30 re-scans, not the join engine — at
-        # scale the 6M-row table exists on disk. bench_oracle mirrors
+        # materialize the amplified facts OUTSIDE the timed region:
+        # timing a lazy 10-copy union would measure union re-scans, not
+        # the join engine — at scale the 6M-row table exists on disk.
+        # (The r7 single-pass rewrite scans lineitem once, but the
+        # DuckDB oracle's EXISTS pair still reads it thrice, so
+        # materializing keeps the pair symmetric.) bench_oracle mirrors
         # (CREATE TABLE from the union, then time the query).
         amp_dir = tempfile.mkdtemp(prefix="bench_q21_sf1eq_")
         amp_li.write.parquet(os.path.join(amp_dir, "lineitem"))

@@ -99,8 +99,9 @@ def main() -> None:
 
     # classic-join shape at 10x: materialize the amplified facts first
     # (mirror of bench.py, which writes them to parquet outside the
-    # timed region — Q21 references lineitem 3x, so timing the lazy
-    # union would measure re-scans, not the join), then time the query.
+    # timed region — this oracle's EXISTS/NOT EXISTS pair reads
+    # lineitem three times, so timing the lazy union would measure
+    # re-scans, not the join), then time the query.
     if "q21_waiting_supplier" in oracles and "permit_pipeline_upload" in oracles:
         con.execute("CREATE TABLE _amp_orders AS SELECT * FROM orders")
         con.execute("CREATE TABLE _amp_lineitem AS SELECT * FROM lineitem")
