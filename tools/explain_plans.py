@@ -62,6 +62,10 @@ CHECKS = {
     "mm_audio_stats": ["MapInPandas"],
     "llm_corpus_curation": ["Window"],
     "llm_tokenize_pack": ["FlatMapGroupsInPandas", "Generate"],
+    "rag_hash_retrieval": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "rag_bm25_topk": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "docs_quality_prune": ["Window"],
+    "docs_snapshot_diff": ["SortMergeJoin"],
 }
 
 
