@@ -111,11 +111,11 @@ _CHECK_FIRST = [
 ]
 
 # r8 NOTE: the driver's window covers the first 50 entries only. After
-# r7 records the 50 above, exactly 29 entries remain without a driver
+# r7 records the 50 above, exactly 30 entries remain without a driver
 # row — rotate them into the head next round: llm_tokenize_pack,
 # text_hash_embed, rag_hash_retrieval, rag_bm25_topk, rag_rrf_fusion,
-# docs_snapshot_diff, stream_neardup_ingest, docs_quality_prune (added
-# late in r7), the 7 r6-era holdovers
+# docs_snapshot_diff, stream_neardup_ingest, docs_quality_prune,
+# ev_grouping_sets (added late in r7), the 7 r6-era holdovers
 #   a12_winsorize, u4_except_all, vocab_bpe_encode, docs_unigram_xent,
 #   docs_quality_score, ann_batch_topk, x8_schema_evolution_union
 # (green in the judge's r6 sf0.01 sweep) plus the fourteen r7 additions
@@ -2185,6 +2185,47 @@ def ev_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
+    )
+
+
+@register(
+    "ev_grouping_sets",
+    """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(user_id % 10 AS VARCHAR), 'ALL') AS user_bucket,
+           GROUPING(event_type) * 2 + GROUPING(user_id % 10) AS gid,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+    """,
+)
+def ev_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the third of the multi-granularity trio
+    (ev_rollup, ev_cube): explicitly chosen grouping combinations
+    ((type), (user bucket), ()) rather than every prefix or every
+    subset. Spark plans all sets in ONE pass via Expand (each input row
+    fans out once per set, partial aggregation map-side) — at 100 TB
+    that is one shuffle for the whole report instead of one job per
+    granularity. gid disambiguates the NULL-vs-'ALL' encoding exactly
+    as the rollup/cube entries do."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 10).alias("_ub"), "value"
+    )
+    grouped = e.groupingSets(
+        [["event_type"], ["_ub"], []], "event_type", "_ub"
+    ).agg(
+        F.grouping("event_type").cast("int").alias("_gt"),
+        F.grouping("_ub").cast("int").alias("_gu"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    return grouped.select(
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        F.coalesce(F.col("_ub").cast("string"), F.lit("ALL")).alias("user_bucket"),
+        (F.col("_gt") * 2 + F.col("_gu")).cast("long").alias("gid"),
+        "n_events",
+        "sum_value",
     )
 
 
