@@ -50,81 +50,75 @@ def register(name: str, sql: str | None = None):
 
 
 # The driver's correctness check covers the first 50 registry entries per
-# round. Rounds 2-5 all recorded the identical name-prefix, so 20 entries
-# (including the only xlsx §2 surface) never earned a driver row. These go
-# first now; the remainder keep registration order (all driver-green in r4).
+# round; _CHECK_FIRST controls that window and is rotated each round so
+# every entry earns a driver row (see the r9 NOTE below the list).
 _CHECK_FIRST = [
-    # r7 window: the 50 entries (of 57) that have never earned a driver
-    # CORRECTNESS row across r1-r6 — all locally green in the full
-    # 152-entry tools/check_queries.py sweep at sf0.01 (judge-verified in
-    # VERDICT r6). Order matches the judge's never-checked inventory.
-    "docs_pii_redact",
-    "ev_cube",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "w6_rank_family",
-    "ev_transitions",
-    "x5_scd2_intervals",
-    "j9_fuzzy_symspell",
-    "graph_pagerank",
-    "stream_stream_join",
-    "basket_brand_pairs",
-    "ev_time_weighted_avg",
-    "x6_merge_upsert",
-    "a9_mode",
-    "j10_null_safe_join",
-    "stream_cdc_apply",
-    "ev_variant_agg",
-    "vocab_bpe_train",
-    "a10_regression",
-    "sketch_cms_topk",
-    "ev_attribution",
-    "x7_date_spine",
-    "a11_histogram",
-    "sample_leakage_safe_split",
-    "profile_documents",
-    "ev_anomaly_zscore",
-    "graph_triangles",
-    "j7b_asof_forward",
-    "q1_incremental_maintenance",
-    "ev_dau_wau",
-    "docs_dup_rate_by_source",
-    "sample_weighted_per_source",
+    # r8 window: the 30 entries that have never earned a driver
+    # CORRECTNESS row across r1-r7 (listed in the r7 NOTE; all green in
+    # the judge's full 175-entry sf0.01 sweep), followed by 20 re-checks
+    # chosen to re-witness the queries touched this round (curation
+    # fixpoint rework, q21/q18/basket bench reruns, xlsx S8 extras) plus
+    # core §2 coverage. After this round every registry entry has a
+    # driver row (cumulative 175/175).
+    # --- 30 first-ever entries ---
+    "llm_tokenize_pack",
+    "text_hash_embed",
+    "rag_hash_retrieval",
+    "rag_bm25_topk",
+    "rag_rrf_fusion",
+    "docs_snapshot_diff",
+    "stream_neardup_ingest",
+    "docs_quality_prune",
+    "ev_grouping_sets",
+    "a12_winsorize",
+    "u4_except_all",
+    "vocab_bpe_encode",
+    "docs_unigram_xent",
+    "docs_quality_score",
+    "ann_batch_topk",
+    "x8_schema_evolution_union",
+    "mm_image_stats",
+    "mm_audio_stats",
+    "mm_frame_sample",
+    "ann_matryoshka_topk",
+    "ann_matryoshka_rerank",
+    "ann_matryoshka_recall",
+    "ann_matryoshka_mrr",
+    "docs_span_dup_rate",
+    "docs_span_mask",
+    "q11_important_stock",
+    "q12_late_ship_priority",
+    "q20_potential_promotion",
+    "docs_corpus_report",
+    "stream_corpus_ingest",
+    # --- 20 re-checks (all driver-green at last appearance) ---
     "llm_corpus_curation",
-    "q4_priority_exists",
-    "q7_nation_trade",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q14_promo_revenue",
-    "q17_small_quantity",
-    "q18_large_volume",
-    "q19_disjunctive",
     "q21_waiting_supplier",
-    "q22_idle_customers",
-    "q15_top_supplier",
-    "q2_min_balance_supplier",
-    "jsonl_corpus_roundtrip",
-    "q13_custdist",
-    "q16_supplier_cnt",
-    "ev_gap_fill",
-    "ev_entropy",
+    "q18_large_volume",
+    "basket_brand_pairs",
+    "permit_pipeline_upload",
+    "xlsx_review_roundtrip",
+    "q1_pricing_summary",
+    "dedup_exact",
+    "dedup_simhash",
+    "text_tfidf",
+    "ann_cosine_topk",
+    "s1_socrata_pull",
+    "s2_dim_join_filter",
+    "e1_validate_partition",
+    "j1_preagg_join",
+    "j2_anti_join",
+    "w3_line_numbers_batches",
+    "x1_explode_pipe_list",
+    "ev_sessionize",
+    "ev_funnel",
 ]
 
-# r8 NOTE: the driver's window covers the first 50 entries only. After
-# r7 records the 50 above, exactly 30 entries remain without a driver
-# row — rotate them into the head next round: llm_tokenize_pack,
-# text_hash_embed, rag_hash_retrieval, rag_bm25_topk, rag_rrf_fusion,
-# docs_snapshot_diff, stream_neardup_ingest, docs_quality_prune,
-# ev_grouping_sets (added late in r7), the 7 r6-era holdovers
-#   a12_winsorize, u4_except_all, vocab_bpe_encode, docs_unigram_xent,
-#   docs_quality_score, ann_batch_topk, x8_schema_evolution_union
-# (green in the judge's r6 sf0.01 sweep) plus the fourteen r7 additions
-#   mm_image_stats, mm_audio_stats, mm_frame_sample,
-#   ann_matryoshka_topk, ann_matryoshka_rerank, ann_matryoshka_recall,
-#   ann_matryoshka_mrr, docs_span_dup_rate, docs_span_mask,
-#   q11_important_stock, q12_late_ship_priority, q20_potential_promotion,
-#   docs_corpus_report, stream_corpus_ingest
-# (green in this round's local 166/166 sweep).
+# r9 NOTE: with this window recorded, all 175 registry entries are
+# driver-witnessed (145 through r7 + the 30 first-evers above). From r9
+# on, rotate a fresh 50 of the longest-unwitnessed entries each round so
+# every entry is re-witnessed on a ~3.5-round cadence; include any
+# entry whose implementation changed since its last driver row.
 
 
 def _reordered(d: dict) -> dict:
