@@ -223,7 +223,16 @@ def image_stats(media: DataFrame) -> DataFrame:
                 n = w * h
                 # exact int64 channel sums, vectorized over the pixel buffer
                 lanes = np.frombuffer(px, dtype=np.uint8).reshape(-1, ch)
-                sums = [int(s) for s in lanes[:, :3].sum(axis=0, dtype=np.int64)]
+                if ch >= 3:
+                    sums = [
+                        int(s) for s in lanes[:, :3].sum(axis=0, dtype=np.int64)
+                    ]
+                else:
+                    # grayscale / gray+alpha: the single luma lane stands in
+                    # for r, g, and b (decode_png supports 1- and 2-channel
+                    # PNGs; indexing lanes[:, :3] alone would IndexError)
+                    g = int(lanes[:, 0].sum(dtype=np.int64))
+                    sums = [g, g, g]
                 rows.append(
                     (
                         int(m),

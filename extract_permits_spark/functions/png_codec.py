@@ -156,8 +156,15 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     width = height = channels = -1
     idat = bytearray()
     while pos < len(payload):
+        # bounds-check before each unpack: a payload truncated mid
+        # chunk-header or mid-CRC must raise ValueError (the documented
+        # quarantine contract), not struct.error
+        if pos + 8 > len(payload):
+            raise ValueError("truncated chunk header")
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):
+            raise ValueError(f"truncated {tag!r} chunk")
         body = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:

@@ -7282,11 +7282,17 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 0 END AS nwin
       FROM t
     ),
+    occ0 AS (
+      -- per-row indices via the LIST form of generate_series (accepts
+      -- column bounds; the table-function form is constants-only) — no
+      -- fixed cap, any document length replays exactly
+      SELECT doc_id, toks, unnest(generate_series(0, nwin - 1)) AS win_idx
+      FROM w
+    ),
     occ AS (
-      SELECT doc_id, i.i AS win_idx,
-             md5(array_to_string(list_slice(toks, i.i*8 + 1, i.i*8 + 16), ' ')) AS whash
-      FROM w, generate_series(0, 4095) AS i(i)
-      WHERE i.i < w.nwin
+      SELECT doc_id, win_idx,
+             md5(array_to_string(list_slice(toks, win_idx*8 + 1, win_idx*8 + 16), ' ')) AS whash
+      FROM occ0
     ),
     own AS (
       SELECT whash, MIN(doc_id) AS owner, COUNT(DISTINCT doc_id) AS ndocs
@@ -7460,11 +7466,17 @@ def ann_matryoshka_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 0 END AS nwin
       FROM t
     ),
+    occ0 AS (
+      -- per-row indices via the LIST form of generate_series (accepts
+      -- column bounds; the table-function form is constants-only) — no
+      -- fixed cap, any document length replays exactly
+      SELECT doc_id, toks, unnest(generate_series(0, nwin - 1)) AS win_idx
+      FROM w
+    ),
     occ AS (
-      SELECT doc_id, i.i AS win_idx,
-             md5(array_to_string(list_slice(toks, i.i*8 + 1, i.i*8 + 16), ' ')) AS whash
-      FROM w, generate_series(0, 4095) AS i(i)
-      WHERE i.i < w.nwin
+      SELECT doc_id, win_idx,
+             md5(array_to_string(list_slice(toks, win_idx*8 + 1, win_idx*8 + 16), ' ')) AS whash
+      FROM occ0
     ),
     own AS (
       SELECT whash, MIN(doc_id) AS owner, COUNT(DISTINCT doc_id) AS ndocs
@@ -7475,14 +7487,17 @@ def ann_matryoshka_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM occ o JOIN own m ON o.whash = m.whash
       WHERE m.ndocs > 1 AND o.doc_id <> m.owner
     ),
+    pos0 AS (
+      SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1)) AS pos
+      FROM w
+    ),
     kept AS (
-      SELECT w.doc_id, p.p AS pos, w.toks[p.p + 1] AS tok
-      FROM w, generate_series(0, 32767) AS p(p)
-      WHERE p.p < len(w.toks)
-        AND NOT EXISTS (
+      SELECT p.doc_id, p.pos, p.toks[p.pos + 1] AS tok
+      FROM pos0 p
+      WHERE NOT EXISTS (
           SELECT 1 FROM dupw d
-          WHERE d.doc_id = w.doc_id
-            AND p.p >= d.win_idx * 8 AND p.p < d.win_idx * 8 + 16
+          WHERE d.doc_id = p.doc_id
+            AND p.pos >= d.win_idx * 8 AND p.pos < d.win_idx * 8 + 16
         )
     )
     SELECT doc_id,
@@ -7591,11 +7606,14 @@ def docs_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 0 END AS nwin
       FROM st
     ),
+    soc0 AS (
+      SELECT doc_id, toks, unnest(generate_series(0, nwin - 1)) AS win_idx
+      FROM sw
+    ),
     soc AS (
       SELECT doc_id,
-             md5(array_to_string(list_slice(toks, i.i*8 + 1, i.i*8 + 16), ' ')) AS whash
-      FROM sw, generate_series(0, 4095) AS i(i)
-      WHERE i.i < sw.nwin
+             md5(array_to_string(list_slice(toks, win_idx*8 + 1, win_idx*8 + 16), ' ')) AS whash
+      FROM soc0
     ),
     sown AS (
       SELECT whash, MIN(doc_id) AS owner, COUNT(DISTINCT doc_id) AS ndocs

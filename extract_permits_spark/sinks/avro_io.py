@@ -22,23 +22,32 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-_AVAILABLE: bool | None = None
+# Probe cache keyed by Spark application id: a later session created
+# with --packages must get a fresh probe, not the first session's
+# negative answer (the classpath is per-JVM, and applicationId changes
+# whenever a new JVM/session context comes up).
+_AVAILABLE: dict[str, bool] = {}
+
+
+def reset_avro_probe() -> None:
+    """Drop all cached probe results (test hook / post-config change)."""
+    _AVAILABLE.clear()
 
 
 def avro_available(spark: SparkSession) -> bool:
     """True iff the spark-avro jar is on the JVM classpath (probed once
-    per process with a 1-row temp write)."""
-    global _AVAILABLE
-    if _AVAILABLE is None:
+    per Spark application with a 1-row temp write)."""
+    key = spark.sparkContext.applicationId
+    if key not in _AVAILABLE:
         d = tempfile.mkdtemp(prefix="avro_probe_")
         try:
             spark.range(1).write.format("avro").mode("overwrite").save(d + "/t")
-            _AVAILABLE = True
+            _AVAILABLE[key] = True
         except Exception:
-            _AVAILABLE = False
+            _AVAILABLE[key] = False
         finally:
             shutil.rmtree(d, ignore_errors=True)
-    return _AVAILABLE
+    return _AVAILABLE[key]
 
 
 def _require_avro(spark: SparkSession) -> None:

@@ -263,3 +263,22 @@ def test_avro_probe_is_honest_gate(spark):
             avro_io.write_avro(spark.range(1), "/tmp/nowhere_avro")
         with pytest.raises(NotImplementedError, match="spark-avro"):
             avro_io.read_avro(spark, "/tmp/nowhere_avro")
+
+
+def test_avro_probe_cache_is_per_application(spark):
+    """A stale probe result from an earlier Spark application must not be
+    reused for a new one (ADVICE r7: a session created with --packages
+    after a negative probe was permanently gated off)."""
+    from extract_permits_spark.sinks import avro_io
+
+    avro_io.reset_avro_probe()
+    assert avro_io._AVAILABLE == {}
+    # seed a fake earlier application's answer; this session's probe must
+    # run fresh and land under its own applicationId key
+    avro_io._AVAILABLE["app-000-stale"] = True
+    got = avro_io.avro_available(spark)
+    key = spark.sparkContext.applicationId
+    assert key in avro_io._AVAILABLE
+    assert avro_io._AVAILABLE[key] == got
+    assert got is avro_io.avro_available(spark)  # cached on repeat
+    avro_io.reset_avro_probe()

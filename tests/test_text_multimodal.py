@@ -423,3 +423,51 @@ def test_wav_roundtrip_property():
         assert list(struct.unpack(f"<{frames * ch}h", pcm)) == vals
 
     inner()
+
+
+def test_png_truncated_chunk_raises_valueerror_not_struct_error():
+    """A payload cut mid chunk-header or mid-CRC must raise ValueError —
+    the documented quarantine contract — never struct.error (ADVICE r7)."""
+    import pytest
+
+    from extract_permits_spark.functions.png_codec import decode_png, encode_png
+
+    good = encode_png(4, 4, 3, bytes(range(48)))
+    for cut in (10, 14, len(good) - 3):  # mid-header, mid-body, mid-CRC
+        with pytest.raises(ValueError, match="truncated"):
+            decode_png(good[:cut])
+
+
+def test_wav_truncated_payload_raises_valueerror():
+    import pytest
+
+    from extract_permits_spark.functions.wav_codec import decode_wav, encode_wav
+
+    good = encode_wav(8000, 1, [0, 100, -100, 32767])
+    for cut in (13, 25, len(good) - 1):
+        with pytest.raises(ValueError):
+            decode_wav(good[:cut])
+
+
+def test_image_stats_handles_grayscale_and_gray_alpha(spark):
+    """decode_png supports 1- and 2-channel PNGs; image_stats must not
+    IndexError on them (ADVICE r7 medium) — the luma lane stands in for
+    r, g and b means."""
+    from extract_permits_spark.functions import multimodal as mmfn
+    from extract_permits_spark.functions.png_codec import encode_png
+
+    w, h = 6, 4
+    gray = bytes((3 * i) % 256 for i in range(w * h))
+    ga = bytes((5 * i) % 256 for i in range(w * h * 2))
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_png(w, h, 1, gray))),
+         (2, bytearray(encode_png(w, h, 2, ga)))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in mmfn.image_stats(media).collect()}
+    exp1 = sum(gray) / (w * h)
+    exp2 = sum(ga[0::2]) / (w * h)  # channel 0 is luma, 1 is alpha
+    assert rows[1]["channels"] == 1
+    assert rows[1]["r_mean"] == rows[1]["g_mean"] == rows[1]["b_mean"] == exp1
+    assert rows[2]["channels"] == 2
+    assert rows[2]["r_mean"] == rows[2]["g_mean"] == rows[2]["b_mean"] == exp2
