@@ -47,3 +47,39 @@ def test_every_query_has_matching_oracle_or_is_documented():
     documented_rows_only: set[str] = set()
     missing = [n for n in qs if n not in oracles and n not in documented_rows_only]
     assert missing == []
+
+
+def test_coverage_md_tracks_registry_both_ways():
+    """COVERAGE.md is hand-kept; this pins it to the registry in BOTH
+    directions (r7 VERDICT #7). Forward: every queries() name must appear
+    backticked somewhere in COVERAGE.md. Reverse: every backticked
+    snake_case token inside a 'queries() entry' table column must BE a
+    registry name — a renamed or deleted entry can't leave a stale row."""
+    import os
+    import re
+
+    from extract_permits_spark.plans import analytics
+
+    path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    text = open(path, encoding="utf-8").read()
+    names = set(analytics.queries())
+
+    missing = sorted(n for n in names if f"`{n}`" not in text)
+    assert missing == [], f"queries() entries absent from COVERAGE.md: {missing}"
+
+    # locate the 'queries() entry' column (3rd) of every markdown table row
+    stale = []
+    in_table = False
+    for line in text.splitlines():
+        if line.startswith("|"):
+            cells = [c.strip() for c in line.strip("|").split("|")]
+            if len(cells) >= 3 and "queries() entry" in cells[2]:
+                in_table = True
+                continue
+            if in_table and len(cells) >= 3 and not set(cells[2]) <= {"-", " "}:
+                for tok in re.findall(r"`([a-z][a-z0-9_]*)`", cells[2]):
+                    if tok not in names:
+                        stale.append(tok)
+        else:
+            in_table = False
+    assert stale == [], f"COVERAGE.md cites non-registry entry names: {stale}"
