@@ -391,7 +391,10 @@ def main() -> None:
     # carries ONLY the contract fields (metric/value/unit/queries/sf plus
     # the scale rows) — about half the size — and the FULL record
     # (cold/min maps + methodology) goes to bench_last.json, the durable
-    # copy.
+    # copy. Contract confirmed (r8 ADVICE): BENCH_r08's tail parsed
+    # end-to-end with exactly these keys, and the driver spec names only
+    # metric/value/unit/queries/sf — the split is intentional; any
+    # consumer needing cold/min/methodology must read bench_last.json.
     stdout_line = json.dumps(
         {
             "metric": "headline_queries_total",

@@ -57,6 +57,8 @@ def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     bpp = channels
     stride = width * bpp
+    if width == 0 or height == 0:
+        raise ValueError(f"invalid zero dimension {width}x{height}")
     if len(pixels) != stride * height:
         raise ValueError(f"expected {stride * height} pixel bytes, got {len(pixels)}")
 
@@ -173,6 +175,11 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+            if width == 0 or height == 0:
+                # PNG spec (RFC 2083 §4.1.1): zero width/height is invalid.
+                # Rejecting here keeps downstream per-pixel math (e.g.
+                # image_stats' sum/n) free of zero-division guards.
+                raise ValueError(f"invalid zero dimension {width}x{height}")
             if depth != 8:
                 raise ValueError(f"unsupported bit depth {depth} (8 only)")
             if color_type not in _CHANNELS:

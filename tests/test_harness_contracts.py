@@ -70,11 +70,13 @@ def test_coverage_md_tracks_registry_both_ways():
     # locate the 'queries() entry' column (3rd) of every markdown table row
     stale = []
     in_table = False
+    tables_matched = 0
     for line in text.splitlines():
         if line.startswith("|"):
             cells = [c.strip() for c in line.strip("|").split("|")]
             if len(cells) >= 3 and "queries() entry" in cells[2]:
                 in_table = True
+                tables_matched += 1
                 continue
             if in_table and len(cells) >= 3 and not set(cells[2]) <= {"-", " "}:
                 for tok in re.findall(r"`([a-z][a-z0-9_]*)`", cells[2]):
@@ -82,4 +84,11 @@ def test_coverage_md_tracks_registry_both_ways():
                         stale.append(tok)
         else:
             in_table = False
+    # r8 ADVICE: a header rename would silently disable the reverse check
+    # (in_table never entered). Require the column header to have matched
+    # at least once so the guard fails loudly instead of going blind.
+    assert tables_matched > 0, (
+        "no COVERAGE.md table has a 'queries() entry' third-column header; "
+        "the reverse drift check would be a no-op — fix the header or this test"
+    )
     assert stale == [], f"COVERAGE.md cites non-registry entry names: {stale}"

@@ -274,6 +274,43 @@ def test_png_corrupt_and_unsupported_are_loud():
         decode_png(bytes(flipped))
 
 
+def test_png_zero_dimension_rejected_both_ways():
+    """r8 ADVICE: a 0x0 image reaching image_stats would divide by
+    n = w*h = 0 in the worker. The codec now rejects zero dimensions at
+    both ends (PNG spec: zero width/height is invalid), so the stats
+    kernel never sees one."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from extract_permits_spark.functions.png_codec import decode_png, encode_png
+
+    with pytest.raises(ValueError, match="zero dimension"):
+        encode_png(0, 4, 3, b"")
+    with pytest.raises(ValueError, match="zero dimension"):
+        encode_png(4, 0, 3, b"")
+
+    # hand-build a structurally valid 0x0 PNG (encode_png refuses to)
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 0, 0, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b""))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="zero dimension"):
+        decode_png(payload)
+
+
 def test_decode_image_dispatches_png_and_stays_loud_otherwise():
     import pytest
 
