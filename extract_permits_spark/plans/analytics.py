@@ -53,72 +53,71 @@ def register(name: str, sql: str | None = None):
 # round; _CHECK_FIRST controls that window and is rotated each round so
 # every entry earns a driver row (see the r9 NOTE below the list).
 _CHECK_FIRST = [
-    # r8 window: the 30 entries that have never earned a driver
-    # CORRECTNESS row across r1-r7 (listed in the r7 NOTE; all green in
-    # the judge's full 175-entry sf0.01 sweep), followed by 20 re-checks
-    # chosen to re-witness the queries touched this round (curation
-    # fixpoint rework, q21/q18/basket bench reruns, xlsx S8 extras) plus
-    # core §2 coverage. After this round every registry entry has a
-    # driver row (cumulative 175/175).
-    # --- 30 first-ever entries ---
-    "llm_tokenize_pack",
-    "text_hash_embed",
-    "rag_hash_retrieval",
-    "rag_bm25_topk",
-    "rag_rrf_fusion",
-    "docs_snapshot_diff",
-    "stream_neardup_ingest",
-    "docs_quality_prune",
-    "ev_grouping_sets",
-    "a12_winsorize",
-    "u4_except_all",
-    "vocab_bpe_encode",
-    "docs_unigram_xent",
-    "docs_quality_score",
-    "ann_batch_topk",
-    "x8_schema_evolution_union",
-    "mm_image_stats",
-    "mm_audio_stats",
-    "mm_frame_sample",
-    "ann_matryoshka_topk",
-    "ann_matryoshka_rerank",
-    "ann_matryoshka_recall",
-    "ann_matryoshka_mrr",
-    "docs_span_dup_rate",
-    "docs_span_mask",
-    "q11_important_stock",
-    "q12_late_ship_priority",
-    "q20_potential_promotion",
-    "docs_corpus_report",
-    "stream_corpus_ingest",
-    # --- 20 re-checks (all driver-green at last appearance) ---
-    "llm_corpus_curation",
-    "q21_waiting_supplier",
-    "q18_large_volume",
-    "basket_brand_pairs",
-    "permit_pipeline_upload",
+    # r9 window: all 175 entries are driver-witnessed as of r8, so from
+    # here the window rotates by staleness — the 33 entries last seen in
+    # CORRECTNESS_r05 (the oldest cohort), then xlsx_review_roundtrip
+    # (implementation changed this round: S8 conditional-format +
+    # data-validation round trip now rides the entry), then the first 16
+    # of the r6 cohort in registry order. ~3.5-round re-witness cadence.
+    # --- r5 cohort (longest unwitnessed) ---
+    "s1_scan_filter_order",
+    "s3_scalar_max",
+    "p_clean_bundle",
+    "p9_keyword_tag",
+    "j6_semi_flag",
+    "w2_first_per_group",
+    "w4_dup_flag",
+    "s4_range_scan",
+    "p3_date_functions",
+    "x3_unpivot",
+    "j3_crosswalk_override",
+    "u2_union_distinct",
+    "e3_legacy_flags",
+    "text_tokens",
+    "text_quality",
+    "text_fingerprint",
+    "text_language_id",
+    "ann_lsh_topk",
+    "ann_lsh_recall",
+    "ann_ivf_recall",
+    "dedup_minhash_lsh",
+    "emb_neardup_lsh",
+    "dedup_simhash_recall",
+    "dedup_ngram_jaccard",
+    "mm_binary_features",
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "p5_pin_normalize",
+    "dedup_embedding_cosine",
+    "stream_dedup",
+    "permit_pipeline_review",
+    "ann_ivf_topk",
+    "dedup_minhash_md5",
+    # --- changed/new this round ---
     "xlsx_review_roundtrip",
-    "q1_pricing_summary",
-    "dedup_exact",
-    "dedup_simhash",
-    "text_tfidf",
-    "ann_cosine_topk",
-    "s1_socrata_pull",
-    "s2_dim_join_filter",
-    "e1_validate_partition",
-    "j1_preagg_join",
-    "j2_anti_join",
-    "w3_line_numbers_batches",
-    "x1_explode_pipe_list",
-    "ev_sessionize",
-    "ev_funnel",
+    "rag_context_assembly",
+    # --- r6 cohort, registry order ---
+    "ev_tumbling_agg",
+    "ev_json_extract",
+    "stream_tumbling_agg",
+    "stream_stateful_totals",
+    "a8_salted_agg",
+    "j7_asof_join",
+    "ev_rollup",
+    "j8_range_join",
+    "sample_hash_split",
+    "sample_stratified",
+    "a7_quantiles",
+    "text_clean_mask",
+    "sketch_approx_quantiles",
+    "sketch_hll_region_distinct",
+    "docs_chunk",
 ]
 
-# r9 NOTE: with this window recorded, all 175 registry entries are
-# driver-witnessed (145 through r7 + the 30 first-evers above). From r9
-# on, rotate a fresh 50 of the longest-unwitnessed entries each round so
-# every entry is re-witnessed on a ~3.5-round cadence; include any
-# entry whose implementation changed since its last driver row.
+# r10 NOTE: continue the staleness rotation — next up are the remaining
+# 30 r6-cohort entries (those not re-witnessed above), then the oldest
+# r7 entries to fill 50; as always, pull in any entry whose
+# implementation changed since its last driver row.
 
 
 def _reordered(d: dict) -> dict:
@@ -2673,7 +2672,13 @@ def xlsx_review_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from extract_permits_spark.sinks.excel_sink import read_reviewed_workbook
-    from extract_permits_spark.sinks.xlsx_io import SheetSpec, write_xlsx
+    from extract_permits_spark.sinks.xlsx_io import (
+        CondFormat,
+        DataValidation,
+        SheetSpec,
+        read_xlsx,
+        write_xlsx,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     review = (
@@ -2695,10 +2700,35 @@ def xlsx_review_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r.flag
     }
     path = os.path.join(tempfile.mkdtemp(prefix="xlsx_rt_"), "review.xlsx")
+    # S8 presentation extras ride the same gate: a traffic-light cfRule and
+    # a data-validation block (reference permit_cleaning.py:1027-1084) are
+    # written and must survive the round trip bit-for-bit.
+    cf = CondFormat(f"A2:B{len(rows) + 1}", '$B2<>""', "FFB3B3")
+    dv = DataValidation(
+        f"A2:A{len(rows) + 1}",
+        "custom",
+        formula1='$B2=""',
+        error_title="Errors not resolved",
+        error_message="This row still has errors.",
+    )
     write_xlsx(
         path,
-        [SheetSpec(name="Permits", header=["doc_id", "source"], rows=rows, fills=fills)],
+        [
+            SheetSpec(
+                name="Permits",
+                header=["doc_id", "source"],
+                rows=rows,
+                fills=fills,
+                cond_formats=[cf],
+                validations=[dv],
+            )
+        ],
     )
+    raw = read_xlsx(path, "Permits")
+    if raw.cond_formats != [
+        {"sqref": cf.sqref, "formula": cf.formula, "bg_color": "FF" + cf.bg_color}
+    ] or [v["formula1"] for v in raw.validations] != [dv.formula1]:
+        raise AssertionError("S8 conditional-format/validation round trip failed")
     ingested = read_reviewed_workbook(spark, path, "Permits", pin_header="doc_id")
     return ingested.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
@@ -6355,6 +6385,148 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.lit(1.0) / (F.lit(60) + F.col("rnk"))).alias("rrf"))
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(10)
+    )
+
+
+_CTX_ASSEMBLY_SQL = f"""
+    WITH r AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+      FROM ({_RRF_SQL})
+    ),
+    cand AS (
+      SELECT r.rnk, r.doc_id, COALESCE(d.text, '') AS text
+      FROM r JOIN documents d USING (doc_id)
+    ),
+    sh AS (
+      SELECT rnk, doc_id,
+             CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) >= 3
+                  THEN list_distinct(list_transform(
+                    range(1, len(string_split_regex(trim(lower(text)), '\\s+')) - 2 + 1),
+                    i -> array_to_string(list_slice(
+                           string_split_regex(trim(lower(text)), '\\s+'), i, i + 2), ' ')))
+                  ELSE [] END AS shingles
+      FROM cand
+    ),
+    dropped AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.rnk < b.rnk
+      WHERE len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles)) > 0
+        AND 2 * len(list_intersect(a.shingles, b.shingles))
+              >= len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))
+    ),
+    keep AS (
+      SELECT rnk, doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM cand
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        AND trim(lower(text)) <> ''
+    ),
+    chunks AS (
+      SELECT rnk, doc_id,
+             CAST((start - 1) // 64 AS INT) AS chunk_idx,
+             CAST(least(64, len(toks) - start + 1) AS BIGINT) AS n_tokens
+      FROM (
+        SELECT rnk, doc_id, toks,
+               unnest(range(1, greatest(len(toks), 1) + 1, 64)) AS start
+        FROM keep
+      )
+    ),
+    walked AS (
+      SELECT rnk, doc_id, chunk_idx, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               ORDER BY rnk, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM chunks
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rnk, chunk_idx) AS INT) AS position,
+           doc_id, chunk_idx, n_tokens, cum_tokens
+    FROM walked WHERE cum_tokens <= 512
+    ORDER BY position
+"""
+
+
+@register("rag_context_assembly", _CTX_ASSEMBLY_SQL)
+def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG-serving composed flagship (the retrieval analog of
+    llm_tokenize_pack): hybrid candidate generation (rag_rrf_fusion =
+    BM25 + hash-embedding cosine fused by RRF) → fetch the candidates'
+    text → near-dup prune WITHIN the shortlist (drop any candidate whose
+    3-gram Jaccard vs a higher-ranked candidate is ≥ 0.5 — redundant
+    context wastes the prompt budget) → 64-token chunking (same contract
+    as chunk_documents) → greedy in-rank-order packing into a 512-token
+    context window. Output: one row per selected chunk with its position
+    and running token total — exactly what a serving layer concatenates.
+
+    Scale shape: all corpus-scale work happens inside the two scorers'
+    one-pass plans (see rag_bm25_topk / rag_hash_retrieval); the text
+    fetch is one broadcast semi-join against the 10-row candidate list;
+    everything after (pairwise Jaccard, chunk explode, prefix-sum walk)
+    is bounded by the candidate list, so the single-partition windows in
+    the epilogue are candidate-scale, never corpus-scale. The Jaccard
+    threshold is restated in exact integers (2*|∩| >= |∪|) and every
+    output column is an exact integer — no float leaves the plan.
+
+    Reference scope note: composition beyond the reference surface (its
+    pipeline ends at workbook delivery); built from the registry's own
+    oracled primitives, replayed as one chained-CTE DuckDB statement."""
+    from extract_permits_spark.functions.similarity import word_shingles
+
+    rrf = rag_rrf_fusion(spark, sf_dir)
+    wr = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    ranked = rrf.select("doc_id", F.row_number().over(wr).alias("rnk"))
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = d.join(F.broadcast(ranked), "doc_id").select(
+        "rnk", "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+
+    sh = cand.select("rnk", "doc_id", word_shingles(F.col("text")).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union_sz = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    # candidate-list pairwise join: ≤45 pairs over a ≤10-row broadcast —
+    # bounded by the scorers' LIMITs, never corpus-quadratic
+    dropped = (
+        a.join(F.broadcast(b), F.col("a.rnk") < F.col("b.rnk"))
+        .where((union_sz > F.lit(0)) & (F.lit(2) * inter >= union_sz))
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    keep = cand.join(F.broadcast(dropped), "doc_id", "left_anti")
+
+    chunks = textfn.chunk_documents(
+        keep, id_col="doc_id", text_col="text", chunk_tokens=64, overlap=0
+    )
+    walked = (
+        chunks.join(F.broadcast(ranked), "doc_id")
+        .select(
+            "rnk",
+            "doc_id",
+            "chunk_idx",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens")
+            .over(
+                Window.orderBy("rnk", "chunk_idx").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .cast("long"),
+        )
+    )
+    return walked.where(F.col("cum_tokens") <= 512).select(
+        F.row_number()
+        .over(Window.orderBy("rnk", "chunk_idx"))
+        .cast("int")
+        .alias("position"),
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        "cum_tokens",
     )
 
 

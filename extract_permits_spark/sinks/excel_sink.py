@@ -25,11 +25,95 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from extract_permits_spark.sinks.xlsx_io import (
+    CondFormat,
+    DataValidation,
     Formula,
     SheetSpec,
+    _col_letter,
     read_xlsx,
+    to_serial,
     write_xlsx,
 )
+
+# Status traffic lights over the data range (reference
+# chicago/permit_cleaning.py:1027-1053): formula -> bg color, priority in
+# list order. {ERRORS_COL}/{READY_COL} are filled with column letters.
+TRAFFIC_LIGHT_RULES = [
+    # no errors, unchecked -> orange
+    ('AND(${ERRORS_COL}2="",${READY_COL}2=FALSE)', "FFD5A8"),
+    # has errors -> red
+    ('${ERRORS_COL}2<>""', "FFB3B3"),
+    # ready -> blue
+    ('AND(${READY_COL}2=TRUE,${ERRORS_COL}2="")', "B8D4E8"),
+]
+
+# Ready-checkbox gate (reference :149-157): checking the box is blocked
+# while the row still has errors.
+READY_VALIDATION = {
+    "validate": "custom",
+    "value": '=${ERRORS_COL}2=""',
+    "show_error": True,
+    "error_type": "stop",
+    "error_title": "Errors not resolved",
+    "error_message": "This row still has errors. Fix them before marking ready.",
+}
+
+# xlsxwriter criteria dialect -> ECMA-376 dataValidation operator
+_DV_OPERATORS = {
+    "between": "between",
+    "not between": "notBetween",
+    "equal to": "equal",
+    "not equal to": "notEqual",
+    "greater than": "greaterThan",
+    "less than": "lessThan",
+    "greater than or equal to": "greaterThanOrEqual",
+    "less than or equal to": "lessThanOrEqual",
+}
+
+
+def compile_data_validation(
+    v: dict, ci: int, n_rows: int, errors_letter: str | None = None
+) -> DataValidation:
+    """xlsxwriter-dialect validation dict (ColumnSpec.validation /
+    READY_VALIDATION) -> codec ``DataValidation`` over the column's data
+    range — the engine half of the reference's emission loop
+    (permit_cleaning.py:1055-1084, incl. the {COL}/{ERRORS_COL} letter
+    substitution at :1070-1077)."""
+    col_letter = _col_letter(ci)
+    sqref = f"{col_letter}2:{col_letter}{n_rows + 1}"
+    common = dict(
+        allow_blank=v.get("ignore_blank", True),
+        show_error=v.get("show_error", True),
+        error_style=v.get("error_type", "stop"),
+        error_title=v.get("error_title"),
+        error_message=v.get("error_message"),
+    )
+    validate = v["validate"]
+    if validate == "custom":
+        formula = str(v["value"]).lstrip("=").format(
+            COL=col_letter, ERRORS_COL=errors_letter or ""
+        )
+        return DataValidation(sqref, "custom", formula1=formula, **common)
+    if validate == "text length":
+        return DataValidation(
+            sqref,
+            "textLength",
+            operator=_DV_OPERATORS[v["criteria"]],
+            formula1=str(v["minimum"]),
+            formula2=str(v["maximum"]) if "maximum" in v else None,
+            **common,
+        )
+    if validate == "date":
+        # Excel compares date serials, not ISO strings
+        serial = to_serial(datetime.strptime(str(v["value"]), "%Y-%m-%d").date())
+        return DataValidation(
+            sqref,
+            "date",
+            operator=_DV_OPERATORS[v["criteria"]],
+            formula1=str(int(serial)),
+            **common,
+        )
+    raise ValueError(f"unsupported validation dialect: {validate!r}")
 
 # Reviewer flag fills on the PIN cell
 # (format_reviewed_permits_for_upload.py:31-37): yellow, orange, and one
@@ -93,6 +177,9 @@ def save_workbook(
     sheet_name: str = "Permits",
     freeze_cols: int = 3,
     freeze_rows: int = 1,
+    errors_col: str | None = None,
+    ready_col: str | None = None,
+    checked: bool = False,
 ) -> None:
     """S8: render a (small, already review-sized) DataFrame to a formatted
     xlsx on the driver — bold frozen header (header ROW frozen too,
@@ -103,12 +190,49 @@ def save_workbook(
     chicago/permit_cleaning.py:911-1135). String cells whose value starts
     with '=' (the engine-built HYPERLINK links, P10/P11) are written as
     formula cells, like the reference's write_formula branch (:992-1001).
+
+    Review-workbook extras (S8 presentation surface): pass ``errors_col``
+    (the E2 message column) to append 'Ready' + 'Errors' presentation
+    columns and emit the reference's status traffic lights
+    (TRAFFIC_LIGHT_RULES, ref :1027-1053) plus per-column data validations
+    from ``ColumnSpec.validation`` and the Ready-checkbox gate
+    (ref :149-157, :1055-1084). ``ready_col`` names an existing boolean
+    column for the checkbox state; otherwise every row gets ``checked``
+    (the reference's upload variant pre-checks all rows and then SKIPS the
+    checkbox validation so Excel won't reset it on open, ref :1061-1065).
     """
+    review_mode = errors_col is not None
+    validation_specs: list[tuple[int, dict]] = []
     if specs is not None:
-        df = presentation_frame(df, specs)
-        widths = [s.width for s in sorted(specs, key=lambda s: s.col_idx)]
+        ordered = sorted(specs, key=lambda s: s.col_idx)
+        sel = [F.col(s.name).alias(s.header) for s in ordered]
+        widths = [s.width for s in ordered]
+        validation_specs = [
+            (i, s.validation)
+            for i, s in enumerate(ordered)
+            if getattr(s, "validation", None)
+        ]
     else:
+        sel = [F.col(c) for c in df.columns if c not in (errors_col, ready_col)]
         widths = None
+    if review_mode:
+        # reference column layout puts Ready at col 1; engine-side the two
+        # status rails ride at the end so spec col_idx stays contiguous
+        sel.append(
+            (
+                F.coalesce(F.col(ready_col).cast("boolean"), F.lit(False))
+                if ready_col
+                else F.lit(bool(checked))
+            ).alias("Ready")
+        )
+        sel.append(
+            F.coalesce(F.col(errors_col).cast("string"), F.lit("")).alias("Errors")
+        )
+        if widths is not None:
+            widths += [10, 40]
+        df = df.select(*sel)
+    elif specs is not None:
+        df = df.select(*sel)
     header = list(df.columns)
     rows: list[list[object]] = []
     for r in df.toPandas().itertuples(index=False):
@@ -124,6 +248,36 @@ def save_workbook(
                 row.append(str(v))
         rows.append(row)
 
+    cond_formats: list[CondFormat] = []
+    validations: list[DataValidation] = []
+    if review_mode and rows:  # reference gates on n_data_rows > 0 (:1028)
+        errors_letter = _col_letter(header.index("Errors"))
+        ready_letter = _col_letter(header.index("Ready"))
+        data_range = f"A2:{_col_letter(len(header) - 1)}{len(rows) + 1}"
+        cond_formats = [
+            CondFormat(
+                data_range,
+                formula.format(ERRORS_COL=errors_letter, READY_COL=ready_letter),
+                color,
+            )
+            for formula, color in TRAFFIC_LIGHT_RULES
+        ]
+        for ci, v in validation_specs:
+            # the PIN universe COUNTIF references the universe sheet; only
+            # emit it when that sheet is being written
+            if pin_universe is None and "Universe of Valid PINs" in str(
+                v.get("value", "")
+            ):
+                continue
+            validations.append(compile_data_validation(v, ci, len(rows), errors_letter))
+        if not checked:
+            # upload variant skips the checkbox gate (ref :1061-1065)
+            validations.append(
+                compile_data_validation(
+                    READY_VALIDATION, header.index("Ready"), len(rows), errors_letter
+                )
+            )
+
     sheets = [
         SheetSpec(
             name=sheet_name,
@@ -134,6 +288,8 @@ def save_workbook(
             freeze_rows=freeze_rows,
             autofilter=True,
             protect=True,
+            cond_formats=cond_formats,
+            validations=validations,
         )
     ]
     if pin_universe is not None:

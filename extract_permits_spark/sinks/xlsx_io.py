@@ -12,12 +12,16 @@ implemented directly on ``zipfile`` + ``xml.etree``:
 
 Writer: multiple sheets, inline strings, numbers, bools, date serials
 (numFmtId 14), formula cells, per-cell solid fills (ARGB), bold header,
-column widths, freeze panes, autofilter, sheet protection.
+column widths, freeze panes, autofilter, sheet protection, expression
+conditional-format rules (dxf highlights; permit_cleaning.py:1027-1053),
+and dataValidation blocks (custom/textLength/date; :1055-1084).
 
 Reader: shared strings + inline strings, numbers, bools, date serials
-(built-in date numFmtIds), formula cells, and per-cell solid-fill
+(built-in date numFmtIds), formula cells, per-cell solid-fill
 fgColor as either an ARGB string or a ("theme", idx, tint) tuple —
-exactly the two shapes the reference's flag detection needs.
+exactly the two shapes the reference's flag detection needs — plus the
+conditional-format rules and data validations parsed back out for
+round-trip verification.
 
 Driver-side by design: review workbooks are bounded by contract (250
 rows/file batches, S9) — this is presentation I/O, not a data path.
@@ -47,6 +51,37 @@ class Formula(str):
 
 
 @dataclass
+class CondFormat:
+    """One formula-typed conditional-format rule (ECMA-376 §18.3.1.18):
+    when ``formula`` evaluates true for a cell in ``sqref``, the cell gets
+    the ``bg_color`` solid fill (a dxf differential format). This is the
+    traffic-light surface of the reference's review workbook
+    (chicago/permit_cleaning.py:1027-1053)."""
+
+    sqref: str  # e.g. "A2:H251"
+    formula: str  # without the leading '='
+    bg_color: str  # RGB or ARGB hex
+
+
+@dataclass
+class DataValidation:
+    """One <dataValidation> block (ECMA-376 §18.3.1.32) — the cell-edit
+    guards of the reference's review workbook (permit_cleaning.py:
+    149-157 Ready checkbox, :1055-1084 per-column emission loop)."""
+
+    sqref: str
+    type: str  # custom | textLength | date | whole | decimal | list | time
+    formula1: str | None = None
+    formula2: str | None = None
+    operator: str | None = None  # between | greaterThanOrEqual | ...
+    allow_blank: bool = True
+    show_error: bool = True
+    error_style: str = "stop"  # stop | warning | information
+    error_title: str | None = None
+    error_message: str | None = None
+
+
+@dataclass
 class SheetSpec:
     name: str
     header: list[str]
@@ -58,6 +93,8 @@ class SheetSpec:
     freeze_rows: int = 0
     autofilter: bool = False
     protect: bool = False
+    cond_formats: list[CondFormat] = field(default_factory=list)
+    validations: list[DataValidation] = field(default_factory=list)
 
 
 def _col_letter(ci: int) -> str:
@@ -102,6 +139,19 @@ class _Styles:
         self._fill_idx: dict[str, int] = {}
         self.xfs: list[tuple[int, int, int]] = [(0, 0, 0)]  # (fontId, numFmtId, fillId)
         self._xf_idx: dict[tuple[int, int, int], int] = {(0, 0, 0): 0}
+        self.dxfs: list[str] = []  # ARGB bg fills for cfRules
+        self._dxf_idx: dict[str, int] = {}
+
+    def dxf(self, bg_color: str) -> int:
+        """Differential format for a conditional-format rule — dxf fills
+        carry the highlight as patternFill/bgColor (ECMA-376 §18.8.14)."""
+        argb = bg_color.upper().lstrip("#")
+        if len(argb) == 6:
+            argb = "FF" + argb
+        if argb not in self._dxf_idx:
+            self._dxf_idx[argb] = len(self.dxfs)
+            self.dxfs.append(argb)
+        return self._dxf_idx[argb]
 
     def xf(self, bold: bool = False, is_date: bool = False, fill: str | None = None) -> int:
         fill_id = 0
@@ -140,6 +190,10 @@ class _Styles:
             if font_id:
                 applies.append('applyFont="1"')
             xfs += f"<xf {attrs} {' '.join(applies)}/>"
+        dxfs = "".join(
+            f'<dxf><fill><patternFill><bgColor rgb="{argb}"/></patternFill></fill></dxf>'
+            for argb in self.dxfs
+        )
         return (
             '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
             f'<styleSheet xmlns="{_NS}">'
@@ -151,7 +205,8 @@ class _Styles:
             '<borders count="1"><border><left/><right/><top/><bottom/><diagonal/></border></borders>'
             '<cellStyleXfs count="1"><xf numFmtId="0" fontId="0" fillId="0" borderId="0"/></cellStyleXfs>'
             f'<cellXfs count="{len(self.xfs)}">{xfs}</cellXfs>'
-            "</styleSheet>"
+            + (f'<dxfs count="{len(self.dxfs)}">{dxfs}</dxfs>' if self.dxfs else "")
+            + "</styleSheet>"
         )
 
 
@@ -231,6 +286,43 @@ def _sheet_xml(sheet: SheetSpec, styles: _Styles) -> str:
     if sheet.autofilter:
         parts.append(
             f'<autoFilter ref="A1:{_col_letter(n_cols - 1)}{len(sheet.rows) + 1}"/>'
+        )
+    # CT_Worksheet sequence: ... autoFilter, ..., conditionalFormatting*,
+    # dataValidations — order matters for strict consumers.
+    for pri, cf in enumerate(sheet.cond_formats, start=1):
+        parts.append(
+            f'<conditionalFormatting sqref="{cf.sqref}">'
+            f'<cfRule type="expression" dxfId="{styles.dxf(cf.bg_color)}" '
+            f'priority="{pri}"><formula>{escape(cf.formula)}</formula>'
+            "</cfRule></conditionalFormatting>"
+        )
+    if sheet.validations:
+        blocks = []
+        for dv in sheet.validations:
+            attrs = [f'type="{dv.type}"']
+            if dv.operator:
+                attrs.append(f'operator="{dv.operator}"')
+            if dv.allow_blank:
+                attrs.append('allowBlank="1"')
+            if dv.show_error:
+                attrs.append('showErrorMessage="1"')
+            if dv.error_style != "stop":  # stop is the schema default
+                attrs.append(f'errorStyle="{dv.error_style}"')
+            if dv.error_title:
+                attrs.append(f"errorTitle={quoteattr(dv.error_title)}")
+            if dv.error_message:
+                attrs.append(f"error={quoteattr(dv.error_message)}")
+            attrs.append(f'sqref="{dv.sqref}"')
+            inner = ""
+            if dv.formula1 is not None:
+                inner += f"<formula1>{escape(str(dv.formula1))}</formula1>"
+            if dv.formula2 is not None:
+                inner += f"<formula2>{escape(str(dv.formula2))}</formula2>"
+            blocks.append(f"<dataValidation {' '.join(attrs)}>{inner}</dataValidation>")
+        parts.append(
+            f'<dataValidations count="{len(sheet.validations)}">'
+            + "".join(blocks)
+            + "</dataValidations>"
         )
     parts.append("</worksheet>")
     return "".join(parts)
@@ -312,6 +404,11 @@ class ReadSheet:
     rows: list[list[object]]  # data rows (header stripped), padded to header width
     # per data row, col_idx -> ARGB str | ("theme", idx, tint) | None
     fills: list[dict[int, object]]
+    # expression cfRules: {"sqref", "formula", "bg_color"(ARGB|None)}
+    cond_formats: list[dict] = field(default_factory=list)
+    # dataValidation blocks: type/operator/sqref/formula1/formula2/
+    # allow_blank/error_style/error_title/error_message
+    validations: list[dict] = field(default_factory=list)
 
 
 def _q(tag: str) -> str:
@@ -355,7 +452,16 @@ def _parse_styles(data: bytes) -> tuple[list[object], list[bool]]:
         numfmt_id = int(xf.get("numFmtId", "0"))
         xf_fills.append(fill_descs[fill_id] if fill_id < len(fill_descs) else None)
         xf_dates.append(_is_date_fmt(numfmt_id, custom_fmts))
-    return xf_fills, xf_dates
+
+    # dxf table (conditional-format highlights): dxfId -> bgColor ARGB
+    dxf_fills: list[str | None] = []
+    dxfs = root.find(_q("dxfs"))
+    for dxf in dxfs.findall(_q("dxf")) if dxfs is not None else []:
+        bg = None
+        for el in dxf.iter(_q("bgColor")):
+            bg = (el.get("rgb") or "").upper() or None
+        dxf_fills.append(bg)
+    return xf_fills, xf_dates, dxf_fills
 
 
 def read_xlsx(path: str, sheet_name: str | None = None) -> ReadSheet:
@@ -385,8 +491,9 @@ def read_xlsx(path: str, sheet_name: str | None = None) -> ReadSheet:
 
         xf_fills: list[object] = []
         xf_dates: list[bool] = []
+        dxf_fills: list[str | None] = []
         if "xl/styles.xml" in zf.namelist():
-            xf_fills, xf_dates = _parse_styles(zf.read("xl/styles.xml"))
+            xf_fills, xf_dates, dxf_fills = _parse_styles(zf.read("xl/styles.xml"))
 
         ws = ET.fromstring(zf.read(target.lstrip("/")))
 
@@ -435,9 +542,48 @@ def read_xlsx(path: str, sheet_name: str | None = None) -> ReadSheet:
         all_rows.append(values)
         all_fills.append(fills)
 
+    cond_formats: list[dict] = []
+    for cf in ws.iter(_q("conditionalFormatting")):
+        sqref = cf.get("sqref", "")
+        for rule in cf.findall(_q("cfRule")):
+            if rule.get("type") != "expression":
+                continue
+            f_el = rule.find(_q("formula"))
+            dxf_id = rule.get("dxfId")
+            cond_formats.append(
+                {
+                    "sqref": sqref,
+                    "formula": f_el.text if f_el is not None else None,
+                    "bg_color": (
+                        dxf_fills[int(dxf_id)]
+                        if dxf_id is not None and int(dxf_id) < len(dxf_fills)
+                        else None
+                    ),
+                }
+            )
+
+    validations: list[dict] = []
+    dvs = ws.find(_q("dataValidations"))
+    for dv in dvs.findall(_q("dataValidation")) if dvs is not None else []:
+        f1 = dv.find(_q("formula1"))
+        f2 = dv.find(_q("formula2"))
+        validations.append(
+            {
+                "type": dv.get("type"),
+                "operator": dv.get("operator"),
+                "sqref": dv.get("sqref"),
+                "formula1": f1.text if f1 is not None else None,
+                "formula2": f2.text if f2 is not None else None,
+                "allow_blank": dv.get("allowBlank") == "1",
+                "error_style": dv.get("errorStyle", "stop"),
+                "error_title": dv.get("errorTitle"),
+                "error_message": dv.get("error"),
+            }
+        )
+
     if not all_rows:
-        return ReadSheet([], [], [])
+        return ReadSheet([], [], [], cond_formats, validations)
     header = [str(h) if h is not None else "" for h in all_rows[0]]
     width = len(header)
     data = [r + [None] * (width - len(r)) for r in all_rows[1:]]
-    return ReadSheet(header, data, all_fills[1:])
+    return ReadSheet(header, data, all_fills[1:], cond_formats, validations)

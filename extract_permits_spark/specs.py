@@ -42,6 +42,13 @@ class ColumnSpec:
     rules: Sequence[Rule] = ()
     width: int | None = None  # sink metadata
     fmt: str | None = None
+    # S8 cell-edit guard for the review workbook (xlsxwriter-dialect dict,
+    # mirroring the reference's per-column "validation" blocks,
+    # chicago/permit_cleaning.py:149-157,182-196,241-256,279-289,308-316,
+    # 351-361,379-389). {COL}/{ERRORS_COL} are filled with Excel column
+    # letters at emission time (:1070-1077). Rendered by
+    # sinks/excel_sink.save_workbook via the stdlib codec.
+    validation: dict | None = None
 
     def field_(self) -> T.StructField:
         return T.StructField(self.name, self.dtype)
@@ -127,6 +134,27 @@ PERMIT_COLUMNS: list[ColumnSpec] = [
             ("PIN is not 14 digits", not_exact_digits(14)),
         ],
         width=18,
+        # reference :182-196 — membership in the universe sheet, hyphens
+        # stripped on the 14-digit column, hyphenated form on the display
+        # column
+        validation={
+            "validate": "custom",
+            "value": (
+                "=OR("
+                "COUNTIF('Universe of Valid PINs'!$A:$A,"
+                'SUBSTITUTE({COL}2,"-",""))>0,'
+                "COUNTIF('Universe of Valid PINs'!$B:$B,{COL}2)>0"
+                ")"
+            ),
+            "ignore_blank": False,
+            "show_error": True,
+            "error_type": "stop",
+            "error_title": "Invalid PIN",
+            "error_message": (
+                "PIN must be 14 digits (hyphens excluded) and exist in "
+                "the Universe of Valid PINs."
+            ),
+        },
     ),
     ColumnSpec(
         1,
@@ -153,6 +181,16 @@ PERMIT_COLUMNS: list[ColumnSpec] = [
             ("Issue date is not a valid date", not_parseable_date("M/d/yyyy")),
         ],
         width=12,
+        # reference :279-289 — Excel-side date floor
+        validation={
+            "validate": "date",
+            "criteria": "greater than or equal to",
+            "value": "1900-01-01",
+            "show_error": True,
+            "error_type": "stop",
+            "error_title": "Invalid Date",
+            "error_message": "Issue Date must be a valid date.",
+        },
     ),
     ColumnSpec(
         3,
@@ -165,6 +203,17 @@ PERMIT_COLUMNS: list[ColumnSpec] = [
             ("Amount must be at least 1", not_numeric_in_bounds(1, INT32_MAX)),
         ],
         width=12,
+        # reference :308-316 — numeric whole-dollar bounds
+        validation={
+            "validate": "custom",
+            "value": "=AND(ISNUMBER({COL}2),{COL}2>=1,{COL}2<=2147483647)",
+            "show_error": True,
+            "error_type": "stop",
+            "error_title": "Invalid Amount",
+            "error_message": (
+                "Amount must be a whole number between 1 and 2,147,483,647."
+            ),
+        },
     ),
     ColumnSpec(
         4,
@@ -177,6 +226,17 @@ PERMIT_COLUMNS: list[ColumnSpec] = [
             ("Address > 40 characters", longer_than(40)),
         ],
         width=30,
+        # reference :241-256 — iasWorld ADDR1 field cap
+        validation={
+            "validate": "text length",
+            "criteria": "between",
+            "minimum": 1,
+            "maximum": 40,
+            "show_error": True,
+            "error_type": "stop",
+            "error_title": "Invalid Address",
+            "error_message": "Address must be between 1 and 40 characters.",
+        },
     ),
     ColumnSpec(
         5,
@@ -198,6 +258,17 @@ PERMIT_COLUMNS: list[ColumnSpec] = [
             ("Applicant > 50 characters", longer_than(50)),
         ],
         width=24,
+        # reference :379-389 — USER21 field cap
+        validation={
+            "validate": "text length",
+            "criteria": "between",
+            "minimum": 1,
+            "maximum": 50,
+            "show_error": True,
+            "error_type": "stop",
+            "error_title": "Invalid Applicant",
+            "error_message": "Applicant must be between 1 and 50 characters.",
+        },
     ),
     ColumnSpec(
         7,
@@ -207,6 +278,19 @@ PERMIT_COLUMNS: list[ColumnSpec] = [
         warehouse_name="user43",
         rules=[("Description > 2000 characters", longer_than(2000))],
         width=60,
+        # reference :351-361 — NOTE1 field cap
+        validation={
+            "validate": "text length",
+            "criteria": "between",
+            "minimum": 1,
+            "maximum": 2000,
+            "show_error": True,
+            "error_type": "stop",
+            "error_title": "Invalid Work Description",
+            "error_message": (
+                "Work Description must be between 1 and 2000 characters."
+            ),
+        },
     ),
 ]
 

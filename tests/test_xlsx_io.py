@@ -268,3 +268,166 @@ def test_reader_error_cells_and_missing_r(tmp_xlsx):
     got = read_xlsx(hacked, "S")
     assert got.rows[0] == ["#N/A", 7, "tail"]
     shutil.os.remove(hacked)
+
+
+def test_cond_format_and_validation_codec_round_trip(tmp_xlsx):
+    """S8 extras at the codec layer: expression cfRules (dxf highlight
+    fills) and dataValidation blocks survive write -> read."""
+    from extract_permits_spark.sinks.xlsx_io import CondFormat, DataValidation
+
+    write_xlsx(
+        tmp_xlsx,
+        [
+            SheetSpec(
+                name="S",
+                header=["a", "b"],
+                rows=[["x", 1], ["y", 2]],
+                cond_formats=[
+                    CondFormat("A2:B3", 'AND($B2="",$A2=FALSE)', "FFD5A8"),
+                    CondFormat("A2:B3", '$B2<>""', "#FFB3B3"),  # hash form
+                ],
+                validations=[
+                    DataValidation(
+                        "A2:A3",
+                        "textLength",
+                        operator="between",
+                        formula1="1",
+                        formula2="40",
+                        error_title="Invalid <A>",
+                        error_message='Must be "short".',
+                    ),
+                    DataValidation(
+                        "B2:B3",
+                        "custom",
+                        formula1='$A2=""',
+                        allow_blank=False,
+                        error_style="warning",
+                    ),
+                ],
+            )
+        ],
+    )
+    got = read_xlsx(tmp_xlsx, "S")
+    assert got.rows == [["x", 1], ["y", 2]]  # values unharmed
+    assert got.cond_formats == [
+        {"sqref": "A2:B3", "formula": 'AND($B2="",$A2=FALSE)', "bg_color": "FFFFD5A8"},
+        {"sqref": "A2:B3", "formula": '$B2<>""', "bg_color": "FFFFB3B3"},
+    ]
+    assert got.validations == [
+        {
+            "type": "textLength",
+            "operator": "between",
+            "sqref": "A2:A3",
+            "formula1": "1",
+            "formula2": "40",
+            "allow_blank": True,
+            "error_style": "stop",
+            "error_title": "Invalid <A>",
+            "error_message": 'Must be "short".',
+        },
+        {
+            "type": "custom",
+            "operator": None,
+            "sqref": "B2:B3",
+            "formula1": '$A2=""',
+            "formula2": None,
+            "allow_blank": False,
+            "error_style": "warning",
+            "error_title": None,
+            "error_message": None,
+        },
+    ]
+    # schema order: conditionalFormatting before dataValidations, both
+    # after autoFilter/sheetProtection territory (strict readers care)
+    with zipfile.ZipFile(tmp_xlsx) as zf:
+        xml = zf.read("xl/worksheets/sheet1.xml").decode()
+    assert xml.index("</sheetData>") < xml.index("<conditionalFormatting")
+    assert xml.index("<conditionalFormatting") < xml.index("<dataValidations")
+
+
+def test_save_workbook_review_mode_traffic_lights_and_validations(spark):
+    """S8 review surface end-to-end: the Errors/Ready rails, the three
+    traffic-light rules (ref permit_cleaning.py:1027-1053), per-spec data
+    validations (:1055-1084), and the Ready-checkbox gate (:149-157)."""
+    from extract_permits_spark.specs import PERMIT_COLUMNS
+
+    df = spark.createDataFrame(
+        [
+            ("12081000060000", "P12345678", "1/2/2024", "1500", "1 MAIN ST",
+             "CHICAGO, IL 60601", "A PERSON", "GARAGE", ""),
+            ("9", "X", "bad", "0", "", "", "", "", "Missing PIN, Missing amount"),
+        ],
+        ", ".join(f"{s.name} string" for s in PERMIT_COLUMNS) + ", errors string",
+    )
+    uni = spark.createDataFrame([("12081000060000",)], "pin string")
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "review.xlsx")
+        save_workbook(df, p, specs=PERMIT_COLUMNS, pin_universe=uni, errors_col="errors")
+        got = read_xlsx(p, "Permits")
+
+    assert got.header[-2:] == ["Ready", "Errors"]
+    assert got.rows[0][-2:] == [False, ""]  # fresh review: unchecked, no errors
+    assert got.rows[1][-1] == "Missing PIN, Missing amount"
+
+    # traffic lights: 3 expression rules over the full data range with the
+    # reference's colors, anchored on the Ready/Errors column letters
+    n_cols = len(got.header)
+    err_l = chr(ord("A") + n_cols - 1)
+    rdy_l = chr(ord("A") + n_cols - 2)
+    rng = f"A2:{err_l}3"
+    assert got.cond_formats == [
+        {"sqref": rng, "formula": f'AND(${err_l}2="",${rdy_l}2=FALSE)', "bg_color": "FFFFD5A8"},
+        {"sqref": rng, "formula": f'${err_l}2<>""', "bg_color": "FFFFB3B3"},
+        {"sqref": rng, "formula": f'AND(${rdy_l}2=TRUE,${err_l}2="")', "bg_color": "FFB8D4E8"},
+    ]
+
+    # validations: 6 spec columns + the Ready gate
+    by_sqref = {v["sqref"]: v for v in got.validations}
+    assert len(got.validations) == 7
+    # pin: custom COUNTIF against the universe sheet, blanks NOT allowed
+    pin = by_sqref["A2:A3"]
+    assert pin["type"] == "custom" and not pin["allow_blank"]
+    assert "Universe of Valid PINs" in pin["formula1"]
+    assert "SUBSTITUTE(A2" in pin["formula1"]  # {COL} filled in
+    # issue date: serial floor for 1900-01-01 (epoch 1899-12-30; the
+    # pre-1900-03-01 leap-bug offset is a known, harmless quirk here)
+    dt = by_sqref["C2:C3"]
+    assert dt["type"] == "date" and dt["operator"] == "greaterThanOrEqual"
+    assert dt["formula1"] == str(int(to_serial(date(1900, 1, 1))))
+    # amount custom bounds
+    assert "2147483647" in by_sqref["D2:D3"]["formula1"]
+    # text-length trio
+    assert by_sqref["E2:E3"] == {
+        "type": "textLength", "operator": "between", "sqref": "E2:E3",
+        "formula1": "1", "formula2": "40", "allow_blank": True,
+        "error_style": "stop", "error_title": "Invalid Address",
+        "error_message": "Address must be between 1 and 40 characters.",
+    }
+    assert by_sqref["G2:G3"]["formula2"] == "50"
+    assert by_sqref["H2:H3"]["formula2"] == "2000"
+    # Ready gate: custom formula anchored on the Errors column
+    rdy = by_sqref[f"{rdy_l}2:{rdy_l}3"]
+    assert rdy["type"] == "custom" and rdy["formula1"] == f'${err_l}2=""'
+    assert rdy["error_title"] == "Errors not resolved"
+
+
+def test_save_workbook_upload_variant_skips_ready_gate(spark):
+    """The pre-checked upload variant skips the checkbox validation so
+    Excel won't reset it on open (ref :1061-1065); without a universe
+    sheet the PIN COUNTIF is withheld too."""
+    from extract_permits_spark.specs import PERMIT_COLUMNS
+
+    df = spark.createDataFrame(
+        [("12081000060000", "P12345678", "1/2/2024", "1500", "1 MAIN ST",
+          "CHICAGO, IL 60601", "A PERSON", "GARAGE", "")],
+        ", ".join(f"{s.name} string" for s in PERMIT_COLUMNS) + ", errors string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "upload.xlsx")
+        save_workbook(df, p, specs=PERMIT_COLUMNS, errors_col="errors", checked=True)
+        got = read_xlsx(p, "Permits")
+    assert got.rows[0][-2] is True  # pre-checked Ready
+    sqrefs = {v["sqref"] for v in got.validations}
+    assert len(got.validations) == 5  # no Ready gate, no PIN universe rule
+    assert "A2:A2" not in sqrefs
+    assert not any(v["error_title"] == "Errors not resolved" for v in got.validations)
