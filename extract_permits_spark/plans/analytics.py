@@ -96,6 +96,8 @@ _CHECK_FIRST = [
     # --- changed/new this round ---
     "xlsx_review_roundtrip",
     "rag_context_assembly",
+    "docs_decontaminate",
+    "docs_domain_mix",
     # --- r6 cohort, registry order ---
     "ev_tumbling_agg",
     "ev_json_extract",
@@ -110,14 +112,14 @@ _CHECK_FIRST = [
     "a7_quantiles",
     "text_clean_mask",
     "sketch_approx_quantiles",
-    "sketch_hll_region_distinct",
-    "docs_chunk",
 ]
 
 # r10 NOTE: continue the staleness rotation — next up are the remaining
-# 30 r6-cohort entries (those not re-witnessed above), then the oldest
-# r7 entries to fill 50; as always, pull in any entry whose
-# implementation changed since its last driver row.
+# r6-cohort entries (those not re-witnessed above, incl.
+# sketch_hll_region_distinct and docs_chunk which were displaced from
+# this window by the r9-new entries), then the oldest r7 entries to
+# fill 50; as always, pull in any entry whose implementation changed
+# since its last driver row.
 
 
 def _reordered(d: dict) -> dict:
@@ -7084,6 +7086,123 @@ def docs_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= F.ceil(F.lit(0.3) * F.col("n")).cast("long"))
         .select("doc_id", "source", "quality")
     )
+
+
+@register(
+    "docs_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(COALESCE(text,''))), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 7, 0) + 1),
+               i -> array_to_string(list_slice(t, i, i + 7), ' ')
+             )) AS gs
+      FROM toks WHERE len(t) >= 8
+    ),
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+    ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % 7 = 0)
+    SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM ex e JOIN ev USING (g)
+    WHERE e.doc_id % 7 <> 0
+    GROUP BY e.doc_id
+    ORDER BY doc_id
+    """,
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / FineWeb style): flag
+    every training document that shares an 8-word shingle with the eval
+    set, reporting how many distinct shingles leak. The eval set is a
+    deterministic hash split (doc_id % 7 == 0) so the entry is
+    self-contained; in production it would be the benchmark suite.
+
+    Shape: one shingle explode per side of the split (one corpus scan —
+    the split is a filter, not a join), distinct eval-shingle set, then
+    an inverted-index equi-join on the shingle string: contamination is
+    index lookup, never pairwise doc×doc. Shingles are distinct per doc
+    (array_distinct), so count(*) after the join IS the distinct-shared
+    count — no second distinct shuffle. At 100 TB the eval side is a
+    benchmark corpus (tiny) → broadcast the shingle set and the whole
+    check is a map-side semi-join over the training scan."""
+    from extract_permits_spark.functions.similarity import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 8)).alias("g")
+    )
+    ev = (
+        ex.where(F.col("doc_id") % 7 == 0).select("g").distinct()
+    )
+    return (
+        ex.where(F.col("doc_id") % 7 != 0)
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_domain_mix",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(lower(COALESCE(text,''))) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+'))
+             END AS n_toks,
+             md5(CAST(doc_id AS VARCHAR)) AS pri
+      FROM documents
+    ),
+    walked AS (
+      SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
+             CAST(SUM(n_toks) OVER (
+               PARTITION BY source ORDER BY pri, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_toks
+      FROM toks
+    )
+    SELECT source, doc_id, n_toks, cum_toks
+    FROM walked WHERE cum_toks <= 600
+    ORDER BY source, cum_toks
+    """,
+)
+def docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing sampler (the Pile/DoReMi-style per-source token
+    budget): draw a uniformly-shuffled sample from EVERY source until
+    that source's token budget (600 here — ~45% of a fixture source, so the cut is exercised) is filled — equal token
+    budgets rebalance a corpus whose sources differ wildly in size.
+    The shuffle order is md5(doc_id) (deterministic, engine-neutral,
+    uncorrelated with content), and the take is the prefix whose
+    running token total stays within budget.
+
+    Shape: one narrow token-count map, ONE shuffle on source, one
+    running-sum window, one filter. Per-source state is a single
+    cumulative counter — no driver-side sampling loop, no second pass.
+    At 100 TB: the window is per-source-partition sequential, so skewed
+    giant sources bound the tail; the standard scale-out is budget
+    sharding (split each source's budget over k salted sub-partitions),
+    which this plan admits without restructuring."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.trim(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    n_toks = (
+        F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    ).cast("long")
+    pri = F.md5(F.col("doc_id").cast("string"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(pri, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walked = d.select(
+        "source", "doc_id", n_toks.alias("n_toks")
+    ).withColumn("cum_toks", F.sum("n_toks").over(w).cast("long"))
+    return walked.where(F.col("cum_toks") <= 600).select(
+        "source", "doc_id", "n_toks", "cum_toks"
+    ).orderBy("source", "cum_toks")
 
 
 @register(
