@@ -82,8 +82,9 @@ HEADLINE = [
     # near-dup prune -> chunk -> 512-token greedy context pack; the DuckDB
     # pair replays the identical chained-CTE composition
     "rag_context_assembly",
-    # decontamination representative (r9): inverted-index 8-gram overlap
-    # vs the eval split — the one headline shape joining on shingle text
+    # decontamination representative (r9): broadcast eval n-gram probe
+    # over the training explode — the one headline shape joining on gram
+    # text (functions/corpus.py:decontaminate)
     "docs_decontaminate",
 ]
 

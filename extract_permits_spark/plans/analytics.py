@@ -7089,64 +7089,6 @@ def docs_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "docs_decontaminate",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             string_split_regex(trim(lower(COALESCE(text,''))), '\\s+') AS t
-      FROM documents
-    ),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(t) - 7, 0) + 1),
-               i -> array_to_string(list_slice(t, i, i + 7), ' ')
-             )) AS gs
-      FROM toks WHERE len(t) >= 8
-    ),
-    ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),
-    ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % 7 = 0)
-    SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shared
-    FROM ex e JOIN ev USING (g)
-    WHERE e.doc_id % 7 <> 0
-    GROUP BY e.doc_id
-    ORDER BY doc_id
-    """,
-)
-def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (GPT-3 appendix C / FineWeb style): flag
-    every training document that shares an 8-word shingle with the eval
-    set, reporting how many distinct shingles leak. The eval set is a
-    deterministic hash split (doc_id % 7 == 0) so the entry is
-    self-contained; in production it would be the benchmark suite.
-
-    Shape: one shingle explode per side of the split (one corpus scan —
-    the split is a filter, not a join), distinct eval-shingle set, then
-    an inverted-index equi-join on the shingle string: contamination is
-    index lookup, never pairwise doc×doc. Shingles are distinct per doc
-    (array_distinct), so count(*) after the join IS the distinct-shared
-    count — no second distinct shuffle. At 100 TB the eval side is a
-    benchmark corpus (tiny) → broadcast the shingle set and the whole
-    check is a map-side semi-join over the training scan."""
-    from extract_permits_spark.functions.similarity import word_shingles
-
-    d = load_table(spark, sf_dir, "documents")
-    ex = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 8)).alias("g")
-    )
-    ev = (
-        ex.where(F.col("doc_id") % 7 == 0).select("g").distinct()
-    )
-    return (
-        ex.where(F.col("doc_id") % 7 != 0)
-        .join(F.broadcast(ev), "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-        .orderBy("doc_id")
-    )
-
-
-@register(
     "docs_domain_mix",
     """
     WITH toks AS (
