@@ -1,0 +1,90 @@
+"""Stream-static decontamination gate on ingest: every arriving training
+document is checked against a STATIC benchmark n-gram index — the
+production shape of "does today's crawl leak the eval suite", answered at
+ingest time instead of by a full-corpus re-scan before each training run.
+
+The eval n-gram set is built ONCE (batch, one distinct) with the exact
+tokenize/n-gram contract the batch decontamination uses
+(`functions/corpus.py:decontaminate`), so the per-micro-batch decision is
+bit-consistent with what the nightly batch job would conclude. Each
+micro-batch explodes its own n-grams and probes the index with a
+broadcast join; per-document hit counts are batch-local (a document
+arrives whole in one file), so no streaming state is needed. At scale the
+eval index is benchmark-suite-sized — always broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _grams(df: DataFrame, n: int) -> DataFrame:
+    from extract_permits_spark.functions.similarity import tokens
+    from extract_permits_spark.functions.text import _word_ngrams
+
+    g = _word_ngrams(tokens(F.col("text")), n)
+    return df.select(F.col("doc_id"), F.explode(g).alias("g"))
+
+
+def score_batch_against_eval_grams(
+    batch: DataFrame, eval_grams: DataFrame
+) -> DataFrame:
+    """(doc_id, n_hits, is_contaminated) for one batch of training docs —
+    the same output contract as the batch `decontaminate`."""
+    hits = (
+        _grams(batch, 5)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        batch.select("doc_id")
+        .distinct()
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
+def run_decontaminate_ingest_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    eval_docs: DataFrame,
+    checkpoint: str,
+    table_name: str,
+):
+    """availableNow file-source run: flag every arriving training doc
+    against the static eval n-gram index, appending
+    (doc_id, n_hits, is_contaminated) to table_name. maxFilesPerTrigger=1
+    forces multiple micro-batches so the per-batch path is what runs."""
+    eval_grams = _grams(eval_docs, 5).select("g").distinct().persist()
+    eval_grams.count()  # build the index once, before the stream starts
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        score_batch_against_eval_grams(bdf, eval_grams).write.mode(
+            "append"
+        ).saveAsTable(table_name)
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
