@@ -98,6 +98,7 @@ _CHECK_FIRST = [
     "rag_context_assembly",
     "docs_decontaminate",
     "docs_domain_mix",
+    "stream_decontaminate_ingest",
     # --- r6 cohort, registry order ---
     "ev_tumbling_agg",
     "ev_json_extract",
@@ -111,15 +112,14 @@ _CHECK_FIRST = [
     "sample_stratified",
     "a7_quantiles",
     "text_clean_mask",
-    "sketch_approx_quantiles",
 ]
 
 # r10 NOTE: continue the staleness rotation — next up are the remaining
 # r6-cohort entries (those not re-witnessed above, incl.
-# sketch_hll_region_distinct and docs_chunk which were displaced from
-# this window by the r9-new entries), then the oldest r7 entries to
-# fill 50; as always, pull in any entry whose implementation changed
-# since its last driver row.
+# sketch_approx_quantiles, sketch_hll_region_distinct, and docs_chunk
+# which were displaced from this window by the r9-new entries), then the
+# oldest r7 entries to fill 50; as always, pull in any entry whose
+# implementation changed since its last driver row.
 
 
 def _reordered(d: dict) -> dict:
@@ -3236,6 +3236,57 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = d.where(F.col("doc_id") % 10 == 0)
     train = d.where(F.col("doc_id") % 10 != 0)
     return decontaminate(train, ev, "doc_id", "text", n=5)
+
+
+@register("stream_decontaminate_ingest", _ORACLES["docs_decontaminate"])
+def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static decontamination gate: training documents
+    (doc_id%10!=0) arrive through a file stream in multiple micro-batches
+    (maxFilesPerTrigger=1) and each is flagged against the STATIC eval
+    5-gram index (doc_id%10==0), built once with the exact tokenize/
+    n-gram contract of the batch decontamination
+    (streaming/decontaminate_ingest.py ↔ functions/corpus.py:
+    decontaminate). The oracle is docs_decontaminate's batch SQL
+    verbatim — proving the incremental per-micro-batch decision equals
+    the full-corpus batch conclusion, the invariant that lets a crawl
+    pipeline gate contamination at ingest time instead of re-scanning
+    the corpus before every training run."""
+    import os
+    import shutil
+    import tempfile
+
+    from extract_permits_spark.streaming.decontaminate_ingest import (
+        run_decontaminate_ingest_available_now,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = d.where(F.col("doc_id") % 10 == 0)
+    train = d.where(F.col("doc_id") % 10 != 0)
+
+    work = tempfile.mkdtemp(prefix="stream_decon_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    for half, fname in ((0, "f0"), (1, "f1")):
+        train.where((F.col("doc_id") % 2) == half).coalesce(1).write.parquet(
+            os.path.join(src, fname)
+        )
+    for sub in ("f0", "f1"):
+        for fn in os.listdir(os.path.join(src, sub)):
+            if fn.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(src, sub, fn),
+                    os.path.join(src, f"{sub}.parquet"),
+                )
+        shutil.rmtree(os.path.join(src, sub), ignore_errors=True)
+
+    name = f"stream_decon_{abs(hash(sf_dir)) % 10**8}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = run_decontaminate_ingest_available_now(
+        spark, src, eval_docs, os.path.join(work, "ckpt"), table_name=name
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
 
 
 @register(

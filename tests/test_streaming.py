@@ -410,3 +410,35 @@ def test_stream_neardup_scoring_against_static_index(spark):
         for r in score_batch_against_index(batch, idx).collect()
     }
     assert got == {100: True, 101: False, 102: False}
+
+
+def test_stream_decontaminate_scoring_against_eval_grams(spark):
+    # a batch doc containing an eval 5-gram must flag with the right hit
+    # count; a doc sharing words but no full 5-gram cannot flag; a
+    # too-short doc (<5 tokens) has no grams and scores clean
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.streaming.decontaminate_ingest import (
+        _grams,
+        score_batch_against_eval_grams,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # contains two eval 5-grams (positions 1 and 2 of the eval doc)
+            (100, "x alpha beta gamma delta epsilon zeta y"),
+            (101, "alpha beta gamma words differ here now"),  # 5-gram breaks
+            (102, "beta gamma delta"),  # < 5 tokens
+        ],
+        "doc_id long, text string",
+    )
+    ev = _grams(eval_docs, 5).select("g").distinct()
+    got = {
+        r["doc_id"]: (r["n_hits"], r["is_contaminated"])
+        for r in score_batch_against_eval_grams(batch, ev).collect()
+    }
+    assert got == {100: (2, True), 101: (0, False), 102: (0, False)}
