@@ -189,11 +189,21 @@ def clean_for_pretraining(text: Column | str) -> Column:
 
 
 def _word_ngrams(toks: Column, n: int) -> Column:
-    """Overlapping word n-grams of a token array as space-joined strings;
-    empty array when fewer than ``n`` tokens (guards Spark's descending
-    ``sequence`` when stop < start)."""
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    """Overlapping word n-grams of a token array as space-joined strings
+    (duplicates KEPT, unlike ``similarity.word_shingles`` — occurrence
+    counts matter to decontamination); empty array when fewer than ``n``
+    tokens.
+
+    Shape: n whole-array slices zipped, then one concat per gram — NOT a
+    per-gram ``slice(toks, i, n)`` inside the lambda (which allocates a
+    fresh sub-array per gram interpreted; the same rewrite measured
+    5.3s -> 0.8s for word_shingles, and moved the docs_decontaminate
+    bench row 3.7s -> ~1s)."""
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, k + 1, m) for k in range(n)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
+    )
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
