@@ -99,6 +99,7 @@ _CHECK_FIRST = [
     "docs_decontaminate",
     "docs_domain_mix",
     "stream_decontaminate_ingest",
+    "llm_pack_stats",
     # --- r6 cohort, registry order ---
     "ev_tumbling_agg",
     "ev_json_extract",
@@ -111,11 +112,10 @@ _CHECK_FIRST = [
     "sample_hash_split",
     "sample_stratified",
     "a7_quantiles",
-    "text_clean_mask",
 ]
 
 # r10 NOTE: continue the staleness rotation — next up are the remaining
-# r6-cohort entries (those not re-witnessed above, incl.
+# r6-cohort entries (those not re-witnessed above, incl. text_clean_mask,
 # sketch_approx_quantiles, sketch_hll_region_distinct, and docs_chunk
 # which were displaced from this window by the r9-new entries), then the
 # oldest r7 entries to fill 50; as always, pull in any entry whose
@@ -6176,6 +6176,44 @@ def llm_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("seq_id") % 1024).cast("int").alias("chunk_idx"),
         "weight",
         "bin",
+    )
+
+
+@register(
+    "llm_pack_stats",
+    f"""
+    SELECT shard,
+           CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(weight) AS BIGINT) AS sum_tokens,
+           CAST(sum(weight) AS DOUBLE) / ((max(bin) + 1) * 256) AS fill_rate
+    FROM ({_TOKPACK_SQL})
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def llm_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over the shard-assembly flagship: per
+    shard, how many 256-token bins the next-fit walk opened, how many
+    chunks they hold, and the fill rate (token utilization — the number
+    a trainer watches, since every unfilled slot is padding compute).
+    Bins are numbered densely from 0 per shard, so n_bins is max(bin)+1 —
+    an exact max aggregate, no countDistinct Expand. All-integer until
+    the single final division; the oracle replays the entire pack walk
+    (the recursive CTE) and aggregates identically."""
+    packed = llm_tokenize_pack(spark, sf_dir)
+    fill = F.sum("weight").cast("double") / (
+        (F.max("bin") + F.lit(1)) * F.lit(256)
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            (F.max("bin") + 1).cast("long").alias("n_bins"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("weight").cast("long").alias("sum_tokens"),
+            fill.alias("fill_rate"),
+        )
+        .orderBy("shard")
     )
 
 
