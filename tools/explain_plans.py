@@ -66,6 +66,12 @@ CHECKS = {
     "rag_bm25_topk": ["BroadcastHashJoin", "TakeOrderedAndProject"],
     "docs_quality_prune": ["Window"],
     "docs_snapshot_diff": ["SortMergeJoin"],
+    # r9: RAG serving composition, decontamination probe, budget sampler,
+    # pack audit
+    "rag_context_assembly": ["BroadcastHashJoin", "Window"],
+    "docs_decontaminate": ["BroadcastHashJoin", "Generate"],
+    "docs_domain_mix": ["Window"],
+    "llm_pack_stats": ["FlatMapGroupsInPandas", "HashAggregate"],
 }
 
 
