@@ -100,6 +100,7 @@ _CHECK_FIRST = [
     "docs_domain_mix",
     "stream_decontaminate_ingest",
     "llm_pack_stats",
+    "rag_hybrid_recall",
     # --- r6 cohort, registry order ---
     "ev_tumbling_agg",
     "ev_json_extract",
@@ -111,11 +112,11 @@ _CHECK_FIRST = [
     "j8_range_join",
     "sample_hash_split",
     "sample_stratified",
-    "a7_quantiles",
 ]
 
 # r10 NOTE: continue the staleness rotation — next up are the remaining
-# r6-cohort entries (those not re-witnessed above, incl. text_clean_mask,
+# r6-cohort entries (those not re-witnessed above, incl. a7_quantiles,
+# text_clean_mask,
 # sketch_approx_quantiles, sketch_hll_region_distinct, and docs_chunk
 # which were displaced from this window by the r9-new entries), then the
 # oldest r7 entries to fill 50; as always, pull in any entry whose
@@ -6476,6 +6477,44 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.lit(1.0) / (F.lit(60) + F.col("rnk"))).alias("rrf"))
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(10)
+    )
+
+
+_HYBRID_RECALL_SQL = f"""
+    WITH fused AS (
+      SELECT doc_id FROM ({_RRF_SQL})
+    ),
+    truth AS (
+      SELECT doc_id FROM ({_ORACLES["rag_hash_retrieval"]})
+      ORDER BY cos_sim DESC, doc_id LIMIT 10
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+           CAST(count(*) AS DOUBLE) / 10 AS recall_at_10
+    FROM fused JOIN truth USING (doc_id)
+"""
+
+
+@register("rag_hybrid_recall", _HYBRID_RECALL_SQL)
+def rag_hybrid_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-stack eval: recall@10 of the RRF-fused hybrid list
+    against the pure-vector ranking (hash-embed cosine top-10) as ground
+    truth — the offline number a serving team watches when tuning the
+    lexical/vector blend (how far fusion moves the list from the
+    embedding baseline). Both rankings are fully deterministic
+    (bit-identical scores + doc_id tiebreaks), so recall is exact and
+    hash-checkable: an integer overlap count and one final division.
+    All corpus-scale work is inside the scorers; the eval epilogue is a
+    10x10 semi-join."""
+    fused = rag_rrf_fusion(spark, sf_dir).select("doc_id")
+    truth = (
+        rag_hash_retrieval(spark, sf_dir)
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id")
+    )
+    return fused.join(truth, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / F.lit(10)).alias("recall_at_10"),
     )
 
 

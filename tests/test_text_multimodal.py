@@ -508,3 +508,35 @@ def test_image_stats_handles_grayscale_and_gray_alpha(spark):
     assert rows[1]["r_mean"] == rows[1]["g_mean"] == rows[1]["b_mean"] == exp1
     assert rows[2]["channels"] == 2
     assert rows[2]["r_mean"] == rows[2]["g_mean"] == rows[2]["b_mean"] == exp2
+
+
+def test_word_ngrams_matches_python_reference(spark):
+    """Pins the r9 zip-slices rewrite of _word_ngrams to the obvious
+    Python construction: ordered, overlapping, duplicates KEPT (unlike
+    word_shingles), empty below n tokens."""
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.functions.text import _word_ngrams
+
+    texts = [
+        "a b c d e f g",
+        "x x x x x x",  # duplicate grams must be kept
+        "one two three four",  # exactly n-1 below a 5-gram
+        "one two three four five",  # exactly one 5-gram
+        "solo",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r["i"]: r["g"]
+        for r in df.select(
+            "i", _word_ngrams(F.split(F.col("t"), " "), 5).alias("g")
+        ).collect()
+    }
+
+    def ref(t: str, n: int = 5) -> list[str]:
+        toks = t.split(" ")
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), (t, got[i])
