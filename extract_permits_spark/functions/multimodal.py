@@ -202,6 +202,57 @@ def synthetic_png_media(docs: DataFrame) -> DataFrame:
     )
 
 
+DECODE_QUARANTINE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("err_kind", T.StringType()),
+    ]
+)
+
+
+def decode_quarantine(media: DataFrame) -> DataFrame:
+    """The ingest quarantine rail: attempt to decode every payload,
+    emitting (media_id, ok, err_kind) instead of letting one corrupt blob
+    kill the job — the per-item try/except a 100-TB scrape decode MUST
+    have (a billion-payload scan will contain garbage). err_kind buckets
+    the codec's loud ValueErrors ('truncated', 'crc', 'signature',
+    'unsupported', 'other') so downstream can triage; ok rows carry NULL.
+    Same Arrow-batched mapInPandas shape as image_stats; the codec's
+    failure contract (ValueError for any malformed input — tested down to
+    mid-CRC truncation) is what makes the rail total."""
+    from extract_permits_spark.functions.png_codec import decode_png
+
+    def classify(msg: str) -> str:
+        m = msg.lower()
+        if "truncated" in m:
+            return "truncated"
+        if "crc" in m:
+            return "crc"
+        if "signature" in m:
+            return "signature"
+        if "unsupported" in m or "not supported" in m:
+            return "unsupported"
+        return "other"
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for m, payload in zip(b["media_id"], b["payload"]):
+                try:
+                    decode_png(bytes(payload))
+                    rows.append((int(m), True, None))
+                except ValueError as e:
+                    rows.append((int(m), False, classify(str(e))))
+            yield pd.DataFrame(rows, columns=["media_id", "ok", "err_kind"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, DECODE_QUARANTINE_SCHEMA
+    )
+
+
 def image_stats(media: DataFrame) -> DataFrame:
     """Decode each PNG payload and emit per-image shape + channel means.
 

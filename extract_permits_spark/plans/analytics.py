@@ -101,6 +101,7 @@ _CHECK_FIRST = [
     "stream_decontaminate_ingest",
     "llm_pack_stats",
     "rag_hybrid_recall",
+    "mm_decode_quarantine",
     # --- r6 cohort, registry order ---
     "ev_tumbling_agg",
     "ev_json_extract",
@@ -111,12 +112,11 @@ _CHECK_FIRST = [
     "ev_rollup",
     "j8_range_join",
     "sample_hash_split",
-    "sample_stratified",
 ]
 
 # r10 NOTE: continue the staleness rotation — next up are the remaining
-# r6-cohort entries (those not re-witnessed above, incl. a7_quantiles,
-# text_clean_mask,
+# r6-cohort entries (those not re-witnessed above, incl.
+# sample_stratified, a7_quantiles, text_clean_mask,
 # sketch_approx_quantiles, sketch_hll_region_distinct, and docs_chunk
 # which were displaced from this window by the r9-new entries), then the
 # oldest r7 entries to fill 50; as always, pull in any entry whose
@@ -7415,6 +7415,41 @@ def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = mmfn.synthetic_png_media(d)
     return mmfn.image_stats(media)
+
+
+@register(
+    "mm_decode_quarantine",
+    """
+    SELECT doc_id AS media_id,
+           doc_id % 13 <> 0 AS ok,
+           CASE WHEN doc_id % 13 = 0 THEN 'truncated' END AS err_kind
+    FROM documents
+    """,
+)
+def mm_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corrupt-blob rail, end-to-end: every 13th payload is
+    deterministically truncated (last 5 bytes dropped — clips the IEND
+    chunk, which the codec's chunk-walk reports as a truncation
+    ValueError), then the whole corpus flows through the per-item
+    try/except quarantine decode (functions/multimodal.py:
+    decode_quarantine). The oracle is closed-form — it knows exactly
+    which rows were corrupted and what bucket the codec must assign —
+    so a hash match proves the rail neither drops, misclassifies, nor
+    lets a bad payload near the job's fate. At 100 TB this is the
+    difference between a scrape-decode job that finishes with a
+    quarantine table and one that dies at task 1,999,731."""
+    d = load_table(spark, sf_dir, "documents")
+    media = mmfn.synthetic_png_media(d).select("media_id", "payload")
+    corrupted = media.select(
+        "media_id",
+        F.when(
+            F.col("media_id") % 13 == 0,
+            F.expr("substring(payload, 1, length(payload) - 5)"),
+        )
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    return mmfn.decode_quarantine(corrupted)
 
 
 @register(
