@@ -41,6 +41,12 @@ _ORACLES: dict[str, str] = {}
 
 def register(name: str, sql: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            # a second @register with an existing name would silently
+            # SHADOW the first (dict overwrite) — this bit in r9 when a
+            # new decontamination entry collided with the r6 one. Fail
+            # at import time instead.
+            raise ValueError(f"duplicate registry entry: {name!r}")
         _QUERIES[name] = fn
         if sql is not None:
             _ORACLES[name] = sql
