@@ -431,3 +431,43 @@ def test_save_workbook_upload_variant_skips_ready_gate(spark):
     assert len(got.validations) == 5  # no Ready gate, no PIN universe rule
     assert "A2:A2" not in sqrefs
     assert not any(v["error_title"] == "Errors not resolved" for v in got.validations)
+
+
+def test_compile_data_validation_dialect_mapping():
+    """Unit-level pins for the xlsxwriter-dialect -> ECMA-376 mapping:
+    operator table, {COL}/{ERRORS_COL} substitution, allowBlank default,
+    and the loud failure for unknown dialects."""
+    import pytest
+
+    from extract_permits_spark.sinks.excel_sink import compile_data_validation
+
+    dv = compile_data_validation(
+        {"validate": "text length", "criteria": "between", "minimum": 1,
+         "maximum": 40},
+        ci=4, n_rows=3, errors_letter="J",
+    )
+    assert (dv.sqref, dv.type, dv.operator) == ("E2:E4", "textLength", "between")
+    assert (dv.formula1, dv.formula2, dv.allow_blank) == ("1", "40", True)
+
+    dv = compile_data_validation(
+        {"validate": "custom", "value": '=AND({COL}2>0,${ERRORS_COL}2="")',
+         "ignore_blank": False, "error_type": "warning"},
+        ci=0, n_rows=2, errors_letter="J",
+    )
+    assert dv.formula1 == 'AND(A2>0,$J2="")'
+    assert not dv.allow_blank and dv.error_style == "warning"
+
+    dv = compile_data_validation(
+        {"validate": "date", "criteria": "greater than or equal to",
+         "value": "2024-03-01"},
+        ci=2, n_rows=1, errors_letter=None,
+    )
+    from datetime import date
+
+    from extract_permits_spark.sinks.xlsx_io import to_serial
+
+    assert dv.operator == "greaterThanOrEqual"
+    assert dv.formula1 == str(int(to_serial(date(2024, 3, 1))))
+
+    with pytest.raises(ValueError, match="unsupported validation dialect"):
+        compile_data_validation({"validate": "list", "value": "a,b"}, 0, 1)
