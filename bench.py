@@ -86,6 +86,11 @@ HEADLINE = [
     # over the training explode — the one headline shape joining on gram
     # text (functions/corpus.py:decontaminate)
     "docs_decontaminate",
+    # the fifth composed flagship (r9): the FULL pretraining chain
+    # (clean -> decontaminate -> dedup -> quality prune -> domain mix ->
+    # chunk -> pack); DuckDB replays the whole chained CTE incl. the
+    # recursive pack walk
+    "llm_pretrain_pipeline",
 ]
 
 

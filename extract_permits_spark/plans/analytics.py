@@ -108,6 +108,7 @@ _CHECK_FIRST = [
     "llm_pack_stats",
     "rag_hybrid_recall",
     "mm_decode_quarantine",
+    "llm_pretrain_pipeline",
     # --- r6 cohort, registry order ---
     "ev_tumbling_agg",
     "ev_json_extract",
@@ -117,11 +118,10 @@ _CHECK_FIRST = [
     "j7_asof_join",
     "ev_rollup",
     "j8_range_join",
-    "sample_hash_split",
 ]
 
 # r10 NOTE: continue the staleness rotation — next up are the remaining
-# r6-cohort entries (those not re-witnessed above, incl.
+# r6-cohort entries (those not re-witnessed above, incl. sample_hash_split,
 # sample_stratified, a7_quantiles, text_clean_mask,
 # sketch_approx_quantiles, sketch_hll_region_distinct, and docs_chunk
 # which were displaced from this window by the r9-new entries), then the
@@ -6221,6 +6221,230 @@ def llm_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             fill.alias("fill_rate"),
         )
         .orderBy("shard")
+    )
+
+
+_PRETRAIN_SQL = """
+    WITH RECURSIVE cleaned AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(
+               regexp_replace(COALESCE(text,''), 'https?://\\S+', '', 'g'),
+               '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ), gated AS (
+      SELECT doc_id, source, t
+      FROM cleaned
+      WHERE length(t) >= 20 AND length(t) <= 50000
+        AND len(string_split_regex(t, '\\s+')) >= 5
+    ), toks AS MATERIALIZED (
+      SELECT doc_id, source, t,
+             string_split_regex(trim(lower(t)), '\\s+') AS tk
+      FROM gated
+    ), grams AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(tk) - 4, 0) + 1),
+               i -> array_to_string(list_slice(tk, i, i + 4), ' ')
+             )) AS g
+      FROM toks
+    ), ev AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0
+    ), contaminated AS (
+      SELECT DISTINCT gr.doc_id
+      FROM grams gr JOIN ev USING (g)
+      WHERE gr.doc_id % 10 <> 0
+    ), train AS (
+      SELECT doc_id, source, t, tk FROM toks
+      WHERE doc_id % 10 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), deduped AS MATERIALIZED (
+      SELECT doc_id, source, t, tk FROM train
+      QUALIFY row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) = 1
+    ), q AS (
+      SELECT doc_id, source, tk,
+             round(1.0 / (1.0 + exp(-(
+               -2.0 + 0.004 * CAST(length(t) AS DOUBLE)
+                    + 0.02 * CAST(len(string_split_regex(trim(lower(t)), '\\s+'))
+                                  AS DOUBLE)
+                    - 0.1 * CAST(length(t)
+                          - length(replace(replace(replace(t,
+                                    '.', ''), ',', ''), '!', '')) AS DOUBLE)
+             ))), 6) AS quality
+      FROM deduped
+    ), pruned AS (
+      SELECT doc_id, source, tk FROM (
+        SELECT doc_id, source, tk,
+               ROW_NUMBER() OVER (
+                 PARTITION BY source ORDER BY quality DESC, doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM q
+      ) WHERE rn <= CAST(ceil(0.3 * n) AS BIGINT)
+    ), mixed AS (
+      SELECT doc_id, tk FROM (
+        SELECT doc_id, tk,
+               SUM(len(tk)) OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM pruned
+      ) WHERE cum <= 600
+    ), chunks AS (
+      SELECT doc_id,
+             CAST((start - 1) // 64 AS INT) AS chunk_idx,
+             CAST(least(64, len(tk) - start + 1) AS BIGINT) AS weight
+      FROM (
+        SELECT doc_id, tk,
+               unnest(range(1, greatest(len(tk), 1) + 1, 64)) AS start
+        FROM mixed
+      )
+    ), seq AS MATERIALIZED (
+      SELECT doc_id % 8 AS shard, doc_id, chunk_idx, weight,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx
+             ) AS rn
+      FROM chunks
+    ), pack(shard, rn, doc_id, chunk_idx, weight, bin, used) AS (
+        SELECT shard, rn, doc_id, chunk_idx, weight, 0, weight
+        FROM seq WHERE rn = 1
+      UNION ALL
+        SELECT s.shard, s.rn, s.doc_id, s.chunk_idx, s.weight,
+               CASE WHEN p.used + s.weight > 256 THEN p.bin + 1 ELSE p.bin END,
+               CASE WHEN p.used + s.weight > 256 THEN s.weight
+                    ELSE p.used + s.weight END
+        FROM pack p JOIN seq s ON s.shard = p.shard AND s.rn = p.rn + 1
+    )
+    SELECT shard, doc_id, chunk_idx, weight, CAST(bin AS BIGINT) AS bin
+    FROM pack
+"""
+
+
+@register("llm_pretrain_pipeline", _PRETRAIN_SQL)
+def llm_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-data pipeline, composed end to end — what a
+    training-data team actually ships, chaining the registry's oracled
+    stages in their production order:
+
+      clean (URL-strip, whitespace collapse) -> gates (20..50k chars,
+      >=5 tokens) -> benchmark decontamination (drop any training doc
+      sharing a 5-gram with the held-out eval slice doc_id%10==0, which
+      is itself excluded) -> exact dedup keep-first (md5 of cleaned
+      text) -> quality prune (top 30% per source by the logistic
+      score) -> domain mix (600-token budget per source, md5-shuffled
+      prefix) -> 64-token chunking -> next-fit packing into 256-token
+      bins per shard (doc_id%8). Output = the physical shard layout
+      (shard, doc_id, chunk_idx, weight, bin), llm_tokenize_pack's
+      contract with the curated-and-mixed corpus upstream.
+
+    Scale shape: every stage before packing is narrow maps + at most one
+    shuffle each (grams explode + broadcast eval probe; md5 dedup
+    window; source windows; source mix window), the pack walk is
+    sequential only within a shard, and nothing is ever corpus-pairwise.
+    The oracle replays the ENTIRE chain as one chained CTE including the
+    recursive pack walk — the hash match pins every stage boundary, so
+    a user can swap any stage knowing exactly what contract it must
+    keep."""
+    from extract_permits_spark.functions.corpus import next_fit_pack
+    from extract_permits_spark.functions.similarity import tokens
+    from extract_permits_spark.functions.text import _word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    t = textfn.collapse_whitespace(textfn.strip_urls("text"))
+    cleaned = d.select("doc_id", "source", t.alias("t"))
+    gated = cleaned.where(
+        (F.length("t") >= 20)
+        & (F.length("t") <= 50000)
+        & (F.size(F.split("t", r"\s+")) >= 5)
+    )
+    toked = gated.select("doc_id", "source", "t", tokens(F.col("t")).alias("tk"))
+
+    grams = toked.select("doc_id", F.explode(_word_ngrams(F.col("tk"), 5)).alias("g"))
+    ev = grams.where(F.col("doc_id") % 10 == 0).select("g").distinct()
+    contaminated = (
+        grams.where(F.col("doc_id") % 10 != 0)
+        .join(F.broadcast(ev), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    train = toked.where(F.col("doc_id") % 10 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    wdup = Window.partitionBy(F.md5(F.col("t").cast("binary"))).orderBy("doc_id")
+    deduped = (
+        train.withColumn("_rn", F.row_number().over(wdup))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    n_words = F.size(F.split(F.trim(F.lower(F.col("t"))), r"\s+")).cast("double")
+    n_punct = (
+        F.length("t")
+        - F.length(
+            F.replace(
+                F.replace(
+                    F.replace(F.col("t"), F.lit("."), F.lit("")),
+                    F.lit(","),
+                    F.lit(""),
+                ),
+                F.lit("!"),
+                F.lit(""),
+            )
+        )
+    ).cast("double")
+    logit = (
+        F.lit(-2.0)
+        + F.lit(0.004) * F.length("t").cast("double")
+        + F.lit(0.02) * n_words
+        - F.lit(0.1) * n_punct
+    )
+    quality = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    scored = deduped.select("doc_id", "source", "tk", quality.alias("quality"))
+    wq = Window.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+    wn = Window.partitionBy("source")
+    pruned = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .where(F.col("rn") <= F.ceil(F.lit(0.3) * F.col("n")).cast("long"))
+        .select("doc_id", "source", "tk")
+    )
+
+    wmix = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mixed = (
+        pruned.withColumn("cum", F.sum(F.size("tk")).over(wmix))
+        .where(F.col("cum") <= 600)
+        .select("doc_id", "tk")
+    )
+
+    starts = F.sequence(F.lit(1), F.greatest(F.size("tk"), F.lit(1)), F.lit(64))
+    chunks = mixed.select(
+        "doc_id", "tk", F.posexplode(starts).alias("chunk_idx", "_start")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(F.lit(64), F.size("tk") - F.col("_start") + 1)
+        .cast("long")
+        .alias("w"),
+    )
+    seq = chunks.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        (F.col("doc_id") * 1024 + F.col("chunk_idx")).alias("seq_id"),
+        "w",
+    )
+    packed = next_fit_pack(
+        seq, id_col="seq_id", weight_col="w", shard_col="shard", budget=256
+    )
+    return packed.select(
+        "shard",
+        F.floor(F.col("seq_id") / 1024).cast("long").alias("doc_id"),
+        (F.col("seq_id") % 1024).cast("int").alias("chunk_idx"),
+        "weight",
+        "bin",
     )
 
 
