@@ -241,6 +241,11 @@ def decode_quarantine(media: DataFrame) -> DataFrame:
         for b in batches:
             rows = []
             for m, payload in zip(b["media_id"], b["payload"]):
+                if payload is None:
+                    # a NULL blob is quarantine, not a TypeError — the
+                    # rail must be total over anything a scan can yield
+                    rows.append((int(m), False, "empty"))
+                    continue
                 try:
                     decode_png(bytes(payload))
                     rows.append((int(m), True, None))

@@ -540,3 +540,34 @@ def test_word_ngrams_matches_python_reference(spark):
 
     for i, t in enumerate(texts):
         assert got[i] == ref(t), (t, got[i])
+
+
+def test_decode_quarantine_buckets(spark):
+    """The rail is total: good PNG -> ok; truncated -> 'truncated';
+    flipped byte -> 'crc'; bad signature -> 'signature'; NULL -> 'empty'.
+    No input may kill the task."""
+    from extract_permits_spark.functions.multimodal import decode_quarantine
+    from extract_permits_spark.functions.png_codec import encode_png
+
+    good = encode_png(4, 4, 3, bytes(range(48)))
+    flipped = bytearray(good)
+    flipped[40] ^= 0xFF
+    rows = [
+        (1, good),
+        (2, good[:-5]),
+        (3, bytes(flipped)),
+        (4, b"JFIF" + good),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: (r["ok"], r["err_kind"])
+        for r in decode_quarantine(df).collect()
+    }
+    assert got == {
+        1: (True, None),
+        2: (False, "truncated"),
+        3: (False, "crc"),
+        4: (False, "signature"),
+        5: (False, "empty"),
+    }
