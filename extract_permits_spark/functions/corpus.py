@@ -130,6 +130,48 @@ def segment_dedup(
     )
 
 
+def doc_ngrams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """(id, g) — one row per overlapping word n-gram occurrence. THE
+    tokenize/n-gram contract of decontamination; the streaming ingest
+    gate imports this same function so batch ≡ stream is structural, not
+    copy-paste (r9 review finding)."""
+    from extract_permits_spark.functions.similarity import tokens
+    from extract_permits_spark.functions.text import _word_ngrams
+
+    g = _word_ngrams(tokens(F.col(text_col)), n)
+    return df.select(F.col(id_col), F.explode(g).alias("g"))
+
+
+def contamination_hits(
+    train: DataFrame,
+    eval_grams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """(id, n_hits, is_contaminated) for every row of ``train`` against a
+    prebuilt DISTINCT eval n-gram set — the probe+epilogue shared by the
+    batch `decontaminate` and the streaming per-micro-batch scorer."""
+    hits = (
+        doc_ngrams(train, id_col, text_col, n)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .distinct()
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_docs: DataFrame,
@@ -148,29 +190,8 @@ def decontaminate(
     check is a map-side hash probe over the exploded training n-grams
     with zero shuffle of the 100-TB side; the per-doc count then
     partial-aggregates on the id key."""
-    from extract_permits_spark.functions.similarity import tokens
-    from extract_permits_spark.functions.text import _word_ngrams
-
-    def grams(df: DataFrame) -> DataFrame:
-        g = _word_ngrams(tokens(F.col(text_col)), n)
-        return df.select(F.col(id_col), F.explode(g).alias("g"))
-
-    ev = grams(eval_docs).select("g").distinct()
-    hits = (
-        grams(train)
-        .join(F.broadcast(ev), "g")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    return (
-        train.select(id_col)
-        .join(hits, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            (F.coalesce("n_hits", F.lit(0)) > 0).alias("is_contaminated"),
-        )
-    )
+    ev = doc_ngrams(eval_docs, id_col, text_col, n).select("g").distinct()
+    return contamination_hits(train, ev, id_col, text_col, n)
 
 
 def mixture_weights(

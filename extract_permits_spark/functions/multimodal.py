@@ -231,6 +231,8 @@ def decode_quarantine(media: DataFrame) -> DataFrame:
             return "crc"
         if "signature" in m:
             return "signature"
+        if "deflate" in m:
+            return "deflate"
         if "unsupported" in m or "not supported" in m:
             return "unsupported"
         return "other"

@@ -172,6 +172,10 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {tag!r} chunk")
         if tag == b"IHDR":
+            if len(body) != 13:
+                # a CRC-consistent but wrong-length IHDR must be a
+                # ValueError (the quarantine contract), not struct.error
+                raise ValueError(f"IHDR length {len(body)} != 13")
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -197,7 +201,12 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     if width < 0:
         raise ValueError("missing IHDR")
 
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # garbage IDAT whose CRC was computed over the garbage (a buggy
+        # encoder) reaches inflate — still a ValueError, never zlib.error
+        raise ValueError(f"corrupt deflate stream: {e}") from e
     bpp = channels
     stride = width * bpp
     if len(raw) != (stride + 1) * height:

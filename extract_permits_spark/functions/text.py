@@ -189,24 +189,12 @@ def clean_for_pretraining(text: Column | str) -> Column:
 
 
 def _word_ngrams(toks: Column, n: int) -> Column:
-    """Overlapping word n-grams of a token array as space-joined strings
-    (duplicates KEPT, unlike ``similarity.word_shingles`` — occurrence
-    counts matter to decontamination); empty array when fewer than ``n``
-    tokens.
+    """Overlapping word n-grams of a token array, duplicates KEPT
+    (occurrence counts matter to decontamination) — the shared
+    zip-slices builder, see similarity.zip_ngrams."""
+    from extract_permits_spark.functions.similarity import zip_ngrams
 
-    Shape: n whole-array slices zipped, then one concat per gram — NOT a
-    per-gram ``slice(toks, i, n)`` inside the lambda (which allocates a
-    fresh sub-array per gram interpreted; the same rewrite measured
-    5.3s -> 0.8s for word_shingles, and moved the docs_decontaminate
-    bench row 3.7s -> ~1s)."""
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    zipped = F.arrays_zip(*[F.slice(toks, k + 1, m) for k in range(n)])
-    grams = F.transform(
-        zipped, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    return zip_ngrams(toks, n)
 
 
 def dup_token_fraction(text: Column | str) -> Column:

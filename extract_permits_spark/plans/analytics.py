@@ -6224,6 +6224,33 @@ def llm_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_sigmoid(text) -> "F.Column":
+    """The fixed-weight quality logistic shared by docs_quality_score,
+    docs_quality_prune, and llm_pretrain_pipeline — ONE definition so the
+    three entries cannot drift (r9 review finding; each entry's oracle
+    restates the same closed form). Returns the raw sigmoid; callers
+    apply the 6dp round."""
+    len_chars = F.length(text).cast("double")
+    n_words = F.size(F.split(F.trim(F.lower(text)), r"\s+")).cast("double")
+    n_punct = (
+        F.length(text)
+        - F.length(
+            F.replace(
+                F.replace(F.replace(text, F.lit("."), F.lit("")), F.lit(","), F.lit("")),
+                F.lit("!"),
+                F.lit(""),
+            )
+        )
+    ).cast("double")
+    logit = (
+        F.lit(-2.0)
+        + F.lit(0.004) * len_chars
+        + F.lit(0.02) * n_words
+        - F.lit(0.1) * n_punct
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+
+
 _PRETRAIN_SQL = """
     WITH RECURSIVE cleaned AS (
       SELECT doc_id, source,
@@ -6378,28 +6405,7 @@ def llm_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
     )
 
-    n_words = F.size(F.split(F.trim(F.lower(F.col("t"))), r"\s+")).cast("double")
-    n_punct = (
-        F.length("t")
-        - F.length(
-            F.replace(
-                F.replace(
-                    F.replace(F.col("t"), F.lit("."), F.lit("")),
-                    F.lit(","),
-                    F.lit(""),
-                ),
-                F.lit("!"),
-                F.lit(""),
-            )
-        )
-    ).cast("double")
-    logit = (
-        F.lit(-2.0)
-        + F.lit(0.004) * F.length("t").cast("double")
-        + F.lit(0.02) * n_words
-        - F.lit(0.1) * n_punct
-    )
-    quality = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    quality = F.round(_quality_sigmoid(F.col("t")), 6)
     scored = deduped.select("doc_id", "source", "tk", quality.alias("quality"))
     wq = Window.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
     wn = Window.partitionBy("source")
@@ -7342,26 +7348,7 @@ def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     map over the scan, no shuffle, no Python. The same closed form runs
     on both engines; one 6dp round after the sigmoid."""
     d = load_table(spark, sf_dir, "documents")
-    text = F.coalesce(F.col("text"), F.lit(""))
-    len_chars = F.length(text).cast("double")
-    n_words = F.size(F.split(F.trim(F.lower(text)), r"\s+")).cast("double")
-    n_punct = (
-        F.length(text)
-        - F.length(
-            F.replace(
-                F.replace(F.replace(text, F.lit("."), F.lit("")), F.lit(","), F.lit("")),
-                F.lit("!"),
-                F.lit(""),
-            )
-        )
-    ).cast("double")
-    logit = (
-        F.lit(-2.0)
-        + F.lit(0.004) * len_chars
-        + F.lit(0.02) * n_words
-        - F.lit(0.1) * n_punct
-    )
-    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    score = _quality_sigmoid(F.coalesce(F.col("text"), F.lit("")))
     return d.select(
         "doc_id",
         F.round(score, 6).alias("quality"),
@@ -7413,26 +7400,9 @@ def docs_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source quota variant would get the map-side partial top-k, the
     documented trade for a relative cut."""
     d = load_table(spark, sf_dir, "documents")
-    text = F.coalesce(F.col("text"), F.lit(""))
-    len_chars = F.length(text).cast("double")
-    n_words = F.size(F.split(F.trim(F.lower(text)), r"\s+")).cast("double")
-    n_punct = (
-        F.length(text)
-        - F.length(
-            F.replace(
-                F.replace(F.replace(text, F.lit("."), F.lit("")), F.lit(","), F.lit("")),
-                F.lit("!"),
-                F.lit(""),
-            )
-        )
-    ).cast("double")
-    logit = (
-        F.lit(-2.0)
-        + F.lit(0.004) * len_chars
-        + F.lit(0.02) * n_words
-        - F.lit(0.1) * n_punct
+    quality = F.round(
+        _quality_sigmoid(F.coalesce(F.col("text"), F.lit(""))), 6
     )
-    quality = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
     scored = d.select("doc_id", "source", quality.alias("quality"))
     w = Window.partitionBy("source").orderBy(
         F.col("quality").desc(), F.col("doc_id")

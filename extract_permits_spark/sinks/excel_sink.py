@@ -105,12 +105,31 @@ def compile_data_validation(
         )
     if validate == "date":
         # Excel compares date serials, not ISO strings
-        serial = to_serial(datetime.strptime(str(v["value"]), "%Y-%m-%d").date())
+        def serial(iso: str) -> str:
+            return str(int(to_serial(datetime.strptime(iso, "%Y-%m-%d").date())))
+
+        operator = _DV_OPERATORS[v["criteria"]]
+        if operator in ("between", "notBetween"):
+            # ECMA-376 requires formula2 for (not)between — dropping the
+            # upper bound silently would unenforce it; fail loudly like
+            # the unsupported-dialect path instead
+            if "maximum" not in v:
+                raise ValueError(
+                    "date validation with criteria 'between' needs 'maximum'"
+                )
+            return DataValidation(
+                sqref,
+                "date",
+                operator=operator,
+                formula1=serial(str(v["value"] if "value" in v else v["minimum"])),
+                formula2=serial(str(v["maximum"])),
+                **common,
+            )
         return DataValidation(
             sqref,
             "date",
-            operator=_DV_OPERATORS[v["criteria"]],
-            formula1=str(int(serial)),
+            operator=operator,
+            formula1=serial(str(v["value"])),
             **common,
         )
     raise ValueError(f"unsupported validation dialect: {validate!r}")

@@ -424,8 +424,11 @@ def _is_date_fmt(numfmt_id: int, custom: dict[int, str]) -> bool:
     return bool(re.search(r"[ymdhs]", bare, re.IGNORECASE)) and "#" not in bare
 
 
-def _parse_styles(data: bytes) -> tuple[list[object], list[bool]]:
-    """styles.xml -> (xf index -> fill descriptor, xf index -> is_date)."""
+def _parse_styles(
+    data: bytes,
+) -> tuple[list[object], list[bool], list[str | None]]:
+    """styles.xml -> (xf index -> fill descriptor, xf index -> is_date,
+    dxf index -> cfRule bgColor ARGB)."""
     root = ET.fromstring(data)
     custom_fmts: dict[int, str] = {}
     for nf in root.iter(_q("numFmt")):

@@ -28,33 +28,26 @@ DOC_SCHEMA = T.StructType(
 
 
 def _grams(df: DataFrame, n: int) -> DataFrame:
-    from extract_permits_spark.functions.similarity import tokens
-    from extract_permits_spark.functions.text import _word_ngrams
+    # thin alias over THE batch gram builder — batch ≡ stream by import,
+    # not by copy (r9 review finding)
+    from extract_permits_spark.functions.corpus import doc_ngrams
 
-    g = _word_ngrams(tokens(F.col("text")), n)
-    return df.select(F.col("doc_id"), F.explode(g).alias("g"))
+    return doc_ngrams(df, "doc_id", "text", n)
 
 
 def score_batch_against_eval_grams(
     batch: DataFrame, eval_grams: DataFrame
 ) -> DataFrame:
     """(doc_id, n_hits, is_contaminated) for one batch of training docs —
-    the same output contract as the batch `decontaminate`."""
-    hits = (
-        _grams(batch, 5)
-        .join(F.broadcast(eval_grams), "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    return (
-        batch.select("doc_id")
-        .distinct()
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("is_contaminated"),
-        )
+    literally the batch probe+epilogue (corpus.contamination_hits) run
+    per micro-batch, so the output contract cannot drift."""
+    from extract_permits_spark.functions.corpus import contamination_hits
+
+    out = contamination_hits(batch, eval_grams, "doc_id", "text", n=5)
+    return out.select(
+        "doc_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "is_contaminated",
     )
 
 

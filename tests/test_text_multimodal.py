@@ -571,3 +571,37 @@ def test_decode_quarantine_buckets(spark):
         4: (False, "signature"),
         5: (False, "empty"),
     }
+
+
+def test_png_crc_consistent_corruption_still_valueerror():
+    """r9 review finding: malformed payloads whose CRCs are self-consistent
+    (a buggy encoder computed them over the garbage) must STILL raise
+    ValueError, never zlib.error or struct.error — the quarantine rail's
+    totality depends on it."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from extract_permits_spark.functions.png_codec import decode_png
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+
+    # garbage IDAT, CRC computed over the garbage -> inflate fails
+    bad_idat = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"\x01\x02\x03") + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="deflate"):
+        decode_png(bad_idat)
+
+    # IHDR body of the wrong length, CRC consistent -> length check fires
+    bad_ihdr = sig + chunk(b"IHDR", ihdr[:-1]) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IHDR length"):
+        decode_png(bad_ihdr)

@@ -87,15 +87,15 @@ def main() -> None:
     finally:
         shutil.rmtree(cur_dir, ignore_errors=True)
 
-    ratios = [
-        round(s / d, 2) for s, d in zip(spark_times, sorted(duck_times))
-    ]
+    # same-run pairing (run i vs run i) — zipping against sorted duck
+    # times flattered the spread (r9 review finding)
+    ratios = [round(s / d, 2) for s, d in zip(spark_times, duck_times)]
     print(
         json.dumps(
             {
                 "spark": spark_times,
                 "duckdb": duck_times,
-                "paired_ratios_vs_sorted_duck": ratios,
+                "paired_ratios": ratios,
                 "worst_ratio_vs_duck_median": round(
                     max(spark_times) / sorted(duck_times)[len(duck_times) // 2], 2
                 ),

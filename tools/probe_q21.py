@@ -71,7 +71,11 @@ def main() -> None:
             spark._jvm.System.gc()
             time.sleep(1.0)
 
-        def run(shuffle_parts: int) -> tuple[list[float], int]:
+        def run(shuffle_parts: int) -> list[float]:
+            # (an earlier revision tried to count AQEShuffleRead nodes
+            # from df.queryExecution().executedPlan() after a noop write —
+            # that inspects a FRESH QueryExecution, not the executed one,
+            # and always reported 0; the timings are the evidence)
             spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
             times = []
             for _ in range(3):
@@ -80,15 +84,10 @@ def main() -> None:
                 df = q21_from_frames(li, o, s)
                 df.write.format("noop").mode("overwrite").save()
                 times.append(round(time.time() - t0, 2))
-            # post-AQE partition count of the final plan's last exchange
-            df = q21_from_frames(li, o, s)
-            df.write.format("noop").mode("overwrite").save()
-            final = df._jdf.queryExecution().executedPlan().toString()
-            n_coalesced = final.count("AQEShuffleRead")
-            return times, n_coalesced
+            return times
 
-        t_default, aqe_a = run(32)
-        t_matched, aqe_b = run(splits)
+        t_default = run(32)
+        t_matched = run(splits)
 
         import duckdb
 
@@ -120,8 +119,6 @@ def main() -> None:
                     "input_splits": splits,
                     "spark_default32": t_default,
                     "spark_matched": t_matched,
-                    "aqe_shufflereads_default": aqe_a,
-                    "aqe_shufflereads_matched": aqe_b,
                     "duckdb": duck,
                     "ratio_best": round(
                         min(t_default + t_matched) / min(duck), 2
