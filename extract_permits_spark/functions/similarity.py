@@ -236,8 +236,9 @@ def minhash_lsh_pairs(
     computed as k codegen'd ``min()`` aggregates in a single groupBy pass
     (one shuffle on doc ids) — measured ~3× faster than the per-row
     higher-order ``array_min(transform(...))`` form, whose lambdas are
-    interpreted per element. The shingle set rides along via collect_set
-    for the verification join, so document bodies never shuffle.
+    interpreted per element. Verification is a count-based co-count over
+    the exploded shingles (r9) — document bodies and shingle arrays never
+    ride a join row.
     """
     rows = num_hashes // bands
     exploded = docs.select(
@@ -257,20 +258,32 @@ def minhash_lsh_pairs(
         F.explode(lsh_bands("_sig", bands, rows)).alias("_band"),
     ).select(id_col, F.col("_band.band_idx"), F.col("_band.band_hash"))
     pairs = candidate_pairs_from_buckets(bucketed, id_col, max_bucket_size)
-    left = sh.select(F.col(id_col).alias("id_a"), F.col("_shingles").alias("_sh_a"))
-    right = sh.select(F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sh_b"))
-    verified = (
-        pairs.join(left, "id_a")
-        .join(right, "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("_sh_a", "_sh_b"))
-            / F.size(F.array_union("_sh_a", "_sh_b")),
-        )
-        .where(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    # count-based verification (r9, same rework as minhash_md5_pairs):
+    # joining the full shingle set onto both sides of every candidate row
+    # churned ~2 KB of array per pair and GC-stormed the dup-heavy scale
+    # row; |A∩B| as a co-count over the exploded distinct shingles is the
+    # same integers with no array on any join row.
+    ex = exploded  # word_shingles is array_distinct: no per-doc dupes
+    sz = sh.select(F.col(id_col), F.size("_shingles").alias("_sz"))
+    inter = (
+        pairs.join(ex.select(F.col(id_col).alias("id_a"), "_sh"), "id_a")
+        .join(ex.select(F.col(id_col).alias("id_b"), "_sh"), ["id_b", "_sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    return verified
+    jac = F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
+    return (
+        inter.join(
+            sz.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza")),
+            "id_a",
+        )
+        .join(
+            sz.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb")),
+            "id_b",
+        )
+        .where(jac >= jaccard_threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 def minhash_md5_bands(
@@ -349,14 +362,26 @@ def minhash_md5_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    left = sh.select(F.col(id_col).alias("id_a"), F.col("_shingles").alias("_sa"))
-    right = sh.select(F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sb"))
-    jac = F.size(F.array_intersect("_sa", "_sb")) / F.size(
-        F.array_union("_sa", "_sb")
+    # Count-based verification (r9): the old form joined the FULL shingle
+    # array onto BOTH sides of every candidate row (~2 KB/row); on the
+    # dup-heavy 10x corpus the array churn drove GC storms that swung the
+    # scale row 12-117 s on identical code. Shingles are distinct per doc,
+    # so |A∩B| is a co-count over the exploded (id, shingle) stream joined
+    # through the candidate pairs — same integers, same rounded jaccard,
+    # no array ever rides a join row. This is also the only shape that
+    # survives 100 TB (array-pair joins OOM on wide documents).
+    ex = sh.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
+    sz = sh.select(F.col(id_col), F.size("_shingles").alias("_sz"))
+    inter = (
+        cand.join(ex.select(F.col(id_col).alias("id_a"), "_sh"), "id_a")
+        .join(ex.select(F.col(id_col).alias("id_b"), "_sh"), ["id_b", "_sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
+    jac = F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
     return (
-        cand.join(left, "id_a")
-        .join(right, "id_b")
+        inter.join(sz.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
+        .join(sz.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
         .where(jac >= jaccard_threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
