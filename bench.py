@@ -91,6 +91,12 @@ HEADLINE = [
     # chunk -> pack); DuckDB replays the whole chained CTE incl. the
     # recursive pack walk
     "llm_pretrain_pipeline",
+    # IVFADC composition (r9): coarse-probe pruning + ADC over PQ codes.
+    # Timed Spark-side only (bench_oracle skips it): the production path
+    # amortizes both fits through the index caches while the oracle
+    # replays them per query — correct as an oracle, asymmetric as a
+    # timed pair.
+    "emb_ivfpq_topk",
 ]
 
 

@@ -36,8 +36,10 @@ Codebook = list[list[list[float]]]  # [sub][cid][coord]
 def _sub_dists(sv: Column, centroids: list[list[float]]) -> Column:
     """Array of squared-L2 distances from ``sv`` to each literal centroid
     (one literal matrix + one shared sequential-fold lambda — the same
-    shape contract as similarity._nearest_by_l2)."""
-    mat = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    shape contract as similarity._nearest_by_l2). The matrix is ONE
+    nested-list F.lit — one py4j call instead of k×(d/m) per-element
+    calls, which dominated per-query plan-build time (r9)."""
+    mat = F.lit([[float(x) for x in c] for c in centroids])
     return F.transform(
         mat,
         lambda c: F.aggregate(
@@ -150,6 +152,175 @@ def pq_encode(
         F.concat_ws("-", *[c.cast("string") for c in code_cols]).alias("codes"),
         (err / F.lit(float(dim))).alias("recon_mse"),
         F.array(*code_cols).alias("_code_arr"),
+    )
+
+
+def _assign_codes_arrow(
+    book: Codebook, centroids: list[list[float]]
+) -> Column:
+    """Arrow-batched kernel computing BOTH the IVF cluster assignment and
+    the PQ code array per vector — the hot map of IVFADC. The same math
+    as codegen expressions was tried twice and lost both times: the
+    transform/aggregate HOF spelling is interpreted per element (~8 µs
+    per multiply-add ⇒ ~80 s CPU per 5k rows), and an unrolled 2048-term
+    SQL chain produced a 12.6 MiB task binary whose codegen/GC pathology
+    ran 27–82 s per query. This kernel does the identical arithmetic in
+    ~10 ms per 10k-row batch.
+
+    BITWISE PARITY with the sequential folds (which the DuckDB oracle
+    twin replays — plans/ann_sql.py:ivfpq_topk_sql) is preserved the same
+    way as similarity._plane_dots_arrow: accumulation uses ``np.cumsum``
+    over the dim axis (the same left-to-right adds with the same per-step
+    rounding as the fold; the fold's leading ``0.0 +`` is exact to drop
+    because every term is a non-negative square), differences are squared
+    with an explicit ``d*d`` (not ``**2``), and normalization replays
+    unit_normalized's op order exactly: cast→/norm→×1e9→+0.5→floor→/1e9,
+    each a single IEEE op elementwise. Ties → first min (np.argmin),
+    matching array_position(d, array_min(d)) and the twin's
+    ``ORDER BY dist, cid``."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float64)  # (K, dim)
+    sub_books = [np.asarray(b, dtype=np.float64) for b in book]
+    sub_dim = sub_books[0].shape[1]
+
+    def _fold_dists(x, mat):
+        # (n, d) vs (k, d) -> (n, k); k small, so loop k to bound temps
+        cols = []
+        for c in mat:
+            d = x - c[None, :]
+            sq = d * d
+            cols.append(np.cumsum(sq, axis=1)[:, -1])
+        return np.stack(cols, axis=1)
+
+    # no inline type hints: `from __future__ import annotations` defers
+    # them to strings that can't resolve (pd is function-local), which
+    # pandas_udf's hint parser rejects (same note as _plane_dots_arrow)
+    def _kernel(s):
+        vals = s.to_numpy()
+        if len(vals) == 0:
+            return pd.DataFrame(
+                {
+                    "cluster_id": pd.Series([], dtype="int32"),
+                    "code_arr": pd.Series([], dtype=object),
+                }
+            )
+        v = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in vals]
+        )  # (n, dim); float32→float64 cast is exact
+        acc = np.zeros(len(v))
+        for i in range(v.shape[1]):  # sequential fold: acc + x*x per dim
+            acc = acc + v[:, i] * v[:, i]
+        norm = np.sqrt(acc)
+        e = np.floor(v / norm[:, None] * 1e9 + 0.5) / 1e9
+        cid = np.argmin(_fold_dists(e, cent), axis=1).astype(np.int32)
+        codes = np.stack(
+            [
+                np.argmin(
+                    _fold_dists(
+                        e[:, j * sub_dim : (j + 1) * sub_dim], sb
+                    ),
+                    axis=1,
+                ).astype(np.int32)
+                for j, sb in enumerate(sub_books)
+            ],
+            axis=1,
+        )
+        return pd.DataFrame(
+            {"cluster_id": cid, "code_arr": list(codes.tolist())}
+        )
+
+    _kernel.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(
+        _kernel, "struct<cluster_id:int, code_arr:array<int>>"
+    )
+
+
+def ivfpq_adc_topk(
+    vectors: DataFrame,
+    book: Codebook,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_probes: int = 6,
+    topk: int = 20,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §V): the composed production ANN path —
+    an IVF coarse quantizer prunes the corpus to ``num_probes`` clusters,
+    then ADC ranks the survivors through their PQ codes only. This is the
+    FAISS ``IndexIVFPQ`` shape, and the one that holds at 100 TB: the
+    coarse assignment is written once (partition/bucket by cluster_id →
+    partition pruning at read), codes are ~3% of the raw vectors, and a
+    query touches num_probes/num_clusters of the code table.
+
+    Plan shape: ONE Arrow-batched kernel over ONE scan computes both the
+    cluster assignment and the PQ code array (``_assign_codes_arrow`` —
+    see its docstring for why this beats codegen here and how bitwise
+    oracle parity is kept), the probe filter cuts before anything wide,
+    and the only exchanges are the parallelism-pinning repartition and
+    the final TakeOrdered top-k. No joins; driver state is the bounded
+    codebook + centroid list."""
+    import math
+
+    m = len(book)
+    sub_dim = dim // m
+    # normalize the query exactly as unit_normalized does (same IEEE ops)
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    qn = [_py_round_half_up(float(x) / qnorm, 9) for x in query_vec]
+    # driver-side probe selection: num_clusters sqdists — bounded state
+    dists = [sum((a - b) * (a - b) for a, b in zip(qn, c)) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: (dists[i], i))[
+        :num_probes
+    ]
+    # Pin parallelism before the heavy per-row map (SCALE.md engine rule:
+    # CPU-bound stages must not inherit byte-based partitioning). A
+    # single-file fixture scan (or an AQE-coalesced upstream) would run
+    # the whole assignment+encode map on one core. The explicit count
+    # tracks cluster size via spark.sql.shuffle.partitions; the shuffle
+    # moves one narrow vector per row, once.
+    n_part = int(
+        vectors.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    kern = _assign_codes_arrow(book, centroids)
+    assigned = (
+        vectors.repartition(n_part)
+        .select(F.col(id_col), kern(F.col(vec_col)).alias("_a"))
+        .select(
+            F.col(id_col),
+            F.col("_a.cluster_id").alias("cluster_id"),
+            F.col("_a.code_arr").alias("_code_arr"),
+        )
+        .where(F.col("cluster_id").isin(*probe))
+    )
+    dist: Column | None = None
+    for j, cents in enumerate(book):
+        q_sub = qn[j * sub_dim : (j + 1) * sub_dim]
+        table = [
+            sum(
+                (float(q_sub[i]) - float(c[i])) * (float(q_sub[i]) - float(c[i]))
+                for i in range(sub_dim)
+            )
+            for c in cents
+        ]
+        lookup = F.element_at(
+            F.lit(table), F.element_at("_code_arr", j + 1) + 1
+        )
+        dist = lookup if dist is None else dist + lookup
+    return (
+        assigned.withColumn("adc_dist", dist)
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(topk)
+        .select(
+            id_col,
+            "cluster_id",
+            F.array_join(
+                F.transform("_code_arr", lambda c: c.cast("string")), "-"
+            ).alias("codes"),
+            "adc_dist",
+        )
     )
 
 

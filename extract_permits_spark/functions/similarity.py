@@ -990,8 +990,10 @@ def _nearest_by_l2(vec: Column, centroids: list[list[float]]) -> Column:
     ``ORDER BY dist, cid``). The earlier least()+when-chain spelling
     duplicated every distance subtree O(k) times — a ~140k-node expression
     tree that cost ~20s of driver-side analysis per query. Values are
-    bitwise-unchanged (same per-centroid sequential (x-y)² fold)."""
-    mat = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    bitwise-unchanged (same per-centroid sequential (x-y)² fold). The
+    matrix is ONE nested-list F.lit — one py4j call instead of k×d
+    per-element calls, which dominated per-query plan-build time (r9)."""
+    mat = F.lit([[float(x) for x in c] for c in centroids])
     d_arr = F.transform(
         mat,
         lambda c: F.aggregate(

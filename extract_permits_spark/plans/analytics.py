@@ -109,6 +109,7 @@ _CHECK_FIRST = [
     "rag_hybrid_recall",
     "mm_decode_quarantine",
     "llm_pretrain_pipeline",
+    "emb_ivfpq_topk",
     # --- r6 cohort, registry order ---
     "ev_tumbling_agg",
     "ev_json_extract",
@@ -117,16 +118,15 @@ _CHECK_FIRST = [
     "a8_salted_agg",
     "j7_asof_join",
     "ev_rollup",
-    "j8_range_join",
 ]
 
 # r10 NOTE: continue the staleness rotation — next up are the remaining
 # r6-cohort entries (those not re-witnessed above, incl. sample_hash_split,
 # sample_stratified, a7_quantiles, text_clean_mask,
-# sketch_approx_quantiles, sketch_hll_region_distinct, and docs_chunk
-# which were displaced from this window by the r9-new entries), then the
-# oldest r7 entries to fill 50; as always, pull in any entry whose
-# implementation changed since its last driver row.
+# sketch_approx_quantiles, sketch_hll_region_distinct, docs_chunk, and
+# j8_range_join which were displaced from this window by the r9-new
+# entries), then the oldest r7 entries to fill 50; as always, pull in any
+# entry whose implementation changed since its last driver row.
 
 
 def _reordered(d: dict) -> dict:
@@ -3639,6 +3639,32 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = sum(x * x for x in raw) ** 0.5
     qvec = [_py_round_half_up(x / norm, 9) for x in raw]
     return pq_adc_topk(emb, book, qvec, topk=20)
+
+
+@register("emb_ivfpq_topk", _ann_sql.ivfpq_topk_sql(num_probes=6))
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the composed production ANN path (FAISS IndexIVFPQ;
+    Jégou et al. 2011 §V): the IVF coarse quantizer prunes to the 6
+    nearest clusters, PQ codes + a per-query asymmetric distance table
+    rank only their members. Reuses the cached k-means centroids
+    (ann_ivf_* family) and the cached PQ codebook (emb_pq_* family) —
+    index once, query many. One narrow map computes BOTH the cluster
+    assignment and the 8-byte code per vector; the probe filter lands
+    before anything wide; the only exchange is the final top-k. The
+    oracle replays coarse fit, probe selection, PQ fit/encode, and ADC
+    ranking end-to-end (plans/ann_sql.py:ivfpq_topk_sql)."""
+    from extract_permits_spark.functions.pq import ivfpq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = _pq_book_cached(spark, emb, sf_dir)
+    centroids = _ivf_centroids_cached(spark, emb, sf_dir)
+    raw = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return ivfpq_adc_topk(
+        emb, book, centroids, raw, num_probes=6, topk=20
+    )
 
 
 # ===========================================================================

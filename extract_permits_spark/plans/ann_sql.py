@@ -470,57 +470,71 @@ def simhash_pairs_sql(
 # ---------------------------------------------------------------------------
 
 
-def _pq_ctes(dim: int, m: int, k: int, rounds: int) -> str:
+def _pq_ctes(
+    dim: int, m: int, k: int, rounds: int, prefix: str = "",
+    include_norm: bool = True,
+) -> str:
+    """PQ fit + encode CTEs. ``prefix`` renames every CTE this block
+    defines (for composition with the k-means block, whose ``afinal``
+    would otherwise collide); ``include_norm=False`` skips the ``n``
+    normalization CTE when a composing query already defines an
+    identical one (the k-means block's ``n`` is byte-for-byte the same
+    expression)."""
+    p = prefix
     sd = dim // m
     mean_list = ", ".join(
         f"floor(avg(sv[{i + 1}]) * 1000000.0 + 0.5)/1000000.0" for i in range(sd)
     )
-    ctes = [
-        "n AS (SELECT vec_id, list_transform(e, x -> "
-        "floor((x / sqrt(list_sum(list_transform(e, y -> y*y)))) * 1000000000.0"
-        " + 0.5)/1000000000.0) AS e FROM v)",
-        f"""subs AS (
+    ctes = []
+    if include_norm:
+        ctes.append(
+            "n AS (SELECT vec_id, list_transform(e, x -> "
+            "floor((x / sqrt(list_sum(list_transform(e, y -> y*y)))) * 1000000000.0"
+            " + 0.5)/1000000000.0) AS e FROM v)"
+        )
+    ctes += [
+        f"""{p}subs AS (
       SELECT vec_id, j.sub AS sub, e[j.sub*{sd}+1 : j.sub*{sd}+{sd}] AS sv
       FROM n, (SELECT unnest(range(0, {m})) AS sub) j
     )""",
-        f"""cb0 AS (
+        f"""{p}cb0 AS (
       SELECT sub, cid, sv AS c FROM (
         SELECT sub,
                row_number() OVER (PARTITION BY sub
                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
                sv
-        FROM subs
+        FROM {p}subs
       ) WHERE cid < {k}
     )""",
     ]
     for r in range(1, rounds + 1):
-        prev = f"cb{r - 1}"
+        prev = f"{p}cb{r - 1}"
         ctes.append(
-            f"""a{r} AS (
+            f"""{p}a{r} AS (
       SELECT vec_id, sub, sv, cid FROM (
         SELECT s.vec_id, s.sub, s.sv, cb.cid,
                row_number() OVER (PARTITION BY s.vec_id, s.sub
                  ORDER BY {_sqdist('s.sv', 'cb.c', sd)}, cb.cid) AS rn
-        FROM subs s JOIN {prev} cb ON s.sub = cb.sub
+        FROM {p}subs s JOIN {prev} cb ON s.sub = cb.sub
       ) WHERE rn = 1
     )"""
         )
         ctes.append(
-            f"""cb{r} AS (
+            f"""{p}cb{r} AS (
       SELECT p.sub, p.cid, COALESCE(mm.c, p.c) AS c
       FROM {prev} p LEFT JOIN (
-        SELECT sub, cid, [{mean_list}] AS c FROM a{r} GROUP BY sub, cid
+        SELECT sub, cid, [{mean_list}] AS c FROM {p}a{r} GROUP BY sub, cid
       ) mm ON p.sub = mm.sub AND p.cid = mm.cid
     )"""
         )
     ctes.append(
-        f"""afinal AS (
+        f"""{p}afinal AS (
       SELECT vec_id, sub, cid, d FROM (
         SELECT s.vec_id, s.sub, cb.cid,
                {_sqdist('s.sv', 'cb.c', sd)} AS d,
                row_number() OVER (PARTITION BY s.vec_id, s.sub
                  ORDER BY {_sqdist('s.sv', 'cb.c', sd)}, cb.cid) AS rn
-        FROM subs s JOIN cb{rounds} cb ON s.sub = cb.sub
+        FROM {p}subs s JOIN {p}cb{rounds} cb ON s.sub = cb.sub
       ) WHERE rn = 1
     )"""
     )
@@ -567,5 +581,67 @@ def pq_adc_sql(
     )
     SELECT s.vec_id, c.codes, s.adc_dist
     FROM scored s JOIN codes c ON s.vec_id = c.vec_id
+    ORDER BY s.adc_dist, s.vec_id LIMIT {topk}
+    """
+
+
+def ivfpq_topk_sql(
+    dim: int = 64,
+    m: int = 8,
+    k_sub: int = 16,
+    pq_rounds: int = 1,
+    num_clusters: int = 16,
+    num_probes: int = 6,
+    km_rounds: int = 3,
+    query_id: int = 0,
+    topk: int = 20,
+) -> str:
+    """Twin of pq.ivfpq_adc_topk (FAISS IVFADC): the k-means coarse
+    quantizer selects probe clusters, PQ codes + an asymmetric distance
+    table rank only their members. Composes the proven k-means CTEs
+    (names n/c*/afinal) with the PQ CTEs under a ``pq_`` prefix."""
+    sd = dim // m
+    km = _kmeans_ctes(dim, num_clusters, km_rounds)
+    km.append(f"qn AS (SELECT e AS qe FROM n WHERE vec_id = {query_id})")
+    km.append(
+        f"""probes AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY {_sqdist('q.qe', 'c.c', dim)}, c.cid)
+                 AS rn
+        FROM c{km_rounds} c, qn q
+      ) WHERE rn <= {num_probes}
+    )"""
+    )
+    pq = _pq_ctes(dim, m, k_sub, pq_rounds, prefix="pq_", include_norm=False)
+    km_joined = ",\n    ".join(km)
+    return f"""
+    WITH {_v_cte(dim)},
+    {km_joined},
+    {pq},
+    qsubs AS (
+      SELECT j.sub AS sub, e[j.sub*{sd}+1 : j.sub*{sd}+{sd}] AS qsv
+      FROM n, (SELECT unnest(range(0, {m})) AS sub) j
+      WHERE vec_id = {query_id}
+    ),
+    dt AS (
+      SELECT cb.sub, cb.cid, {_sqdist('q.qsv', 'cb.c', sd)} AS qd
+      FROM pq_cb{pq_rounds} cb JOIN qsubs q ON cb.sub = q.sub
+    ),
+    members AS (
+      SELECT k.vec_id, CAST(k.cid AS INT) AS cluster_id
+      FROM afinal k WHERE k.cid IN (SELECT cid FROM probes)
+    ),
+    scored AS (
+      SELECT a.vec_id,
+             list_sum(list(dt.qd ORDER BY a.sub)) AS adc_dist,
+             string_agg(CAST(a.cid AS VARCHAR), '-' ORDER BY a.sub) AS codes
+      FROM pq_afinal a
+      JOIN members mb ON a.vec_id = mb.vec_id
+      JOIN dt ON a.sub = dt.sub AND a.cid = dt.cid
+      GROUP BY a.vec_id
+    )
+    SELECT s.vec_id, mb.cluster_id, s.codes, s.adc_dist
+    FROM scored s JOIN members mb ON s.vec_id = mb.vec_id
     ORDER BY s.adc_dist, s.vec_id LIMIT {topk}
     """

@@ -460,3 +460,22 @@ def test_rag_hash_retrieval_single_scan_one_pass(spark):
     assert plan.count("documents.parquet") == 1
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_single_scan_no_joins(spark):
+    """emb_ivfpq_topk (IVFADC): cluster assignment and PQ codes come from
+    ONE Arrow-batched kernel over ONE corpus scan — no join anywhere (the
+    probe filter and the ADC distance-table lookups are literal
+    expressions). The only exchanges allowed are the final top-k
+    (TakeOrderedAndProject) and the single parallelism-pinning RoundRobin
+    repartition before the CPU-heavy kernel (SCALE.md rule)."""
+    plan = _plan(spark, "emb_ivfpq_topk")
+    assert plan.count("Scan parquet") == 1, plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, op
+    assert "ArrowEvalPython" in plan, plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") <= 1, plan
+    if "Exchange" in plan:
+        assert "RoundRobinPartitioning" in plan
