@@ -110,6 +110,7 @@ _CHECK_FIRST = [
     "mm_decode_quarantine",
     "llm_pretrain_pipeline",
     "emb_ivfpq_topk",
+    "emb_ivfpq_recall",
     # --- r6 cohort, registry order ---
     "ev_tumbling_agg",
     "ev_json_extract",
@@ -117,16 +118,16 @@ _CHECK_FIRST = [
     "stream_stateful_totals",
     "a8_salted_agg",
     "j7_asof_join",
-    "ev_rollup",
 ]
 
 # r10 NOTE: continue the staleness rotation — next up are the remaining
 # r6-cohort entries (those not re-witnessed above, incl. sample_hash_split,
 # sample_stratified, a7_quantiles, text_clean_mask,
-# sketch_approx_quantiles, sketch_hll_region_distinct, docs_chunk, and
-# j8_range_join which were displaced from this window by the r9-new
-# entries), then the oldest r7 entries to fill 50; as always, pull in any
-# entry whose implementation changed since its last driver row.
+# sketch_approx_quantiles, sketch_hll_region_distinct, docs_chunk,
+# j8_range_join, and ev_rollup which were displaced from this window by
+# the r9-new entries), then the oldest r7 entries to fill 50; as always,
+# pull in any entry whose implementation changed since its last driver
+# row.
 
 
 def _reordered(d: dict) -> dict:
@@ -3664,6 +3665,33 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return ivfpq_adc_topk(
         emb, book, centroids, raw, num_probes=6, topk=20
+    )
+
+
+@register("emb_ivfpq_recall", _ann_sql.ivfpq_recall_sql(num_probes=6))
+def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@20 of IVFADC vs exact cosine top-k — the checkable quality
+    number for emb_ivfpq_topk, completing the family symmetry (every
+    approximate ANN path here ships a measured, fully-oracled recall:
+    lsh/ivf/matryoshka/ivfpq). IVFADC is approximate twice over — probe
+    pruning can miss a cluster AND the 8-byte codes are lossy — so its
+    recall is the compounding of the two trades FAISS IndexIVFPQ makes;
+    the oracle replays both fits, probe selection, encode, ADC ranking,
+    and the exact top-k, so the recall VALUE must hash-match, not just
+    clear a floor (floor asserted in tests/test_recall.py)."""
+    from extract_permits_spark.functions.pq import ivfpq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = _pq_book_cached(spark, emb, sf_dir)
+    centroids = _ivf_centroids_cached(spark, emb, sf_dir)
+    raw = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return _ann_recall_frame(
+        ivfpq_adc_topk(emb, book, centroids, raw, num_probes=6, topk=20),
+        simfn.brute_force_topk(emb, raw, k=20),
+        k=20,
     )
 
 

@@ -585,21 +585,22 @@ def pq_adc_sql(
     """
 
 
-def ivfpq_topk_sql(
-    dim: int = 64,
-    m: int = 8,
-    k_sub: int = 16,
-    pq_rounds: int = 1,
-    num_clusters: int = 16,
-    num_probes: int = 6,
-    km_rounds: int = 3,
-    query_id: int = 0,
-    topk: int = 20,
+def _ivfpq_ctes(
+    dim: int,
+    m: int,
+    k_sub: int,
+    pq_rounds: int,
+    num_clusters: int,
+    num_probes: int,
+    km_rounds: int,
+    query_id: int,
 ) -> str:
-    """Twin of pq.ivfpq_adc_topk (FAISS IVFADC): the k-means coarse
-    quantizer selects probe clusters, PQ codes + an asymmetric distance
-    table rank only their members. Composes the proven k-means CTEs
-    (names n/c*/afinal) with the PQ CTEs under a ``pq_`` prefix."""
+    """The full IVFADC replay as a CTE block (everything after the ``v``
+    CTE): k-means coarse fit, probe selection, PQ fit/encode under a
+    ``pq_`` prefix, the per-query asymmetric distance table, and the
+    ``scored``/``members`` relations the callers rank. Shared by
+    ivfpq_topk_sql and ivfpq_recall_sql so the approximate path in the
+    recall oracle is byte-identical to the one the top-k oracle proves."""
     sd = dim // m
     km = _kmeans_ctes(dim, num_clusters, km_rounds)
     km.append(f"qn AS (SELECT e AS qe FROM n WHERE vec_id = {query_id})")
@@ -616,7 +617,6 @@ def ivfpq_topk_sql(
     pq = _pq_ctes(dim, m, k_sub, pq_rounds, prefix="pq_", include_norm=False)
     km_joined = ",\n    ".join(km)
     return f"""
-    WITH {_v_cte(dim)},
     {km_joined},
     {pq},
     qsubs AS (
@@ -640,8 +640,64 @@ def ivfpq_topk_sql(
       JOIN members mb ON a.vec_id = mb.vec_id
       JOIN dt ON a.sub = dt.sub AND a.cid = dt.cid
       GROUP BY a.vec_id
+    )"""
+
+
+def ivfpq_topk_sql(
+    dim: int = 64,
+    m: int = 8,
+    k_sub: int = 16,
+    pq_rounds: int = 1,
+    num_clusters: int = 16,
+    num_probes: int = 6,
+    km_rounds: int = 3,
+    query_id: int = 0,
+    topk: int = 20,
+) -> str:
+    """Twin of pq.ivfpq_adc_topk (FAISS IVFADC): the k-means coarse
+    quantizer selects probe clusters, PQ codes + an asymmetric distance
+    table rank only their members. Composes the proven k-means CTEs
+    (names n/c*/afinal) with the PQ CTEs under a ``pq_`` prefix."""
+    body = _ivfpq_ctes(
+        dim, m, k_sub, pq_rounds, num_clusters, num_probes, km_rounds, query_id
     )
+    return f"""
+    WITH {_v_cte(dim)},
+    {body}
     SELECT s.vec_id, mb.cluster_id, s.codes, s.adc_dist
     FROM scored s JOIN members mb ON s.vec_id = mb.vec_id
     ORDER BY s.adc_dist, s.vec_id LIMIT {topk}
+    """
+
+
+def ivfpq_recall_sql(
+    dim: int = 64,
+    m: int = 8,
+    k_sub: int = 16,
+    pq_rounds: int = 1,
+    num_clusters: int = 16,
+    num_probes: int = 6,
+    km_rounds: int = 3,
+    query_id: int = 0,
+    k: int = 20,
+) -> str:
+    """recall@k of the doubly-approximate IVFADC path (probe pruning AND
+    lossy PQ codes) vs exact cosine top-k — same shape as ivf_recall_sql,
+    with the approximate side the byte-identical ``scored`` block
+    ivfpq_topk_sql proves. The ``q``/``exactk`` CTE names don't collide:
+    the IVFADC block uses ``qn``/``qsubs``."""
+    body = _ivfpq_ctes(
+        dim, m, k_sub, pq_rounds, num_clusters, num_probes, km_rounds, query_id
+    )
+    return f"""
+    WITH {_v_cte(dim)},
+    {_exact_topk_cte(dim, k, query_id)},
+    {body},
+    approxk AS (
+      SELECT vec_id FROM scored ORDER BY adc_dist, vec_id LIMIT {k}
+    )
+    SELECT {k} AS k,
+           CAST((SELECT count(*) FROM exactk
+                 WHERE vec_id IN (SELECT vec_id FROM approxk)) AS DOUBLE)
+           / {k} AS recall
     """

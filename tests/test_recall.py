@@ -159,3 +159,20 @@ def test_matryoshka_funnel_consistency_and_floor(spark):
 
     got = analytics.ann_matryoshka_recall(spark, sf).first()
     assert 0 < got["recall"] <= 1 and got["recall"] == coarse_recall  # (3)
+
+
+def test_ivfpq_recall_floor_and_ivf_dominance(spark):
+    """IVFADC (emb_ivfpq_recall) on the random fixture: recall@20 is the
+    COMPOUND of probe pruning and lossy 8-byte codes. Measured 0.35 at
+    sf0.001 (deterministic — both fits seeded); floor 0.30 catches
+    regressions. Structural invariant: IVFADC's candidates are exactly
+    the probed members that ann_ivf ranks by EXACT cosine, so the
+    code-lossy ADC ranking can never beat IVF's recall from the same
+    probe set."""
+    from extract_permits_spark.plans import analytics
+
+    got = analytics.emb_ivfpq_recall(spark, SF_DIR).first()
+    assert got["k"] == 20
+    assert 0.30 <= got["recall"] <= 1.0
+    ivf = analytics.ann_ivf_recall(spark, SF_DIR).first()["recall"]
+    assert got["recall"] <= ivf
