@@ -237,6 +237,70 @@ def _assign_codes_arrow(
     )
 
 
+def _normalized_query(query_vec: list[float]) -> list[float]:
+    """The query normalized exactly as unit_normalized does (same IEEE
+    ops: /norm then half-up 9dp)."""
+    import math
+
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    return [_py_round_half_up(float(x) / qnorm, 9) for x in query_vec]
+
+
+def _probe_clusters(
+    qn: list[float], centroids: list[list[float]], num_probes: int
+) -> list[int]:
+    """Driver-side probe selection: num_clusters sqdists — bounded state
+    (ties → lowest cid, matching the oracle's ``ORDER BY dist, cid``)."""
+    dists = [sum((a - b) * (a - b) for a, b in zip(qn, c)) for c in centroids]
+    return sorted(range(len(centroids)), key=lambda i: (dists[i], i))[
+        :num_probes
+    ]
+
+
+def _adc_rank(
+    assigned: DataFrame,
+    book: Codebook,
+    qn: list[float],
+    dim: int,
+    topk: int,
+    id_col: str,
+    code_col: str,
+) -> DataFrame:
+    """Rank probed members by ADC distance: per-subspace query→centroid
+    distance tables as literals (m × k doubles — tiny), the per-row cost
+    is m array lookups + adds. The left-associated + chain matches the
+    oracle's ascending-subspace list_sum fold."""
+    m = len(book)
+    sub_dim = dim // m
+    dist: Column | None = None
+    for j, cents in enumerate(book):
+        q_sub = qn[j * sub_dim : (j + 1) * sub_dim]
+        table = [
+            sum(
+                (float(q_sub[i]) - float(c[i])) * (float(q_sub[i]) - float(c[i]))
+                for i in range(sub_dim)
+            )
+            for c in cents
+        ]
+        lookup = F.element_at(
+            F.lit(table), F.element_at(code_col, j + 1) + 1
+        )
+        dist = lookup if dist is None else dist + lookup
+    return (
+        assigned.withColumn("adc_dist", dist)
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(topk)
+        .select(
+            id_col,
+            "cluster_id",
+            F.array_join(
+                F.transform(code_col, lambda c: c.cast("string")), "-"
+            ).alias("codes"),
+            "adc_dist",
+        )
+    )
+
+
 def ivfpq_adc_topk(
     vectors: DataFrame,
     book: Codebook,
@@ -263,18 +327,8 @@ def ivfpq_adc_topk(
     and the only exchanges are the parallelism-pinning repartition and
     the final TakeOrdered top-k. No joins; driver state is the bounded
     codebook + centroid list."""
-    import math
-
-    m = len(book)
-    sub_dim = dim // m
-    # normalize the query exactly as unit_normalized does (same IEEE ops)
-    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
-    qn = [_py_round_half_up(float(x) / qnorm, 9) for x in query_vec]
-    # driver-side probe selection: num_clusters sqdists — bounded state
-    dists = [sum((a - b) * (a - b) for a, b in zip(qn, c)) for c in centroids]
-    probe = sorted(range(len(centroids)), key=lambda i: (dists[i], i))[
-        :num_probes
-    ]
+    qn = _normalized_query(query_vec)
+    probe = _probe_clusters(qn, centroids, num_probes)
     # Pin parallelism before the heavy per-row map (SCALE.md engine rule:
     # CPU-bound stages must not inherit byte-based partitioning). A
     # single-file fixture scan (or an AQE-coalesced upstream) would run
@@ -295,33 +349,65 @@ def ivfpq_adc_topk(
         )
         .where(F.col("cluster_id").isin(*probe))
     )
-    dist: Column | None = None
-    for j, cents in enumerate(book):
-        q_sub = qn[j * sub_dim : (j + 1) * sub_dim]
-        table = [
-            sum(
-                (float(q_sub[i]) - float(c[i])) * (float(q_sub[i]) - float(c[i]))
-                for i in range(sub_dim)
-            )
-            for c in cents
-        ]
-        lookup = F.element_at(
-            F.lit(table), F.element_at("_code_arr", j + 1) + 1
-        )
-        dist = lookup if dist is None else dist + lookup
-    return (
-        assigned.withColumn("adc_dist", dist)
-        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
-        .limit(topk)
-        .select(
-            id_col,
-            "cluster_id",
-            F.array_join(
-                F.transform("_code_arr", lambda c: c.cast("string")), "-"
-            ).alias("codes"),
-            "adc_dist",
-        )
+    return _adc_rank(assigned, book, qn, dim, topk, id_col, "_code_arr")
+
+
+def write_ivfpq_index(
+    vectors: DataFrame,
+    book: Codebook,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The write-once side of the IVFADC contract (FAISS IndexIVFPQ on
+    disk): ``(id, code_arr)`` partitioned by ``cluster_id``. The index is
+    pruned AND compressed — a 64-dim float32 vector (256 B) becomes 8
+    small ints, so a query reads num_probes/num_clusters of a table
+    that is itself a fraction of the raw corpus. At 100 TB that is the
+    difference between scanning vectors and scanning ~3% worth of codes
+    in ~40% of partitions. Same Arrow kernel as the in-memory path, so a
+    persisted index serves bitwise-identical rankings
+    (tests/test_plan_quality.py pins equality + PartitionFilters)."""
+    n_part = int(
+        vectors.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    kern = _assign_codes_arrow(book, centroids)
+    (
+        vectors.repartition(n_part)
+        .select(F.col(id_col), kern(F.col(vec_col)).alias("_a"))
+        .select(
+            F.col(id_col),
+            F.col("_a.cluster_id").alias("cluster_id"),
+            F.col("_a.code_arr").alias("code_arr"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(path)
+    )
+
+
+def ivfpq_topk_from_index(
+    spark,
+    path: str,
+    book: Codebook,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    dim: int = 64,
+    num_probes: int = 6,
+    topk: int = 20,
+) -> DataFrame:
+    """Query a persisted IVFPQ index (write_ivfpq_index): probe selection
+    is a driver-side argmin over the bounded centroid list, the scan reads
+    ONLY the probed clusters' partition directories (PartitionFilters),
+    and ranking is m array lookups per row against the literal distance
+    tables. No vector arithmetic against the corpus anywhere — the
+    embedding column never leaves the index build."""
+    qn = _normalized_query(query_vec)
+    probe = _probe_clusters(qn, centroids, num_probes)
+    idx = spark.read.parquet(path).where(F.col("cluster_id").isin(*probe))
+    return _adc_rank(idx, book, qn, dim, topk, id_col, "code_arr")
 
 
 def pq_adc_topk(

@@ -479,3 +479,41 @@ def test_ivfpq_single_scan_no_joins(spark):
     assert plan.count("Exchange") <= 1, plan
     if "Exchange" in plan:
         assert "RoundRobinPartitioning" in plan
+
+
+def test_ivfpq_persisted_index_partition_prunes(spark, tmp_path):
+    """The IVFADC write-once contract (FAISS IndexIVFPQ on disk): a query
+    over the persisted codes-only index must (a) read ONLY its probed
+    clusters' partition directories (PartitionFilters on the scan),
+    (b) carry no embedding column anywhere (the compression claim — the
+    index stores 8 ints where the corpus stores 64 floats), and
+    (c) return bitwise-identical rankings to the in-memory IVFADC path
+    built from the same cached book + centroids."""
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.functions import pq as pqfn
+    from extract_permits_spark.plans.analytics import (
+        _ivf_centroids_cached,
+        _pq_book_cached,
+    )
+    from extract_permits_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    book = _pq_book_cached(spark, emb, SF_DIR)
+    cents = _ivf_centroids_cached(spark, emb, SF_DIR)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    path = str(tmp_path / "ivfpq")
+    pqfn.write_ivfpq_index(emb, book, cents, path)
+    got = pqfn.ivfpq_topk_from_index(
+        spark, path, book, cents, qvec, num_probes=6, topk=20
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan  # (a)
+    assert "embedding" not in plan  # (b)
+    want = pqfn.ivfpq_adc_topk(emb, book, cents, qvec, num_probes=6, topk=20)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]  # (c)
