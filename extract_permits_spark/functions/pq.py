@@ -381,6 +381,16 @@ def write_ivfpq_index(
             F.col("_a.cluster_id").alias("cluster_id"),
             F.col("_a.code_arr").alias("code_arr"),
         )
+        # Cluster the CODES (not the vectors — they never shuffle) so each
+        # partition directory holds one file instead of one per upstream
+        # task × cluster: without this, n_part tasks each open every
+        # cluster's writer and a query pays a small-files penalty
+        # proportional to n_part (measured 2.6 s → see tools/probe_ivfpq).
+        # The shuffle moves 8 ints + an id per row — ~3% of vector bytes.
+        # At a scale where one file per cluster is too coarse, salt this
+        # repartition; the layout contract (read num_probes directories)
+        # is unchanged.
+        .repartition(F.col("cluster_id"))
         .write.mode("overwrite")
         .partitionBy("cluster_id")
         .parquet(path)

@@ -66,27 +66,36 @@ def main() -> None:
     try:
         emb = load_table(spark, sf_dir, "embeddings")
         # ---- materialize the amplified corpus (untimed) ----
-        # Perturb each copy by a tiny per-copy rotation-free scale on one
-        # coordinate: keeps vectors distinct (no degenerate ties) without
-        # moving them across clusters en masse.
-        copies = []
-        for i in range(amp):
-            copies.append(
-                emb.select(
-                    (F.col("vec_id") + F.lit(i * ID_STRIDE)).alias("vec_id"),
-                    F.transform(
-                        "embedding",
-                        lambda x, j: x
-                        + F.when(j == F.lit(i % 64), F.lit(1e-4) * (i + 1))
-                        .otherwise(F.lit(0.0))
-                        .cast("float"),
-                    ).alias("embedding"),
-                    "label",
-                )
+        # One explode, not an amp-way union (a 1000-branch union plan
+        # costs minutes of analysis). Perturb each copy on one coordinate
+        # by a tiny per-copy epsilon: vectors stay distinct (no degenerate
+        # ties) without moving en masse across clusters.
+        big = (
+            emb.select(
+                "vec_id",
+                "embedding",
+                "label",
+                F.explode(F.sequence(F.lit(0), F.lit(amp - 1))).alias("copy"),
             )
-        big = copies[0]
-        for c in copies[1:]:
-            big = big.unionByName(c)
+            .select(
+                (
+                    F.col("vec_id")
+                    + F.col("copy").cast("long") * F.lit(ID_STRIDE)
+                ).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, j: (
+                        x
+                        + F.when(
+                            j == F.col("copy") % 64,
+                            F.lit(1e-4) * (F.col("copy") + 1),
+                        ).otherwise(F.lit(0.0))
+                    ).cast("float"),
+                ).alias("embedding"),
+                "label",
+            )
+            .repartition(32)
+        )
         corpus_path = os.path.join(work, "corpus")
         big.write.mode("overwrite").parquet(corpus_path)
         corpus = spark.read.parquet(corpus_path)
