@@ -1189,8 +1189,17 @@ def write_ivf_index(
     clusters and the parquet source prunes whole partition directories
     (PartitionFilters in the scan, asserted in tests/test_plan_quality.py).
     At 100 TB this is the difference between reading num_probes/num_clusters
-    of the corpus and reading all of it."""
-    indexed.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    of the corpus and reading all of it.
+
+    The rows are clustered on cluster_id before the write so each
+    partition directory holds one file per shuffle partition owning that
+    cluster, not one per upstream task × cluster — the small-files
+    penalty measured on the IVFPQ twin (tools/probe_ivfpq.py: 2.6 s →
+    0.56 s per query). Unlike the codes-only IVFPQ index this shuffle
+    moves the vectors — the one-time price of the exact-vector layout."""
+    indexed.repartition(F.col("cluster_id")).write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(path)
 
 
 def ivf_topk_from_index(
