@@ -397,6 +397,120 @@ def write_ivfpq_index(
     )
 
 
+def ivfpq_batch_topk(
+    vectors: DataFrame,
+    book: Codebook,
+    centroids: list[list[float]],
+    queries: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_probes: int = 6,
+    topk: int = 20,
+) -> DataFrame:
+    """Batched IVFADC — the serving shape (retrieval runs a BATCH of
+    queries per corpus pass, never one scan per query) composed with the
+    index structure: each query's probe set and asymmetric distance
+    table are computed driver-side (bounded: num_probes rows × m×k
+    doubles per query), broadcast as a tiny frame keyed on cluster_id,
+    and ONE kernel scan of the corpus equi-joins it — a corpus row fans
+    out only to the queries that probe its cluster, so the join is the
+    probe pruning. Per-query top-k is a rank-limit window that Spark
+    executes as WindowGroupLimit: per-partition heaps BEFORE the
+    exchange, shuffling ~n_queries × topk rows, never the scored fan-out.
+
+    Same IEEE contract as the single-query path (_normalized_query /
+    Python-float distance tables / left-associated adds), so the DuckDB
+    twin (plans/ann_sql.py:ivfpq_batch_topk_sql) hash-matches adc_dist
+    bitwise."""
+    from pyspark.sql import Window
+
+    m = len(book)
+    sub_dim = dim // m
+    rows = []
+    for qid, qv in queries:
+        qn = _normalized_query(qv)
+        dt = [
+            [
+                sum(
+                    (float(qn[j * sub_dim + i]) - float(c[i]))
+                    * (float(qn[j * sub_dim + i]) - float(c[i]))
+                    for i in range(sub_dim)
+                )
+                for c in cents
+            ]
+            for j, cents in enumerate(book)
+        ]
+        for p in _probe_clusters(qn, centroids, num_probes):
+            rows.append((int(qid), int(p), dt))
+    spark = vectors.sparkSession
+    qdf = spark.createDataFrame(
+        rows, "query_id long, cluster_id int, dt array<array<double>>"
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    kern = _assign_codes_arrow(book, centroids)
+    assigned = (
+        vectors.repartition(n_part)
+        .select(F.col(id_col), kern(F.col(vec_col)).alias("_a"))
+        .select(
+            F.col(id_col),
+            F.col("_a.cluster_id").alias("cluster_id"),
+            F.col("_a.code_arr").alias("_code_arr"),
+        )
+    )
+    joined = assigned.join(F.broadcast(qdf), "cluster_id")
+    dist: Column | None = None
+    for j in range(m):
+        lookup = F.element_at(
+            F.element_at("dt", j + 1), F.element_at("_code_arr", j + 1) + 1
+        )
+        dist = lookup if dist is None else dist + lookup
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("adc_dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= topk)
+        .select("query_id", id_col, "adc_dist")
+    )
+
+
+def ivfpq_batch_topk_from_table(
+    vectors: DataFrame,
+    book: Codebook,
+    centroids: list[list[float]],
+    n_queries: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_probes: int = 6,
+    topk: int = 20,
+) -> DataFrame:
+    """ivfpq_batch_topk with the query batch drawn from the corpus itself
+    (ids < n_queries). The collect here is the batch's query vectors —
+    n_queries × dim floats of bounded driver state, the same class as
+    the codebook/centroid lists (plans/analytics.py bans collect() so
+    bounded probes live here)."""
+    queries = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in vectors.where(F.col(id_col) < n_queries)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    return ivfpq_batch_topk(
+        vectors,
+        book,
+        centroids,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        num_probes=num_probes,
+        topk=topk,
+    )
+
+
 def ivfpq_topk_from_index(
     spark,
     path: str,

@@ -111,23 +111,23 @@ _CHECK_FIRST = [
     "llm_pretrain_pipeline",
     "emb_ivfpq_topk",
     "emb_ivfpq_recall",
+    "emb_ivfpq_batch_topk",
     # --- r6 cohort, registry order ---
     "ev_tumbling_agg",
     "ev_json_extract",
     "stream_tumbling_agg",
     "stream_stateful_totals",
     "a8_salted_agg",
-    "j7_asof_join",
 ]
 
 # r10 NOTE: continue the staleness rotation — next up are the remaining
 # r6-cohort entries (those not re-witnessed above, incl. sample_hash_split,
 # sample_stratified, a7_quantiles, text_clean_mask,
 # sketch_approx_quantiles, sketch_hll_region_distinct, docs_chunk,
-# j8_range_join, and ev_rollup which were displaced from this window by
-# the r9-new entries), then the oldest r7 entries to fill 50; as always,
-# pull in any entry whose implementation changed since its last driver
-# row.
+# j8_range_join, ev_rollup, and j7_asof_join which were displaced from
+# this window by the r9-new entries), then the oldest r7 entries to fill
+# 50; as always, pull in any entry whose implementation changed since
+# its last driver row.
 
 
 def _reordered(d: dict) -> dict:
@@ -3665,6 +3665,30 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return ivfpq_adc_topk(
         emb, book, centroids, raw, num_probes=6, topk=20
+    )
+
+
+@register(
+    "emb_ivfpq_batch_topk", _ann_sql.ivfpq_batch_topk_sql(num_probes=6)
+)
+def emb_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVFADC — the production serving shape composed end-to-end:
+    a 5-query batch's probe sets + asymmetric distance tables broadcast
+    as a tiny frame (bounded driver state: num_probes rows × m×k doubles
+    per query), ONE kernel scan of the corpus equi-joins it on
+    cluster_id (the join IS the probe pruning — a corpus row fans out
+    only to queries probing its cluster), and the per-query top-20 is a
+    rank-limit window Spark runs as WindowGroupLimit (pre-exchange
+    heaps, same shape as ann_batch_topk). The oracle replays both fits
+    once for the whole batch plus per-query probes/tables/ranking
+    (plans/ann_sql.py:ivfpq_batch_topk_sql)."""
+    from extract_permits_spark.functions.pq import ivfpq_batch_topk_from_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = _pq_book_cached(spark, emb, sf_dir)
+    centroids = _ivf_centroids_cached(spark, emb, sf_dir)
+    return ivfpq_batch_topk_from_table(
+        emb, book, centroids, n_queries=5, num_probes=6, topk=20
     )
 
 

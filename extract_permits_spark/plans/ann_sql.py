@@ -701,3 +701,68 @@ def ivfpq_recall_sql(
                  WHERE vec_id IN (SELECT vec_id FROM approxk)) AS DOUBLE)
            / {k} AS recall
     """
+
+
+def ivfpq_batch_topk_sql(
+    dim: int = 64,
+    m: int = 8,
+    k_sub: int = 16,
+    pq_rounds: int = 1,
+    num_clusters: int = 16,
+    num_probes: int = 6,
+    km_rounds: int = 3,
+    n_queries: int = 5,
+    topk: int = 20,
+) -> str:
+    """Twin of pq.ivfpq_batch_topk: the IVFADC replay generalized over a
+    query BATCH (vec_id < n_queries) — per-query probe selection via a
+    partitioned rank, per-query distance tables, ADC ranking, and a
+    per-query rank-limit. The fits (k-means + PQ) are shared across the
+    batch exactly as the Spark side shares its cached artifacts."""
+    sd = dim // m
+    km = _kmeans_ctes(dim, num_clusters, km_rounds)
+    pq = _pq_ctes(dim, m, k_sub, pq_rounds, prefix="pq_", include_norm=False)
+    km_joined = ",\n    ".join(km)
+    return f"""
+    WITH {_v_cte(dim)},
+    {km_joined},
+    {pq},
+    qs AS (SELECT vec_id AS query_id, e AS qe FROM n WHERE vec_id < {n_queries}),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_sqdist('q.qe', 'c.c', dim)}, c.cid) AS rn
+        FROM c{km_rounds} c, qs q
+      ) WHERE rn <= {num_probes}
+    ),
+    qsubs AS (
+      SELECT query_id, j.sub AS sub,
+             qe[j.sub*{sd}+1 : j.sub*{sd}+{sd}] AS qsv
+      FROM qs, (SELECT unnest(range(0, {m})) AS sub) j
+    ),
+    dt AS (
+      SELECT q.query_id, cb.sub, cb.cid, {_sqdist('q.qsv', 'cb.c', sd)} AS qd
+      FROM pq_cb{pq_rounds} cb JOIN qsubs q ON cb.sub = q.sub
+    ),
+    members AS (
+      SELECT p.query_id, k.vec_id
+      FROM afinal k JOIN probes p ON k.cid = p.cid
+    ),
+    scored AS (
+      SELECT mb.query_id, a.vec_id,
+             list_sum(list(dt.qd ORDER BY a.sub)) AS adc_dist
+      FROM pq_afinal a
+      JOIN members mb ON a.vec_id = mb.vec_id
+      JOIN dt ON dt.query_id = mb.query_id
+             AND a.sub = dt.sub AND a.cid = dt.cid
+      GROUP BY mb.query_id, a.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, adc_dist FROM ranked WHERE rn <= {topk}
+    """

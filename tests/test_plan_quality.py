@@ -517,3 +517,17 @@ def test_ivfpq_persisted_index_partition_prunes(spark, tmp_path):
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in want.collect()
     ]  # (c)
+
+
+def test_ivfpq_batch_plan_shape(spark):
+    """emb_ivfpq_batch_topk: ONE corpus scan + ONE Arrow kernel; the
+    probe pruning is a broadcast equi-join on cluster_id (never a
+    nested-loop fan-out); the per-query top-k runs as WindowGroupLimit
+    (pre-exchange heaps) so the shuffle carries ~n_queries x k rows."""
+    plan = _plan(spark, "emb_ivfpq_batch_topk")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "ArrowEvalPython" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    for op in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, op
