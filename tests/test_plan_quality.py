@@ -531,3 +531,42 @@ def test_ivfpq_batch_plan_shape(spark):
     assert "WindowGroupLimit" in plan
     for op in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert op not in plan, op
+
+
+def test_ivfpq_batch_consistent_with_single_query(spark):
+    """The batch path must agree with the single-query path per query:
+    for query 0, emb_ivfpq_batch_topk's (vec_id, adc_dist) rows equal
+    ivfpq_adc_topk's — same fits, same probes, same ADC folds, only the
+    orchestration differs (broadcast join + window vs filter + limit)."""
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.functions import pq as pqfn
+    from extract_permits_spark.plans.analytics import (
+        _ivf_centroids_cached,
+        _pq_book_cached,
+    )
+    from extract_permits_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    book = _pq_book_cached(spark, emb, SF_DIR)
+    cents = _ivf_centroids_cached(spark, emb, SF_DIR)
+    batch = pqfn.ivfpq_batch_topk_from_table(
+        emb, book, cents, n_queries=5, num_probes=6, topk=20
+    )
+    got = [
+        (r["vec_id"], r["adc_dist"])
+        for r in batch.where(F.col("query_id") == 0)
+        .orderBy("adc_dist", "vec_id")
+        .collect()
+    ]
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    want = [
+        (r["vec_id"], r["adc_dist"])
+        for r in pqfn.ivfpq_adc_topk(
+            emb, book, cents, qvec, num_probes=6, topk=20
+        ).collect()
+    ]
+    assert got == want
