@@ -112,22 +112,22 @@ _CHECK_FIRST = [
     "emb_ivfpq_topk",
     "emb_ivfpq_recall",
     "emb_ivfpq_batch_topk",
+    "stream_ann_index_ingest",
     # --- r6 cohort, registry order ---
     "ev_tumbling_agg",
     "ev_json_extract",
     "stream_tumbling_agg",
     "stream_stateful_totals",
-    "a8_salted_agg",
 ]
 
 # r10 NOTE: continue the staleness rotation — next up are the remaining
 # r6-cohort entries (those not re-witnessed above, incl. sample_hash_split,
 # sample_stratified, a7_quantiles, text_clean_mask,
 # sketch_approx_quantiles, sketch_hll_region_distinct, docs_chunk,
-# j8_range_join, ev_rollup, and j7_asof_join which were displaced from
-# this window by the r9-new entries), then the oldest r7 entries to fill
-# 50; as always, pull in any entry whose implementation changed since
-# its last driver row.
+# j8_range_join, ev_rollup, j7_asof_join, and a8_salted_agg which were
+# displaced from this window by the r9-new entries), then the oldest r7
+# entries to fill 50; as always, pull in any entry whose implementation
+# changed since its last driver row.
 
 
 def _reordered(d: dict) -> dict:
@@ -3690,6 +3690,56 @@ def emb_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_batch_topk_from_table(
         emb, book, centroids, n_queries=5, num_probes=6, topk=20
     )
+
+
+@register("stream_ann_index_ingest", _ann_sql.ivfpq_codes_sql())
+def stream_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN-index maintenance (streaming/ann_index_ingest.py):
+    the embeddings table is written out as parquet shards, then drained
+    through Structured Streaming (file source, maxFilesPerTrigger=1 →
+    multiple micro-batches); each batch is coarse-assigned + PQ-encoded
+    with the FROZEN quantizers (the production contract — re-fitting
+    invalidates every written code) and appended to the cluster-
+    partitioned index. The entry returns the final index CONTENT
+    (vec_id, cluster_id, codes); the oracle computes the same
+    assignment+codes in one batch replay, so a dropped batch, a double-
+    applied batch, or any encode drift between the streaming and batch
+    paths hash-mismatches."""
+    import os
+    import shutil
+    import tempfile
+
+    from extract_permits_spark.streaming.ann_index_ingest import (
+        run_index_ingest_available_now,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = _pq_book_cached(spark, emb, sf_dir)
+    centroids = _ivf_centroids_cached(spark, emb, sf_dir)
+    work = tempfile.mkdtemp(prefix="ann_index_stream_")
+    src = os.path.join(work, "in")
+    emb.repartition(4).write.parquet(src)
+    idx = os.path.join(work, "index")
+    q = run_index_ingest_available_now(
+        spark, src, book, centroids, idx, os.path.join(work, "ckpt")
+    )
+    q.awaitTermination(300)
+    tag = abs(hash(sf_dir)) % 10**8
+    table = f"ann_index_ingested_{tag}"
+    (
+        spark.read.parquet(idx)
+        .select(
+            "vec_id",
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            F.array_join(
+                F.transform("code_arr", lambda c: c.cast("string")), "-"
+            ).alias("codes"),
+        )
+        .write.mode("overwrite")
+        .saveAsTable(table)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.sql(f"SELECT vec_id, cluster_id, codes FROM {table}")
 
 
 @register("emb_ivfpq_recall", _ann_sql.ivfpq_recall_sql(num_probes=6))

@@ -766,3 +766,29 @@ def ivfpq_batch_topk_sql(
     )
     SELECT query_id, vec_id, adc_dist FROM ranked WHERE rn <= {topk}
     """
+
+
+def ivfpq_codes_sql(
+    dim: int = 64,
+    m: int = 8,
+    k_sub: int = 16,
+    pq_rounds: int = 1,
+    num_clusters: int = 16,
+    km_rounds: int = 3,
+) -> str:
+    """Twin of the IVFPQ index CONTENT (batch write_ivfpq_index and the
+    streaming ann_index_ingest drain identically): every vector's coarse
+    cluster assignment + PQ code string — the ivfpq CTE block without a
+    query (no probes, no distance table)."""
+    km = _kmeans_ctes(dim, num_clusters, km_rounds)
+    pq = _pq_ctes(dim, m, k_sub, pq_rounds, prefix="pq_", include_norm=False)
+    km_joined = ",\n    ".join(km)
+    return f"""
+    WITH {_v_cte(dim)},
+    {km_joined},
+    {pq}
+    SELECT a.vec_id, CAST(k.cid AS INT) AS cluster_id,
+           string_agg(CAST(a.cid AS VARCHAR), '-' ORDER BY a.sub) AS codes
+    FROM pq_afinal a JOIN afinal k ON a.vec_id = k.vec_id
+    GROUP BY a.vec_id, k.cid
+    """

@@ -442,3 +442,53 @@ def test_stream_decontaminate_scoring_against_eval_grams(spark):
         for r in score_batch_against_eval_grams(batch, ev).collect()
     }
     assert got == {100: (2, True), 101: (0, False), 102: (0, False)}
+
+
+def test_stream_ann_index_ingest_incremental_layout(spark, tmp_path):
+    """The streaming index write path must be INCREMENTAL and land the
+    batch layout: 4 source shards with maxFilesPerTrigger=1 force >=2
+    micro-batches (asserted via the query's lastProgress/recentProgress
+    batch ids), the result directories are partitioned by cluster_id,
+    and the drained content equals the batch kernel's assignment+codes
+    exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.functions import pq as pqfn
+    from extract_permits_spark.plans.analytics import (
+        _ivf_centroids_cached,
+        _pq_book_cached,
+    )
+    from extract_permits_spark.sources.readers import load_table
+    from extract_permits_spark.streaming.ann_index_ingest import (
+        run_index_ingest_available_now,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    book = _pq_book_cached(spark, emb, sf)
+    cents = _ivf_centroids_cached(spark, emb, sf)
+    src = str(tmp_path / "in")
+    emb.repartition(4).write.parquet(src)
+    idx = str(tmp_path / "index")
+    q = run_index_ingest_available_now(
+        spark, src, book, cents, idx, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, f"expected multiple micro-batches, got {n_batches}"
+    # cluster-partitioned directory layout (the partition-pruning contract)
+    dirs = [d for d in os.listdir(idx) if d.startswith("cluster_id=")]
+    assert len(dirs) >= 2, dirs
+    # content parity with the batch build
+    got = {
+        (r["vec_id"], int(r["cluster_id"]), tuple(r["code_arr"]))
+        for r in spark.read.parquet(idx).collect()
+    }
+    kern = pqfn._assign_codes_arrow(book, cents)
+    want = {
+        (r["vec_id"], int(r["_a"]["cluster_id"]), tuple(r["_a"]["code_arr"]))
+        for r in emb.select("vec_id", kern(F.col("embedding")).alias("_a")).collect()
+    }
+    assert got == want
