@@ -97,6 +97,10 @@ HEADLINE = [
     # replays them per query — correct as an oracle, asymmetric as a
     # timed pair.
     "emb_ivfpq_topk",
+    # Batched IVFADC serving (r9): broadcast probe sets + distance
+    # tables, WindowGroupLimit per-query top-k. Spark-timed only, same
+    # fit-amortization asymmetry as emb_ivfpq_topk.
+    "emb_ivfpq_batch_topk",
 ]
 
 

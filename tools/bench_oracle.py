@@ -72,6 +72,7 @@ def main() -> None:
         "dedup_simhash",
         "mm_image_stats",
         "emb_ivfpq_topk",
+        "emb_ivfpq_batch_topk",
     }
     names = [n for n in HEADLINE if n in oracles and n not in skip_timing]
     if "permit_pipeline_upload" in oracles:
