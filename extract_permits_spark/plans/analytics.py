@@ -112,22 +112,23 @@ _CHECK_FIRST = [
     "emb_ivfpq_topk",
     "emb_ivfpq_recall",
     "emb_ivfpq_batch_topk",
+    "emb_ivfpq_indexed_topk",
     "stream_ann_index_ingest",
     # --- r6 cohort, registry order ---
     "ev_tumbling_agg",
     "ev_json_extract",
     "stream_tumbling_agg",
-    "stream_stateful_totals",
 ]
 
 # r10 NOTE: continue the staleness rotation — next up are the remaining
 # r6-cohort entries (those not re-witnessed above, incl. sample_hash_split,
 # sample_stratified, a7_quantiles, text_clean_mask,
 # sketch_approx_quantiles, sketch_hll_region_distinct, docs_chunk,
-# j8_range_join, ev_rollup, j7_asof_join, and a8_salted_agg which were
-# displaced from this window by the r9-new entries), then the oldest r7
-# entries to fill 50; as always, pull in any entry whose implementation
-# changed since its last driver row.
+# j8_range_join, ev_rollup, j7_asof_join, a8_salted_agg, and
+# stream_stateful_totals which were displaced from this window by the
+# r9-new entries), then the oldest r7 entries to fill 50; as always,
+# pull in any entry whose implementation changed since its last driver
+# row.
 
 
 def _reordered(d: dict) -> dict:
@@ -3689,6 +3690,57 @@ def emb_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = _ivf_centroids_cached(spark, emb, sf_dir)
     return ivfpq_batch_topk_from_table(
         emb, book, centroids, n_queries=5, num_probes=6, topk=20
+    )
+
+
+@register("emb_ivfpq_indexed_topk", _ann_sql.ivfpq_topk_sql(num_probes=6))
+def emb_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index IVFADC serving path as a correctness row:
+    write_ivfpq_index builds the codes-only cluster-partitioned index,
+    ivfpq_topk_from_index queries it reading ONLY the probed partition
+    directories (PartitionFilters; no embedding column in the serving
+    plan — test_plan_quality pins both). Rankings are bitwise-equal to
+    the in-memory path by construction (same kernel, same distance
+    tables, same fold order), so the oracle is the same full IVFADC
+    replay emb_ivfpq_topk proves. The 20-row result is materialized to
+    a table because the index lives in a temp dir."""
+    import os
+    import shutil
+    import tempfile
+
+    from extract_permits_spark.functions.pq import (
+        ivfpq_topk_from_index,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = _pq_book_cached(spark, emb, sf_dir)
+    centroids = _ivf_centroids_cached(spark, emb, sf_dir)
+    raw = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    work = tempfile.mkdtemp(prefix="ivfpq_serve_")
+    idx = os.path.join(work, "index")
+    write_ivfpq_index(emb, book, centroids, idx)
+    tag = abs(hash(sf_dir)) % 10**8
+    table = f"ivfpq_served_{tag}"
+    (
+        ivfpq_topk_from_index(
+            spark, idx, book, centroids, raw, num_probes=6, topk=20
+        )
+        .select(
+            "vec_id",
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "codes",
+            "adc_dist",
+        )
+        .write.mode("overwrite")
+        .saveAsTable(table)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.sql(
+        f"SELECT vec_id, cluster_id, codes, adc_dist FROM {table}"
     )
 
 
