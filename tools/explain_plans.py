@@ -72,6 +72,10 @@ CHECKS = {
     "docs_decontaminate": ["BroadcastHashJoin", "Generate"],
     "docs_domain_mix": ["Window"],
     "llm_pack_stats": ["FlatMapGroupsInPandas", "HashAggregate"],
+    # r9: IVFADC family — one Arrow kernel, probe pruning before anything
+    # wide, broadcast-joined query batch, WindowGroupLimit serving
+    "emb_ivfpq_topk": ["ArrowEvalPython", "TakeOrderedAndProject"],
+    "emb_ivfpq_batch_topk": ["ArrowEvalPython", "WindowGroupLimit"],
 }
 
 
