@@ -133,25 +133,24 @@ def pq_encode(
 ) -> DataFrame:
     """(id, codes, recon_mse): per-subspace nearest-centroid codes (joined
     ``-``-separated, lowest cid on ties) and the per-coordinate squared
-    reconstruction error. Pure expressions — encoding 100 TB of vectors
-    is a narrow map with zero shuffle."""
-    m = len(book)
-    sub_dim = dim // m
-    n = unit_normalized(vectors, id_col, vec_col)
-    code_cols: list[Column] = []
-    err: Column | None = None
-    for j, cents in enumerate(book):
-        d_arr = _sub_dists(_subvector(F.col("e"), j, sub_dim), cents)
-        code_cols.append(
-            (F.array_position(d_arr, F.array_min(d_arr)) - 1).cast("int")
-        )
-        md = F.array_min(d_arr)
-        err = md if err is None else err + md
-    return n.select(
+    reconstruction error. One Arrow-batched kernel, zero shuffle —
+    encoding 100 TB of vectors is a narrow map whose parallelism follows
+    the scan (write paths that need it pinned use the same rule as
+    write_ivfpq_index). The kernel replaced the expression spelling for
+    the same measured reason as _assign_codes_arrow: 1,024 fused
+    multiply-adds per row is past the codegen/HOF break-even (~0.8 ms/row
+    interpreted vs ~1 µs/row vectorized), with bitwise parity to the
+    DuckDB fold replay kept by the shared numpy helpers."""
+    kern = _encode_arrow(book)
+    return vectors.select(
+        F.col(id_col), kern(F.col(vec_col)).alias("_e")
+    ).select(
         F.col(id_col),
-        F.concat_ws("-", *[c.cast("string") for c in code_cols]).alias("codes"),
-        (err / F.lit(float(dim))).alias("recon_mse"),
-        F.array(*code_cols).alias("_code_arr"),
+        F.array_join(
+            F.transform("_e.code_arr", lambda c: c.cast("string")), "-"
+        ).alias("codes"),
+        (F.col("_e.err_sum") / F.lit(float(dim))).alias("recon_mse"),
+        F.col("_e.code_arr").alias("_code_arr"),
     )
 
 
@@ -185,15 +184,6 @@ def _assign_codes_arrow(
     sub_books = [np.asarray(b, dtype=np.float64) for b in book]
     sub_dim = sub_books[0].shape[1]
 
-    def _fold_dists(x, mat):
-        # (n, d) vs (k, d) -> (n, k); k small, so loop k to bound temps
-        cols = []
-        for c in mat:
-            d = x - c[None, :]
-            sq = d * d
-            cols.append(np.cumsum(sq, axis=1)[:, -1])
-        return np.stack(cols, axis=1)
-
     # no inline type hints: `from __future__ import annotations` defers
     # them to strings that can't resolve (pd is function-local), which
     # pandas_udf's hint parser rejects (same note as _plane_dots_arrow)
@@ -206,20 +196,13 @@ def _assign_codes_arrow(
                     "code_arr": pd.Series([], dtype=object),
                 }
             )
-        v = np.asarray(
-            [np.asarray(x, dtype=np.float64) for x in vals]
-        )  # (n, dim); float32→float64 cast is exact
-        acc = np.zeros(len(v))
-        for i in range(v.shape[1]):  # sequential fold: acc + x*x per dim
-            acc = acc + v[:, i] * v[:, i]
-        norm = np.sqrt(acc)
-        e = np.floor(v / norm[:, None] * 1e9 + 0.5) / 1e9
-        cid = np.argmin(_fold_dists(e, cent), axis=1).astype(np.int32)
+        e = _normalize_np(np, vals)
+        cid = np.argmin(_fold_dists_np(np, e, cent), axis=1).astype(np.int32)
         codes = np.stack(
             [
                 np.argmin(
-                    _fold_dists(
-                        e[:, j * sub_dim : (j + 1) * sub_dim], sb
+                    _fold_dists_np(
+                        np, e[:, j * sub_dim : (j + 1) * sub_dim], sb
                     ),
                     axis=1,
                 ).astype(np.int32)
@@ -234,6 +217,76 @@ def _assign_codes_arrow(
     _kernel.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
     return F.pandas_udf(
         _kernel, "struct<cluster_id:int, code_arr:array<int>>"
+    )
+
+
+def _fold_dists_np(np, x, mat):
+    """(n, d) vs (k, d) -> (n, k) squared-L2 with sequential-fold parity:
+    np.cumsum over the dim axis performs the same left-to-right adds with
+    the same per-step rounding as the aggregate fold (the fold's leading
+    ``0.0 +`` is exact to drop — every term is a non-negative square);
+    differences squared with an explicit ``d*d``. k is small, so loop k
+    to bound temporaries."""
+    cols = []
+    for c in mat:
+        d = x - c[None, :]
+        sq = d * d
+        cols.append(np.cumsum(sq, axis=1)[:, -1])
+    return np.stack(cols, axis=1)
+
+
+def _normalize_np(np, vals):
+    """unit_normalized's op order replayed elementwise: sequential x*x
+    fold for the norm, then cast→/norm→×1e9→+0.5→floor→/1e9 — each a
+    single IEEE op, so values are bitwise-equal to the Column spelling."""
+    v = np.asarray(
+        [np.asarray(x, dtype=np.float64) for x in vals]
+    )  # (n, dim); float32→float64 cast is exact
+    acc = np.zeros(len(v))
+    for i in range(v.shape[1]):  # sequential fold: acc + x*x per dim
+        acc = acc + v[:, i] * v[:, i]
+    norm = np.sqrt(acc)
+    return np.floor(v / norm[:, None] * 1e9 + 0.5) / 1e9
+
+
+def _encode_arrow(book: Codebook) -> Column:
+    """Encode-only Arrow kernel: PQ code array + summed per-subspace min
+    distance (the recon_mse numerator) per vector — the hot map of
+    pq_encode. Same bitwise-parity contract as _assign_codes_arrow
+    (shared _normalize_np/_fold_dists_np); the error sum accumulates
+    left-to-right over subspaces exactly like the Column ``+`` chain it
+    replaces, and np.min over the fold-parity distances equals
+    array_min over the same values."""
+    import numpy as np
+    import pandas as pd
+
+    sub_books = [np.asarray(b, dtype=np.float64) for b in book]
+    sub_dim = sub_books[0].shape[1]
+
+    def _kernel(s):
+        vals = s.to_numpy()
+        if len(vals) == 0:
+            return pd.DataFrame(
+                {
+                    "code_arr": pd.Series([], dtype=object),
+                    "err_sum": pd.Series([], dtype="float64"),
+                }
+            )
+        e = _normalize_np(np, vals)
+        code_cols = []
+        err = np.zeros(len(e))
+        for j, sb in enumerate(sub_books):
+            d = _fold_dists_np(np, e[:, j * sub_dim : (j + 1) * sub_dim], sb)
+            code_cols.append(np.argmin(d, axis=1).astype(np.int32))
+            err = err + np.min(d, axis=1)
+        codes = np.stack(code_cols, axis=1)
+        return pd.DataFrame(
+            {"code_arr": list(codes.tolist()), "err_sum": err}
+        )
+
+    _kernel.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(
+        _kernel, "struct<code_arr:array<int>, err_sum:double>"
     )
 
 
