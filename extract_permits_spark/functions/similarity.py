@@ -1005,6 +1005,36 @@ def _nearest_by_l2(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(d_arr, F.array_min(d_arr)) - 1).cast("int")
 
 
+def _argmin_l2_arrow(centroids: list[list[float]]) -> Column:
+    """Arrow-batched twin of ``_nearest_by_l2`` over an already-normalized
+    ``array<double>`` column — the assignment hot map for the IVF/SemDeDup/
+    prototypicality family. k×dim = 1,024 multiply-adds per row is past
+    the interpreted-HOF break-even (the SCALE.md rule pinned by the IVFADC
+    kernel: ~0.8 ms/row interpreted vs ~1 µs/row vectorized; the argmin
+    spelling also evaluates the distance array twice). Bitwise parity:
+    ``pq._fold_dists_np`` does the same left-to-right adds as the
+    sequential fold, and ``np.argmin`` takes the first minimum — the same
+    ties→lowest-cid rule as ``array_position(d, array_min(d))``."""
+    import numpy as np
+    import pandas as pd
+
+    from extract_permits_spark.functions.pq import _fold_dists_np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    def _kernel(s):
+        vals = s.to_numpy()
+        if len(vals) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vals])
+        return pd.Series(
+            np.argmin(_fold_dists_np(np, x, cent), axis=1).astype("int32")
+        )
+
+    _kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_kernel, "int")
+
+
 def kmeans_fit(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -1030,7 +1060,9 @@ def kmeans_fit(
     cents = [[float(x) for x in r["e"]] for r in init_rows]
     dim = len(cents[0])
     for _ in range(rounds):
-        assigned = n.select(_nearest_by_l2(F.col("e"), cents).alias("_cid"), "e")
+        assigned = n.select(
+            _argmin_l2_arrow(cents)(F.col("e")).alias("_cid"), "e"
+        )
         # per-dimension means via posexplode + one narrow (cid, pos)
         # groupBy — compiles much faster than a 64-column avg aggregate
         # and rounds to the same 6-dp centroids (verified identical)
@@ -1085,7 +1117,7 @@ def semdedup_flags(
     n = unit_normalized(vectors, id_col, vec_col)
     assigned = n.select(
         F.col(id_col),
-        _nearest_by_l2(F.col("e"), centroids).alias("cluster_id"),
+        _argmin_l2_arrow(centroids)(F.col("e")).alias("cluster_id"),
         "e",
     )
     a = assigned.select(
@@ -1136,7 +1168,7 @@ def prototypicality_flags(
         centroids = kmeans_fit(vectors, id_col, vec_col, num_clusters, rounds)
     n = unit_normalized(vectors, id_col, vec_col)
     mat = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
-    cid = _nearest_by_l2(F.col("e"), centroids)
+    cid = _argmin_l2_arrow(centroids)(F.col("e"))
     cvec = F.element_at(mat, F.col("cluster_id") + 1)
     scored = n.select(
         F.col(id_col), cid.alias("cluster_id"), "e"
@@ -1176,7 +1208,8 @@ def ivf_index(
         centroids = kmeans_fit(vectors, id_col, vec_col, num_clusters, rounds)
     n = unit_normalized(vectors, id_col, vec_col)
     indexed = n.select(
-        F.col(id_col), _nearest_by_l2(F.col("e"), centroids).alias("cluster_id")
+        F.col(id_col),
+        _argmin_l2_arrow(centroids)(F.col("e")).alias("cluster_id"),
     ).join(vectors, id_col)
     return indexed, centroids
 
