@@ -69,3 +69,28 @@ def test_encode_plan_is_narrow(spark, emb, book):
     )
     assert "Exchange" not in plan, "PQ encode must be a zero-shuffle map"
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_argmin_kernel_equals_column_spelling(spark):
+    """_argmin_l2_arrow must agree with _nearest_by_l2 row-for-row on the
+    fixture (the kernel replaced the Column spelling at the four
+    assignment call sites; DuckDB replays pin parity per entry, this
+    pins the two in-engine spellings against each other directly —
+    including the ties→lowest-cid rule)."""
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.functions import similarity as simfn
+    from extract_permits_spark.plans.analytics import _ivf_centroids_cached
+    from extract_permits_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents = _ivf_centroids_cached(spark, emb, sf)
+    n = simfn.unit_normalized(emb)
+    both = n.select(
+        "vec_id",
+        simfn._argmin_l2_arrow(cents)(F.col("e")).alias("kern"),
+        simfn._nearest_by_l2(F.col("e"), cents).alias("col"),
+    )
+    diffs = both.where(F.col("kern") != F.col("col")).count()
+    assert diffs == 0
