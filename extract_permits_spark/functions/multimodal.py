@@ -210,14 +210,28 @@ DECODE_QUARANTINE_SCHEMA = T.StructType(
     ]
 )
 
+# The complete err_kind enum decode_quarantine can emit — downstream
+# triage keys off this tuple, and a test pins classify() to it.
+QUARANTINE_ERR_KINDS = (
+    "truncated",
+    "crc",
+    "signature",
+    "deflate",
+    "unsupported",
+    "empty",
+    "other",
+)
+
 
 def decode_quarantine(media: DataFrame) -> DataFrame:
     """The ingest quarantine rail: attempt to decode every payload,
     emitting (media_id, ok, err_kind) instead of letting one corrupt blob
     kill the job — the per-item try/except a 100-TB scrape decode MUST
     have (a billion-payload scan will contain garbage). err_kind buckets
-    the codec's loud ValueErrors ('truncated', 'crc', 'signature',
-    'unsupported', 'other') so downstream can triage; ok rows carry NULL.
+    the codec's loud ValueErrors into exactly ``QUARANTINE_ERR_KINDS``
+    ('truncated', 'crc', 'signature', 'deflate', 'unsupported', 'empty',
+    'other' — 'empty' marks NULL payloads, which are quarantine rows, not
+    errors) so downstream can triage; ok rows carry NULL.
     Same Arrow-batched mapInPandas shape as image_stats; the codec's
     failure contract (ValueError for any malformed input — tested down to
     mid-CRC truncation) is what makes the rail total."""

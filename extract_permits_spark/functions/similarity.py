@@ -232,6 +232,14 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
 
+    Precondition: ``jaccard_threshold > 0``. The count-based verifier
+    computes |A∩B| with an INNER join over shared shingles, so candidate
+    pairs with zero overlap never reach the threshold filter — at a
+    threshold of 0 they would be silently absent (the pre-r9 array form
+    returned them with jaccard 0.0). Zero-overlap pairs are dedup noise,
+    never near-dups, so no production caller wants them; the precondition
+    applies to ``minhash_md5_pairs`` identically.
+
     Shape chosen for scale: shingles are EXPLODED and the k min-hashes are
     computed as k codegen'd ``min()`` aggregates in a single groupBy pass
     (one shuffle on doc ids) — measured ~3× faster than the per-row
@@ -343,7 +351,9 @@ def minhash_md5_pairs(
     (registry entry ``dedup_minhash_md5``; xxhash64 ``minhash_lsh_pairs``
     is the production fast path). Same banded shape: shingle → per-seed
     min(md5) signature → per-band md5 bucket → candidate join → exact
-    Jaccard verification."""
+    Jaccard verification. Precondition: ``jaccard_threshold > 0`` — the
+    count-based verifier drops zero-overlap candidate pairs before the
+    threshold filter (see ``minhash_lsh_pairs``)."""
     sh = docs.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("_shingles")
     ).where(F.size("_shingles") > 0)

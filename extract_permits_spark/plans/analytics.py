@@ -3289,13 +3289,17 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
         shutil.rmtree(os.path.join(src, sub), ignore_errors=True)
 
-    name = f"stream_decon_{abs(hash(sf_dir)) % 10**8}"
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    q = run_decontaminate_ingest_available_now(
-        spark, src, eval_docs, os.path.join(work, "ckpt"), table_name=name
+    out = os.path.join(work, "out")
+    q, eval_grams = run_decontaminate_ingest_available_now(
+        spark, src, eval_docs, os.path.join(work, "ckpt"), out_path=out
     )
     q.awaitTermination(300)
-    return spark.table(name)
+    eval_grams.unpersist()
+    # project off the idempotency partition key — the oracle is the batch
+    # decontamination contract, which has no notion of micro-batches
+    return spark.read.parquet(out).select(
+        "doc_id", "n_hits", "is_contaminated"
+    )
 
 
 @register(

@@ -492,3 +492,89 @@ def test_stream_ann_index_ingest_incremental_layout(spark, tmp_path):
         for r in emb.select("vec_id", kern(F.col("embedding")).alias("_a")).collect()
     }
     assert got == want
+
+
+def test_ann_index_ingest_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a micro-batch replayed after a
+    failure between the data write and the checkpoint commit must NOT
+    duplicate (vec_id, code_arr) rows in the index (r9 advice). The write
+    is batch_id-scoped with dynamic partition overwrite, so applying the
+    SAME batch twice — the replay — leaves the index bit-identical."""
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.functions import pq as pqfn
+    from extract_permits_spark.plans.analytics import (
+        _ivf_centroids_cached,
+        _pq_book_cached,
+    )
+    from extract_permits_spark.sources.readers import load_table
+    from extract_permits_spark.streaming.ann_index_ingest import (
+        apply_index_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    book = _pq_book_cached(spark, emb, sf)
+    cents = _ivf_centroids_cached(spark, emb, sf)
+    kern = pqfn._assign_codes_arrow(book, cents)
+    idx = str(tmp_path / "index")
+
+    b0 = emb.where(F.col("vec_id") % 2 == 0)
+    b1 = emb.where(F.col("vec_id") % 2 == 1)
+    apply_index_batch(b0, 0, kern, idx)
+    apply_index_batch(b1, 1, kern, idx)
+    before = sorted(
+        (r["vec_id"], int(r["cluster_id"]), tuple(r["code_arr"]))
+        for r in spark.read.parquet(idx).collect()
+    )
+    assert len(before) == emb.count()
+    assert len({v for v, _, _ in before}) == len(before)  # unique vec_ids
+
+    # the replay: batch 0 arrives again with the same batch_id
+    apply_index_batch(b0, 0, kern, idx)
+    after = sorted(
+        (r["vec_id"], int(r["cluster_id"]), tuple(r["code_arr"]))
+        for r in spark.read.parquet(idx).collect()
+    )
+    assert after == before
+
+
+def test_decontaminate_ingest_replay_is_idempotent(spark, tmp_path):
+    """Same at-least-once contract for the decontamination gate: replaying
+    a micro-batch with its original batch_id overwrites its own
+    ingest_batch_id partition instead of appending duplicate
+    (doc_id, n_hits, is_contaminated) rows (r9 advice)."""
+    from extract_permits_spark.streaming.decontaminate_ingest import (
+        _grams,
+        apply_decontaminate_batch,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    b0 = spark.createDataFrame(
+        [(100, "x alpha beta gamma delta epsilon zeta y")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(101, "alpha beta gamma words differ here now")],
+        "doc_id long, text string",
+    )
+    ev = _grams(eval_docs, 5).select("g").distinct()
+    out = str(tmp_path / "out")
+    apply_decontaminate_batch(b0, 0, ev, out)
+    apply_decontaminate_batch(b1, 1, ev, out)
+    before = sorted(
+        (r["doc_id"], r["n_hits"], r["is_contaminated"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert before == [(100, 2, True), (101, 0, False)]
+
+    # the replay: batch 0 arrives again with the same batch_id
+    apply_decontaminate_batch(b0, 0, ev, out)
+    after = sorted(
+        (r["doc_id"], r["n_hits"], r["is_contaminated"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert after == before

@@ -571,6 +571,15 @@ def test_decode_quarantine_buckets(spark):
         4: (False, "signature"),
         5: (False, "empty"),
     }
+    # every emitted bucket is in the documented enum (r9 advice: the
+    # docstring once omitted 'deflate'/'empty'; the constant is the
+    # contract now)
+    from extract_permits_spark.functions.multimodal import (
+        QUARANTINE_ERR_KINDS,
+    )
+
+    emitted = {k for _, k in got.values() if k is not None}
+    assert emitted <= set(QUARANTINE_ERR_KINDS)
 
 
 def test_png_crc_consistent_corruption_still_valueerror():
