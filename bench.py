@@ -101,6 +101,12 @@ HEADLINE = [
     # tables, WindowGroupLimit per-query top-k. Spark-timed only, same
     # fit-amortization asymmetry as emb_ivfpq_topk.
     "emb_ivfpq_batch_topk",
+    # semantic decontamination (r10): cross-dataset LSH probe — eval side
+    # explodes the Hamming-1 ball, corpus keeps exact signatures. Fair
+    # pair like emb_neardup_lsh: both engines replay signatures + the
+    # 6-dp cosine verification (candidate step bucket-join vs pairwise,
+    # same result set below the bucket cap).
+    "emb_cross_decontaminate",
 ]
 
 

@@ -808,6 +808,39 @@ def lsh_bucketed_topk(
     )
 
 
+def _lsh_sig_frame(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_tables: int,
+    num_planes: int,
+    seed: int,
+    dim: int,
+) -> DataFrame:
+    """(id, vec, _sig0.._sig{L-1}): the per-table hyperplane signatures —
+    one Arrow-batched plane-dot kernel over ALL tables' planes, then L
+    codegen'd bit-pack expressions. Shared by the self-join near-dup pair
+    generation (``lsh_neardup_pairs``) and the cross-dataset probe
+    (``lsh_cross_hits``) so the two paths can never drift."""
+    all_planes = [
+        _lsh_plane(seed, t, p, dim)
+        for t in range(num_tables)
+        for p in range(num_planes)
+    ]
+    with_dots = vectors.withColumn(
+        "_dots", _plane_dots_arrow(F.col(vec_col), all_planes)
+    )
+    sig_cols = []
+    for t in range(num_tables):
+        sig = F.lit(0)
+        for p in range(num_planes):
+            sig = sig + F.when(
+                F.col("_dots")[t * num_planes + p] >= 0, F.lit(1 << p)
+            ).otherwise(F.lit(0))
+        sig_cols.append(sig.alias(f"_sig{t}"))
+    return with_dots.select(id_col, vec_col, *sig_cols)
+
+
 def lsh_neardup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -844,23 +877,9 @@ def lsh_neardup_pairs(
     if pair_hamming > 1:
         raise ValueError("pair_hamming > 1 not implemented (ball explode grows fast)")
     dim = len_planes_dim(vectors, vec_col)
-    all_planes = [
-        _lsh_plane(seed, t, p, dim)
-        for t in range(num_tables)
-        for p in range(num_planes)
-    ]
-    with_dots = vectors.withColumn(
-        "_dots", _plane_dots_arrow(F.col(vec_col), all_planes)
+    with_sigs = _lsh_sig_frame(
+        vectors, id_col, vec_col, num_tables, num_planes, seed, dim
     )
-    sig_cols = []
-    for t in range(num_tables):
-        sig = F.lit(0)
-        for p in range(num_planes):
-            sig = sig + F.when(
-                F.col("_dots")[t * num_planes + p] >= 0, F.lit(1 << p)
-            ).otherwise(F.lit(0))
-        sig_cols.append(sig.alias(f"_sig{t}"))
-    with_sigs = with_dots.select(id_col, vec_col, *sig_cols)
 
     bucketed = with_sigs.select(
         F.col(id_col),
@@ -942,6 +961,124 @@ def len_planes_dim(vectors: DataFrame, vec_col: str) -> int:
     bounded head probe (the planes need a concrete dim)."""
     row = vectors.select(F.size(F.col(vec_col)).alias("d")).head()
     return int(row["d"])
+
+
+def lsh_cross_hits(
+    probe: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 8,
+    num_planes: int = 16,
+    seed: int = 42,
+    min_cosine: float = 0.8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Cross-dataset embedding near-dup probe — SEMANTIC decontamination:
+    for every corpus (training) vector, count the probe (eval) vectors
+    that are LSH candidates at Hamming ≤ 1 in any table AND verify at
+    cosine ≥ ``min_cosine``. Returns (id, n_hits, is_contaminated) for
+    EVERY corpus row — the embedding-space twin of the n-gram
+    ``corpus.contamination_hits`` gate, catching paraphrased eval leakage
+    the exact n-gram match cannot.
+
+    Scale shape: the PROBE side (eval suites — always the small side)
+    explodes the Hamming-1 ball of its signatures (1+num_planes variants
+    per table) and equi-joins the corpus's exact signatures, so the
+    corpus is never self-joined and no pairwise comparison happens;
+    degenerate corpus buckets are capped like the self-join path (the cap
+    never binds on the fixtures, so the pairwise-replay oracle is exact).
+    Candidates dedup to (corpus, probe) pairs before the one cosine fold
+    per pair. Signatures come from the same ``_lsh_sig_frame`` as
+    ``lsh_neardup_pairs`` — the batch dedup and the decontamination gate
+    can never drift."""
+    dim = len_planes_dim(corpus, vec_col)
+    csig = _lsh_sig_frame(
+        corpus, id_col, vec_col, num_tables, num_planes, seed, dim
+    )
+    psig = _lsh_sig_frame(
+        probe, id_col, vec_col, num_tables, num_planes, seed, dim
+    )
+    c_bucketed = csig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"_sig{t}").alias("sig")
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("_b"),
+    ).select(F.col(id_col).alias("_cid"), F.col("_b.t"), F.col("_b.sig"))
+    sized = c_bucketed.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("t", "sig"))
+    ).where(F.col("_n") <= max_bucket_size)
+    # probe side explodes the Hamming-≤1 ball: variant == exact corpus sig
+    # realizes |sig_c ^ sig_p| ≤ 1 without any pairwise scan
+    p_variants = psig.select(
+        F.col(id_col).alias("_pid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"_sig{t}").alias("sig")
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("_b"),
+    ).select(
+        "_pid",
+        F.col("_b.t"),
+        F.explode(
+            F.array(
+                F.col("_b.sig"),
+                *[
+                    F.col("_b.sig").bitwiseXOR(F.lit(1 << p))
+                    for p in range(num_planes)
+                ],
+            )
+        ).alias("sig"),
+    )
+    cand = (
+        p_variants.join(sized, ["t", "sig"])
+        .select("_cid", "_pid")
+        .distinct()
+    )
+    nv_c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_vc"),
+        l2_norm(F.col(vec_col)).alias("_nc"),
+    )
+    nv_p = probe.select(
+        F.col(id_col).alias("_pid"),
+        F.col(vec_col).alias("_vp"),
+        l2_norm(F.col(vec_col)).alias("_np"),
+    )
+    hits = (
+        cand.join(nv_c, "_cid")
+        .join(nv_p, "_pid")
+        .where(
+            F.round(
+                dot(F.col("_vc"), F.col("_vp")) / (F.col("_nc") * F.col("_np")),
+                6,
+            )
+            >= F.lit(min_cosine)
+        )
+        .groupBy("_cid")
+        .agg(F.count(F.lit(1)).alias("_nh"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, F.col(id_col) == F.col("_cid"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_nh"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("_nh"), F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -59,76 +59,82 @@ def register(name: str, sql: str | None = None):
 # round; _CHECK_FIRST controls that window and is rotated each round so
 # every entry earns a driver row (see the r9 NOTE below the list).
 _CHECK_FIRST = [
-    # r9 window: all 175 entries are driver-witnessed as of r8, so from
-    # here the window rotates by staleness — the 33 entries last seen in
-    # CORRECTNESS_r05 (the oldest cohort), then xlsx_review_roundtrip
-    # (implementation changed this round: S8 conditional-format +
-    # data-validation round trip now rides the entry), then the first 16
-    # of the r6 cohort in registry order. ~3.5-round re-witness cadence.
-    # --- r5 cohort (longest unwitnessed) ---
-    "s1_scan_filter_order",
-    "s3_scalar_max",
-    "p_clean_bundle",
-    "p9_keyword_tag",
-    "j6_semi_flag",
-    "w2_first_per_group",
-    "w4_dup_flag",
-    "s4_range_scan",
-    "p3_date_functions",
-    "x3_unpivot",
-    "j3_crosswalk_override",
-    "u2_union_distinct",
-    "e3_legacy_flags",
-    "text_tokens",
-    "text_quality",
-    "text_fingerprint",
-    "text_language_id",
-    "ann_lsh_topk",
-    "ann_lsh_recall",
-    "ann_ivf_recall",
-    "dedup_minhash_lsh",
-    "emb_neardup_lsh",
-    "dedup_simhash_recall",
-    "dedup_ngram_jaccard",
-    "mm_binary_features",
-    "q3_shipping_priority",
-    "q5_nation_volume",
-    "p5_pin_normalize",
-    "dedup_embedding_cosine",
-    "stream_dedup",
-    "permit_pipeline_review",
-    "ann_ivf_topk",
-    "dedup_minhash_md5",
-    # --- changed/new this round ---
-    "xlsx_review_roundtrip",
-    "rag_context_assembly",
-    "docs_decontaminate",
-    "docs_domain_mix",
+    # r10 window: staleness rotation — ALL 42 entries last witnessed in
+    # CORRECTNESS_r06 (the oldest cohort, registry order), then the 3
+    # entries whose implementation changed this round (both streaming
+    # ingest paths went idempotent-on-replay; emb_neardup_lsh's signature
+    # block was factored into _lsh_sig_frame), then the 2 r10-new
+    # entries, then the first 3 of the r7 cohort. ~3.5-round cadence.
+    # --- r6 cohort (longest unwitnessed, complete) ---
+    "stream_stateful_totals",
+    "a8_salted_agg",
+    "j7_asof_join",
+    "ev_rollup",
+    "j8_range_join",
+    "sample_hash_split",
+    "sample_stratified",
+    "a7_quantiles",
+    "text_clean_mask",
+    "sketch_approx_quantiles",
+    "sketch_hll_region_distinct",
+    "docs_chunk",
+    "dedup_exact_keep_first",
+    "docs_pretrain_filter",
+    "x4_pivot",
+    "w5_rolling",
+    "u3_intersect",
+    "dedup_cluster_components",
+    "dedup_cluster_canonical",
+    "pack_sequences",
+    "sample_interleave",
+    "emb_quantize",
+    "text_repetition",
+    "docs_segment_dedup",
+    "sketch_topk_tokens",
+    "sample_mixture_weights",
+    "ev_hopping_agg",
+    "ev_session_window",
+    "stream_session_agg",
+    "docs_url_dedup",
+    "docs_dsir_weights",
+    "emb_pq_codes",
+    "emb_pq_adc_topk",
+    "docs_shard_shuffle",
+    "docs_quality_bins",
+    "docs_host_cap",
+    "docs_incremental_dedup",
+    "vocab_bpe_pairs",
+    "dedup_winnowing",
+    "emb_prototypicality",
+    "dedup_semantic",
+    "ev_retention",
+    # --- changed this round ---
     "stream_decontaminate_ingest",
-    "llm_pack_stats",
-    "rag_hybrid_recall",
-    "mm_decode_quarantine",
-    "llm_pretrain_pipeline",
-    "emb_ivfpq_topk",
-    "emb_ivfpq_recall",
-    "emb_ivfpq_batch_topk",
-    "emb_ivfpq_indexed_topk",
     "stream_ann_index_ingest",
-    # --- r6 cohort, registry order ---
-    "ev_tumbling_agg",
-    "ev_json_extract",
-    "stream_tumbling_agg",
+    "emb_neardup_lsh",
+    # --- new this round ---
+    "emb_cross_decontaminate",
+    "j11_salted_skew_join",
+    # --- r7 cohort, registry order ---
+    "ev_cube",
+    "q6_forecast_revenue",
+    "q10_returned_items",
 ]
 
-# r10 NOTE: continue the staleness rotation — next up are the remaining
-# r6-cohort entries (those not re-witnessed above, incl. sample_hash_split,
-# sample_stratified, a7_quantiles, text_clean_mask,
-# sketch_approx_quantiles, sketch_hll_region_distinct, docs_chunk,
-# j8_range_join, ev_rollup, j7_asof_join, a8_salted_agg, and
-# stream_stateful_totals which were displaced from this window by the
-# r9-new entries), then the oldest r7 entries to fill 50; as always,
-# pull in any entry whose implementation changed since its last driver
-# row.
+# r11 NOTE: continue the staleness rotation — next up is the r7 cohort
+# (43 remaining after ev_cube/q6_forecast_revenue/q10_returned_items
+# above: the TPC-H adaptations q4/q7/q8/q9/q13/q14/q15/q16/q17/q19/q22/q2,
+# docs_pii_redact, w6_rank_family, ev_transitions, x5_scd2_intervals,
+# j9_fuzzy_symspell, graph_pagerank, stream_stream_join,
+# ev_time_weighted_avg, x6_merge_upsert, a9_mode, j10_null_safe_join,
+# stream_cdc_apply, ev_variant_agg, vocab_bpe_train, a10_regression,
+# sketch_cms_topk, ev_attribution, x7_date_spine, a11_histogram,
+# sample_leakage_safe_split, profile_documents, ev_anomaly_zscore,
+# graph_triangles, j7b_asof_forward, q1_incremental_maintenance,
+# ev_dau_wau, docs_dup_rate_by_source, sample_weighted_per_source,
+# jsonl_corpus_roundtrip, ev_gap_fill, ev_entropy), then the oldest r8
+# entries to fill 50; as always, pull in any entry whose implementation
+# changed since its last driver row.
 
 
 def _reordered(d: dict) -> dict:
@@ -1251,6 +1257,29 @@ def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(25)
 
 
+@register("emb_cross_decontaminate", _ann_sql.lsh_cross_decon_sql())
+def emb_cross_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space twin of
+    docs_decontaminate: every training vector (vec_id%10!=0) is checked
+    against the eval set (vec_id%10==0) for near-duplicates at cosine ≥
+    0.35, catching paraphrased eval leakage the exact n-gram gate cannot
+    (the synthetic fixture has no planted cross-split near-dups, so the
+    threshold sits where real cross-split similarity mass exists — the
+    production knob would be ~0.8 on contrastive embeddings).
+    Candidates come from a CROSS-dataset hyperplane-LSH bucket join — the
+    small eval side explodes the Hamming-1 ball of its signatures and
+    equi-joins the corpus's exact signatures (similarity.lsh_cross_hits),
+    so the 100-TB corpus is never self-joined and never pairwise-scanned;
+    each candidate pays one exact cosine fold. The oracle replays
+    signatures + the pair condition pairwise and the same 6-dp-rounded
+    cosine threshold, so a signature bug, a ball-explode bug, or a
+    verification drift all hash-mismatch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 10 == 0)
+    tr = emb.where(F.col("vec_id") % 10 != 0)
+    return simfn.lsh_cross_hits(ev, tr, min_cosine=0.35)
+
+
 @register("dedup_simhash", _ann_sql.simhash_pairs_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SimHash at the GUARANTEED radius (6 bands of 10 bits ⇒ recall
@@ -1647,6 +1676,50 @@ def a8_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_type", "n_events", F.col("sum_value").cast("double").alias("sum_value")
+    )
+
+
+@register(
+    "j11_salted_skew_join",
+    """
+    SELECT d.type_label,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN (SELECT DISTINCT event_type, upper(event_type) AS type_label
+          FROM events) d
+      ON e.event_type = d.event_type
+    GROUP BY d.type_label
+    """,
+)
+def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join (operators/skew.py:salted_join) on a HOT key:
+    events carries only a handful of distinct event_types, so a plain
+    shuffle join lands each type's entire mass on one reducer. The salted
+    form salts the big side over 16 values and replicates the small dim
+    once per salt, joining on (key, salt) — 16 reducers per hot key. The
+    oracle is the plain join + aggregate: the salt must change the
+    shuffle layout, never the answer. This is the manual fallback for
+    the case AQE skew-split can't fix (a broadcast-ineligible dim with a
+    dominant key); a8_salted_agg is its aggregation twin."""
+    from extract_permits_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn("type_label", F.upper("event_type"))
+    )
+    j = salted_join(
+        e.select("event_type", _dec("value").alias("value")),
+        dim,
+        "event_type",
+        num_salts=16,
+        how="inner",
+    )
+    return j.groupBy("type_label").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").cast("double").alias("sum_value"),
     )
 
 

@@ -412,6 +412,48 @@ def lsh_neardup_pairs_sql(
     """
 
 
+def lsh_cross_decon_sql(
+    dim: int = 64,
+    num_tables: int = 8,
+    num_planes: int = 16,
+    pair_hamming: int = 1,
+    seed: int = 42,
+    min_cosine: float = 0.35,
+) -> str:
+    """Twin of similarity.lsh_cross_hits over the eval/train vec_id%10
+    split (semantic decontamination): a train vector's n_hits counts the
+    eval vectors whose signatures agree within ``pair_hamming`` bits in
+    ANY table AND whose 6-dp-rounded cosine clears ``min_cosine``. The
+    Spark side realizes the candidate step as a probe-side Hamming-ball
+    bucket join; the oracle as the equivalent pairwise bit_count condition
+    (identical when no corpus bucket exceeds the cap — holds on every
+    fixture, same argument as lsh_neardup_pairs_sql)."""
+    sig_cols = ", ".join(
+        f"{_lsh_sig_expr('e', t, dim, num_planes, seed)} AS s{t}"
+        for t in range(num_tables)
+    )
+    pair_cond = " OR ".join(
+        f"bit_count(xor(a.s{t}, b.s{t})) <= {pair_hamming}"
+        for t in range(num_tables)
+    )
+    return f"""
+    WITH {_v_cte(dim)},
+    sigs AS (SELECT vec_id, e, {sig_cols} FROM v),
+    tr AS (SELECT * FROM sigs WHERE vec_id % 10 <> 0),
+    ev AS (SELECT * FROM sigs WHERE vec_id % 10 = 0),
+    hits AS (
+      SELECT a.vec_id AS vec_id, COUNT(*) AS n
+      FROM tr a JOIN ev b ON ({pair_cond})
+      WHERE round({_cosine('a.e', 'b.e', dim)}, 6) >= {min_cosine!r}
+      GROUP BY a.vec_id
+    )
+    SELECT a.vec_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n, 0) > 0 AS is_contaminated
+    FROM tr a LEFT JOIN hits h ON h.vec_id = a.vec_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # Portable banded SimHash (twin of similarity.simhash_pairs with
 # token_hash=md5_long60, n_bits=60, band_bits=10, max_hamming=5)

@@ -120,6 +120,40 @@ def test_lsh_neardup_pairs_planted_duplicates(spark):
     assert cos > 0.999
 
 
+def test_lsh_cross_hits_planted_contamination(spark):
+    """Semantic decontamination recall: a training vector that is a
+    near-copy of an eval vector (cosine ~0.999; per-pair LSH miss prob
+    ~2e-17 at 8 tables x 16 planes) MUST flag, clean vectors must not,
+    and every corpus row appears exactly once in the output."""
+    base = load_table(spark, SF_DIR, "embeddings").limit(40)
+    rows = base.collect()
+    evs = rows[:5]  # the "eval suite"
+    eval_df = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in evs],
+        "vec_id long, embedding array<double>",
+    )
+    # corpus: the other 35 (clean) + one planted near-copy of eval row 0
+    clean = rows[5:]
+    v0 = [float(x) for x in evs[0]["embedding"]]
+    leaked = [x * 1.001 + (0.0005 if i == 0 else 0.0) for i, x in enumerate(v0)]
+    corpus_rows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in clean
+    ] + [(999999, leaked)]
+    corpus_df = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["n_hits"], r["is_contaminated"])
+        for r in simfn.lsh_cross_hits(
+            eval_df, corpus_df, min_cosine=0.99
+        ).collect()
+    }
+    assert len(got) == len(corpus_rows)  # every corpus row, exactly once
+    assert got[999999] == (1, True), f"planted leak missed: {got[999999]}"
+    for r in clean:
+        assert got[int(r["vec_id"])] == (0, False)
+
+
 def test_matryoshka_funnel_consistency_and_floor(spark):
     """MRL funnel invariants on the RANDOM fixture embeddings — the
     adversarial case for truncation (no matryoshka training, so prefix
