@@ -570,3 +570,30 @@ def test_ivfpq_batch_consistent_with_single_query(spark):
         ).collect()
     ]
     assert got == want
+
+
+def test_cross_decontaminate_bucket_join_not_pairwise(spark):
+    """emb_cross_decontaminate: the candidate step must be an equi-join
+    on (table, signature) — never a nested-loop pairwise scan of
+    corpus x eval (that is the ORACLE's job). One hash/sort-merge join
+    family only."""
+    plan = _plan(spark, "emb_cross_decontaminate")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+
+
+def test_salted_join_plans_as_hash_join_on_salted_key(spark):
+    """j11_salted_skew_join: the salted form must still plan as a plain
+    equi-join (hash family) — the salt only widens the shuffle key; no
+    nested loop, no cartesian replicate."""
+    plan = _plan(spark, "j11_salted_skew_join")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
