@@ -115,15 +115,15 @@ _CHECK_FIRST = [
     # --- new this round ---
     "emb_cross_decontaminate",
     "j11_salted_skew_join",
+    "docs_shard_manifest",
     # --- r7 cohort, registry order ---
     "ev_cube",
     "q6_forecast_revenue",
-    "q10_returned_items",
 ]
 
 # r11 NOTE: continue the staleness rotation — next up is the r7 cohort
-# (43 remaining after ev_cube/q6_forecast_revenue/q10_returned_items
-# above: the TPC-H adaptations q4/q7/q8/q9/q13/q14/q15/q16/q17/q19/q22/q2,
+# (44 remaining after ev_cube/q6_forecast_revenue above: the TPC-H
+# adaptations q4/q7/q8/q9/q10/q13/q14/q15/q16/q17/q19/q22/q2,
 # docs_pii_redact, w6_rank_family, ev_transitions, x5_scd2_intervals,
 # j9_fuzzy_symspell, graph_pagerank, stream_stream_join,
 # ev_time_weighted_avg, x6_merge_upsert, a9_mode, j10_null_safe_join,
@@ -3943,6 +3943,68 @@ def docs_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffle_rank",
         F.pmod("shuffle_rank", F.lit(8)).cast("int").alias("shard_id"),
         (F.col("shuffle_rank") / 8).cast("bigint").alias("pos_in_shard"),
+    )
+
+
+@register(
+    "docs_shard_manifest",
+    r"""
+    WITH ranked AS (
+      SELECT doc_id, text,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+               AS shuffle_rank
+      FROM documents
+    )
+    SELECT CAST(shuffle_rank % 8 AS INT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(COALESCE(text,''))) AS BIGINT) AS n_chars,
+           bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || COALESCE(text,'')), 1, 15))::BIGINT)
+             AS content_hash
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard MANIFEST for a training run — the reproducibility rail that
+    ships with the shards: per shard, the row count, the total char
+    count, and an order-insensitive content hash (bit_xor of the
+    cross-engine md5_long60 over 'doc_id:text'). A re-generated shard
+    set, a resumed write, or a data revision is verified by comparing
+    manifests instead of re-reading the corpus; any dropped, duplicated
+    or mutated document flips its shard's hash. XOR is the right fold:
+    commutative (shard-internal order-free — the groupBy needs no sort),
+    overflow-free at any count, and computable identically by any engine
+    with an md5. (Caveat by construction: a document duplicated an EVEN
+    number of times inside one shard cancels out of the hash — n_docs
+    catches that case.) Shard assignment is docs_shard_shuffle's
+    md5-ranked round-robin, recomputed here so the manifest is
+    self-contained; at 100 TB the global rank becomes the two-pass
+    distributed-offset spelling and the 8-group aggregate is map-side
+    partial everywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    h = simfn.md5_long60(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
+    )
+    return (
+        d.select(
+            F.col("doc_id"),
+            (F.row_number().over(w) - 1).cast("long").alias("_rank"),
+            F.length(F.coalesce(F.col("text"), F.lit(""))).alias("_len"),
+            h.alias("_h"),
+        )
+        .groupBy(F.pmod("_rank", F.lit(8)).cast("int").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_len").cast("long").alias("n_chars"),
+            F.expr("bit_xor(_h)").alias("content_hash"),
+        )
     )
 
 
