@@ -116,13 +116,13 @@ _CHECK_FIRST = [
     "emb_cross_decontaminate",
     "j11_salted_skew_join",
     "docs_shard_manifest",
+    "stream_semantic_decon_ingest",
     # --- r7 cohort, registry order ---
     "ev_cube",
-    "q6_forecast_revenue",
 ]
 
 # r11 NOTE: continue the staleness rotation — next up is the r7 cohort
-# (44 remaining after ev_cube/q6_forecast_revenue above: the TPC-H
+# (45 remaining after ev_cube above: q6_forecast_revenue, the TPC-H
 # adaptations q4/q7/q8/q9/q10/q13/q14/q15/q16/q17/q19/q22/q2,
 # docs_pii_redact, w6_rank_family, ev_transitions, x5_scd2_intervals,
 # j9_fuzzy_symspell, graph_pagerank, stream_stream_join,
@@ -3372,6 +3372,60 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decontamination contract, which has no notion of micro-batches
     return spark.read.parquet(out).select(
         "doc_id", "n_hits", "is_contaminated"
+    )
+
+
+@register("stream_semantic_decon_ingest", _ann_sql.lsh_cross_decon_sql())
+def stream_semantic_decon_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static SEMANTIC decontamination gate
+    (streaming/semantic_decon_ingest.py): training vectors (vec_id%10!=0)
+    arrive through a file stream in multiple micro-batches
+    (maxFilesPerTrigger=1) and each batch is probed against the STATIC
+    eval suite (vec_id%10==0) with the exact batch operator
+    (similarity.lsh_cross_hits — per-vector decisions are independent,
+    so stream ≡ batch by construction). The oracle is
+    emb_cross_decontaminate's pairwise replay verbatim — proving the
+    ingest-time incremental decision equals the full-corpus batch
+    conclusion, the same invariant the n-gram gate
+    (stream_decontaminate_ingest) pins for exact-match leakage. Writes
+    are batch_id-scoped dynamic-partition overwrites (idempotent under
+    foreachBatch replay)."""
+    import os
+    import shutil
+    import tempfile
+
+    from extract_permits_spark.streaming.semantic_decon_ingest import (
+        run_semantic_decon_ingest_available_now,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 10 == 0)
+    tr = emb.where(F.col("vec_id") % 10 != 0)
+
+    work = tempfile.mkdtemp(prefix="stream_semdecon_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    for half, fname in ((0, "f0"), (1, "f1")):
+        tr.where((F.col("vec_id") % 2) == half).coalesce(1).write.parquet(
+            os.path.join(src, fname)
+        )
+    for sub in ("f0", "f1"):
+        for fn in os.listdir(os.path.join(src, sub)):
+            if fn.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(src, sub, fn),
+                    os.path.join(src, f"{sub}.parquet"),
+                )
+        shutil.rmtree(os.path.join(src, sub), ignore_errors=True)
+
+    out = os.path.join(work, "out")
+    q = run_semantic_decon_ingest_available_now(
+        spark, src, ev, os.path.join(work, "ckpt"), out, min_cosine=0.35
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        "vec_id", "n_hits", "is_contaminated"
     )
 
 

@@ -578,3 +578,53 @@ def test_decontaminate_ingest_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert after == before
+
+
+def test_semantic_decon_ingest_replay_is_idempotent(spark, tmp_path):
+    """The semantic gate shares the at-least-once contract: replaying a
+    micro-batch with its original batch_id overwrites its own partition
+    instead of appending duplicate (vec_id, n_hits, is_contaminated)
+    rows, and a planted near-copy of an eval vector flags."""
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.sources.readers import load_table
+    from extract_permits_spark.streaming.semantic_decon_ingest import (
+        apply_semantic_decon_batch,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(40)
+    rows = emb.collect()
+    ev = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows[:5]],
+        "vec_id long, embedding array<double>",
+    )
+    v0 = [float(x) for x in rows[0]["embedding"]]
+    leaked = [x * 1.001 + (0.0005 if i == 0 else 0.0) for i, x in enumerate(v0)]
+    b0 = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows[5:20]]
+        + [(999999, leaked)],
+        "vec_id long, embedding array<double>",
+    )
+    b1 = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows[20:]],
+        "vec_id long, embedding array<double>",
+    )
+    out = str(tmp_path / "out")
+    apply_semantic_decon_batch(b0, 0, ev, out, min_cosine=0.99)
+    apply_semantic_decon_batch(b1, 1, ev, out, min_cosine=0.99)
+    before = sorted(
+        (r["vec_id"], r["n_hits"], r["is_contaminated"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert len(before) == 36  # 15 + leak + 20, each exactly once
+    got = {v: (n, c) for v, n, c in before}
+    assert got[999999] == (1, True)
+    assert sum(1 for n, c in got.values() if c) == 1  # only the leak
+
+    # the replay: batch 0 arrives again with the same batch_id
+    apply_semantic_decon_batch(b0, 0, ev, out, min_cosine=0.99)
+    after = sorted(
+        (r["vec_id"], r["n_hits"], r["is_contaminated"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert after == before
