@@ -117,12 +117,11 @@ _CHECK_FIRST = [
     "j11_salted_skew_join",
     "docs_shard_manifest",
     "stream_semantic_decon_ingest",
-    # --- r7 cohort, registry order ---
-    "ev_cube",
+    "docs_source_overlap_matrix",
 ]
 
-# r11 NOTE: continue the staleness rotation — next up is the r7 cohort
-# (45 remaining after ev_cube above: q6_forecast_revenue, the TPC-H
+# r11 NOTE: continue the staleness rotation — next up is the COMPLETE r7
+# cohort (46 entries: ev_cube, q6_forecast_revenue, the TPC-H
 # adaptations q4/q7/q8/q9/q10/q13/q14/q15/q16/q17/q19/q22/q2,
 # docs_pii_redact, w6_rank_family, ev_transitions, x5_scd2_intervals,
 # j9_fuzzy_symspell, graph_pagerank, stream_stream_join,
@@ -2092,6 +2091,74 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return simfn.minhash_md5_pairs(
         d, num_hashes=_MH_SEEDS, bands=_MH_BANDS, jaccard_threshold=0.2
+    )
+
+
+@register(
+    "docs_source_overlap_matrix",
+    f"""
+    WITH toks AS ({_MH_SHINGLE_SQL}),
+    sh AS (SELECT doc_id, unnest(shingles) AS sh FROM toks),
+    sigs AS (SELECT doc_id, {_MH_SIG_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_MH_BAND_ROWS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_idx, band_hash)
+      WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN toks ta ON c.id_a = ta.doc_id
+      JOIN toks tb ON c.id_b = tb.doc_id
+      WHERE CAST(len(list_intersect(ta.shingles, tb.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(ta.shingles, tb.shingles))) >= 0.2
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           COUNT(*) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON p.id_a = da.doc_id
+    JOIN documents db ON p.id_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def docs_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x source near-dup OVERLAP MATRIX — the curation diagnostic
+    behind 'which sources copy from which': every verified MinHash
+    near-dup pair (the md5 cross-engine family, same banding as
+    dedup_minhash_md5) is labeled with its two documents' sources
+    (order-normalized least/greatest) and counted per source pair. The
+    diagonal is within-source duplication (what docs_dup_rate_by_source
+    measures for exact dups); off-diagonal mass is cross-source
+    contamination — e.g. a crawl slice that rehosts a curated corpus.
+    Scale shape inherits the banded pair generation (no all-pairs); the
+    per-pair source lookup is two joins against the (id, source)
+    projection, and the matrix itself is |sources|^2-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = simfn.minhash_md5_pairs(
+        d, num_hashes=_MH_SEEDS, bands=_MH_BANDS, jaccard_threshold=0.2
+    )
+    src = d.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
 
 
