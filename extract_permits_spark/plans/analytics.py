@@ -107,7 +107,6 @@ _CHECK_FIRST = [
     "dedup_winnowing",
     "emb_prototypicality",
     "dedup_semantic",
-    "ev_retention",
     # --- changed this round ---
     "stream_decontaminate_ingest",
     "stream_ann_index_ingest",
@@ -118,10 +117,13 @@ _CHECK_FIRST = [
     "docs_shard_manifest",
     "stream_semantic_decon_ingest",
     "docs_source_overlap_matrix",
+    "jsonl_corrupt_quarantine",
 ]
 
-# r11 NOTE: continue the staleness rotation — next up is the COMPLETE r7
-# cohort (46 entries: ev_cube, q6_forecast_revenue, the TPC-H
+# r11 NOTE: continue the staleness rotation — next up are ev_retention
+# (the one r6-cohort entry displaced from the r10 window by
+# jsonl_corrupt_quarantine) and then the COMPLETE r7 cohort
+# (46 entries: ev_cube, q6_forecast_revenue, the TPC-H
 # adaptations q4/q7/q8/q9/q10/q13/q14/q15/q16/q17/q19/q22/q2,
 # docs_pii_redact, w6_rank_family, ev_transitions, x5_scd2_intervals,
 # j9_fuzzy_symspell, graph_pagerank, stream_stream_join,

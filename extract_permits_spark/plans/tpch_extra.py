@@ -754,6 +754,63 @@ def jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jsonl_corrupt_quarantine",
+    """
+    SELECT doc_id, text, lang, source, n_chars,
+           (SELECT COUNT(*) FROM documents WHERE doc_id % 13 = 0)
+             AS n_corrupt
+    FROM documents
+    WHERE doc_id % 13 <> 0
+    """,
+)
+def jsonl_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine rail of the JSONL reader EXERCISED: documents are
+    serialized to JSONL lines, every doc_id%13==0 line is deterministically
+    mangled (truncated mid-object — the torn-write / bad-shard shape a
+    100-TB crawl land inevitably contains), the shards are re-read with
+    the PERMISSIVE schema-explicit reader, and the corrupt split is
+    value-checked: the clean rail must be exactly the untouched survivors
+    (any silent null-row leak hash-mismatches) and n_corrupt must equal
+    the planted count (any swallowed bad line mismatches). Complements
+    jsonl_corpus_roundtrip, which pins the zero-corruption fidelity path;
+    distributed end to end — the mangling is a column expression, never
+    a driver pass."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from extract_permits_spark.sinks.corpus_io import (
+        read_jsonl_corpus,
+        split_corrupt,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.to_json(
+        F.struct("doc_id", "text", "lang", "source", "n_chars")
+    )
+    mangled = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.substring(line, 1, (F.length(line) / 2).cast("int")),
+    ).otherwise(line)
+    path = tempfile.mkdtemp(prefix="jsonl_quar_") + "/corpus"
+    docs.repartition(3).select(mangled.alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    clean, bad = split_corrupt(read_jsonl_corpus(spark, path, schema))
+    n_bad = bad.count()  # bounded scalar (shard QA gate), not a hot path
+    return clean.withColumn("n_corrupt", F.lit(n_bad).cast("long"))
+
+
+@register(
     "q13_custdist",
     """
     SELECT c_count, COUNT(*) AS custdist
