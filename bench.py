@@ -405,7 +405,15 @@ def main() -> None:
         # region anyway (the union re-scans cost nothing measured)
         amp_lazy.write.parquet(os.path.join(cur_dir, "documents.parquet"))
         # settle AFTER the 10x materialization write — the write's heap
-        # churn is exactly what made this row GC-phase-sensitive
+        # churn is exactly what made this row GC-phase-sensitive. HARD
+        # settle here (r10): System.gc() is advisory and one call after
+        # a full-bench sitting's churn only partially drains old-gen —
+        # the residue triggers full GCs inside the fixpoint's many small
+        # jobs and produced the documented ~1-in-8 2-3x tail (r9g,
+        # r10b). Two nudges with a breath between them, all outside the
+        # timed region.
+        _settle()
+        time.sleep(1.0)
         _settle()
         try:
             t0 = time.time()
