@@ -105,11 +105,11 @@ _CHECK_FIRST = [
     "docs_incremental_dedup",
     "vocab_bpe_pairs",
     "dedup_winnowing",
-    "emb_prototypicality",
     "dedup_semantic",
     # --- changed this round ---
     "stream_decontaminate_ingest",
     "stream_ann_index_ingest",
+    "stream_neardup_ingest",
     "emb_neardup_lsh",
     # --- new this round ---
     "emb_cross_decontaminate",
@@ -121,8 +121,9 @@ _CHECK_FIRST = [
 ]
 
 # r11 NOTE: continue the staleness rotation — next up are ev_retention
-# (the one r6-cohort entry displaced from the r10 window by
-# jsonl_corrupt_quarantine) and then the COMPLETE r7 cohort
+# and emb_prototypicality (the two r6-cohort entries displaced from the
+# r10 window by jsonl_corrupt_quarantine and the changed
+# stream_neardup_ingest) and then the COMPLETE r7 cohort
 # (46 entries: ev_cube, q6_forecast_revenue, the TPC-H
 # adaptations q4/q7/q8/q9/q10/q13/q14/q15/q16/q17/q19/q22/q2,
 # docs_pii_redact, w6_rank_family, ev_transitions, x5_scd2_intervals,
@@ -2231,13 +2232,15 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
         shutil.rmtree(os.path.join(src, sub), ignore_errors=True)
 
-    name = f"stream_neardup_{abs(hash(sf_dir)) % 10**8}"
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    q = run_neardup_ingest_available_now(
-        spark, src, static_docs, os.path.join(work, "ckpt"), table_name=name
+    out = os.path.join(work, "out")
+    q, static_bands = run_neardup_ingest_available_now(
+        spark, src, static_docs, os.path.join(work, "ckpt"), out_path=out
     )
     q.awaitTermination(300)
-    return spark.table(name)
+    static_bands.unpersist()
+    # project off the idempotency partition key — the oracle is the batch
+    # scoring contract, which has no notion of micro-batches
+    return spark.read.parquet(out).select("doc_id", "is_neardup")
 
 
 # ===========================================================================

@@ -63,7 +63,14 @@ def run_cdc_apply_available_now(
     """Drain the events backlog, maintaining a current-state-per-user
     parquet snapshot via foreachBatch. Each batch: read prior snapshot →
     latest-wins merge → write to a scratch dir → atomic directory swap
-    (never read and overwrite the same files in one job)."""
+    (never read and overwrite the same files in one job).
+
+    Replay semantics: foreachBatch is at-least-once, and this sink is
+    idempotent WITHOUT batch_id scoping because the merge is — replaying
+    a batch against a snapshot that already incorporates it re-derives
+    the same latest-wins winners (deterministic tie-break), so the swap
+    installs an identical snapshot. The scratch/old dirs are
+    batch_id-named so a replay never collides with its own leftovers."""
     from .events import read_events_stream
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:

@@ -628,3 +628,43 @@ def test_semantic_decon_ingest_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert after == before
+
+
+def test_neardup_ingest_replay_is_idempotent(spark, tmp_path):
+    """Same at-least-once contract for the near-dup gate: replaying a
+    micro-batch with its original batch_id overwrites its own partition
+    instead of appending duplicate (doc_id, is_neardup) rows."""
+    from extract_permits_spark.functions.similarity import minhash_md5_bands
+    from extract_permits_spark.streaming.neardup_ingest import (
+        apply_neardup_batch,
+    )
+
+    static = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    b0 = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(101, "completely different words appear here only")],
+        "doc_id long, text string",
+    )
+    idx = minhash_md5_bands(static)
+    out = str(tmp_path / "out")
+    apply_neardup_batch(b0, 0, idx, out)
+    apply_neardup_batch(b1, 1, idx, out)
+    before = sorted(
+        (r["doc_id"], r["is_neardup"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert before == [(100, True), (101, False)]
+
+    # the replay: batch 0 arrives again with the same batch_id
+    apply_neardup_batch(b0, 0, idx, out)
+    after = sorted(
+        (r["doc_id"], r["is_neardup"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert after == before
