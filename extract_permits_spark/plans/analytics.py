@@ -104,7 +104,6 @@ _CHECK_FIRST = [
     "docs_host_cap",
     "docs_incremental_dedup",
     "vocab_bpe_pairs",
-    "dedup_winnowing",
     "dedup_semantic",
     # --- changed this round ---
     "stream_decontaminate_ingest",
@@ -118,11 +117,12 @@ _CHECK_FIRST = [
     "stream_semantic_decon_ingest",
     "docs_source_overlap_matrix",
     "jsonl_corrupt_quarantine",
+    "sample_negatives",
 ]
 
-# r11 NOTE: continue the staleness rotation — next up are ev_retention
-# and emb_prototypicality (the two r6-cohort entries displaced from the
-# r10 window by jsonl_corrupt_quarantine and the changed
+# r11 NOTE: continue the staleness rotation — next up are ev_retention,
+# emb_prototypicality and dedup_winnowing (the three r6-cohort entries
+# displaced from the r10 window by the r10-new entries and the changed
 # stream_neardup_ingest) and then the COMPLETE r7 cohort
 # (46 entries: ev_cube, q6_forecast_revenue, the TPC-H
 # adaptations q4/q7/q8/q9/q10/q13/q14/q15/q16/q17/q19/q22/q2,
@@ -2443,6 +2443,77 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < 90, "valid")
         .otherwise("test")
         .alias("split"),
+    )
+
+
+@register(
+    "sample_negatives",
+    """
+    WITH ranked AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY vec_id) - 1 AS idx,
+             COUNT(*) OVER () AS n
+      FROM embeddings
+    ),
+    draws AS (
+      SELECT a.vec_id, d.draw_idx,
+             ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || ':'
+                                 || CAST(d.draw_idx AS VARCHAR)), 1, 15))::BIGINT
+               % a.n AS neg_idx
+      FROM ranked a, (SELECT unnest(range(4)) AS draw_idx) d
+    )
+    SELECT d.vec_id, CAST(d.draw_idx AS INT) AS draw_idx,
+           r.vec_id AS neg_id,
+           d.vec_id = r.vec_id AS is_self
+    FROM draws d JOIN ranked r ON r.idx = d.neg_idx
+    """,
+)
+def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for contrastive training: every
+    anchor draws k=4 pseudo-random corpus rows via the cross-engine md5
+    hash of (anchor_id, draw_idx) mod corpus size, mapped back to ids
+    through a rank table — reproducible across engines, epochs and
+    retries (no RNG state to checkpoint), uniform over the corpus, and
+    the vectors themselves never move: the only join ships (idx, id)
+    pairs. Self-draws are flagged, not silently redrawn — the trainer
+    decides (redraw shifts every later draw; masking is the stable
+    contract). At 100 TB the global rank becomes the two-pass
+    distributed-offset spelling (docs_shard_shuffle's note) and the
+    rank map joins on idx; a near-dup exclusion (false negatives)
+    composes by anti-joining the dedup pair sets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # bounded scalar: corpus size for the modulus
+    w = Window.orderBy("vec_id")
+    ranked = emb.select(
+        "vec_id", (F.row_number().over(w) - 1).cast("long").alias("idx")
+    )
+    draws = ranked.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("draw_idx"),
+    ).select(
+        "vec_id",
+        "draw_idx",
+        F.pmod(
+            simfn.md5_long60(
+                F.concat(
+                    F.col("vec_id").cast("string"),
+                    F.lit(":"),
+                    F.col("draw_idx").cast("string"),
+                )
+            ),
+            F.lit(int(n)),
+        ).alias("_neg_idx"),
+    )
+    return draws.join(
+        ranked.select(
+            F.col("idx").alias("_neg_idx"), F.col("vec_id").alias("neg_id")
+        ),
+        "_neg_idx",
+    ).select(
+        "vec_id",
+        F.col("draw_idx").cast("int").alias("draw_idx"),
+        "neg_id",
+        (F.col("vec_id") == F.col("neg_id")).alias("is_self"),
     )
 
 
