@@ -76,6 +76,13 @@ CHECKS = {
     # wide, broadcast-joined query batch, WindowGroupLimit serving
     "emb_ivfpq_topk": ["ArrowEvalPython", "TakeOrderedAndProject"],
     "emb_ivfpq_batch_topk": ["ArrowEvalPython", "WindowGroupLimit"],
+    # r10: cross-dataset semantic decon (Arrow sig kernel + bucket join),
+    # salted join (hash family on the widened key), shard manifest
+    # (rank window + 8-group aggregate), negative sampler (rank join)
+    "emb_cross_decontaminate": ["ArrowEvalPython", "Generate", "HashJoin"],
+    "j11_salted_skew_join": ["HashAggregate", "Generate"],
+    "docs_shard_manifest": ["Window", "HashAggregate"],
+    "sample_negatives": ["Window", "HashJoin"],
 }
 
 
