@@ -210,3 +210,16 @@ def test_ivfpq_recall_floor_and_ivf_dominance(spark):
     assert 0.30 <= got["recall"] <= 1.0
     ivf = analytics.ann_ivf_recall(spark, SF_DIR).first()["recall"]
     assert got["recall"] <= ivf
+
+
+def test_lsh_cross_hits_empty_probe_all_clean(spark):
+    """An empty eval suite must yield every corpus row with n_hits=0 and
+    is_contaminated=false — not an empty frame and not an error (the
+    gate must be total when a benchmark list is momentarily empty)."""
+    corpus = load_table(spark, SF_DIR, "embeddings").limit(10).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    empty = corpus.where(F.lit(False))
+    got = simfn.lsh_cross_hits(empty, corpus, min_cosine=0.5).collect()
+    assert len(got) == 10
+    assert all(r["n_hits"] == 0 and r["is_contaminated"] is False for r in got)

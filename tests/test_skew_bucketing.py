@@ -140,3 +140,15 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_with_skew_hint_plans_rebalance(spark):
+    """with_skew_hint attaches a REBALANCE hint that survives analysis —
+    the logical plan must carry RebalancePartitions on the keys (AQE
+    consumes it at exchange planning time)."""
+    from extract_permits_spark.operators import skew
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    hinted = skew.with_skew_hint(df, ["k"])
+    logical = hinted._jdf.queryExecution().analyzed().toString()
+    assert "RebalancePartitions" in logical, logical
