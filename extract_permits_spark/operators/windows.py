@@ -60,6 +60,62 @@ def duplicate_pair_flag(
     return df.withColumn(out_col, F.count(F.lit(1)).over(w) > 1)
 
 
+def distributed_rank(
+    df: DataFrame,
+    order_exprs: Sequence,
+    out_col: str,
+    zero_based: bool = False,
+    total_col: str | None = None,
+) -> DataFrame:
+    """Global ``row_number()`` over an explicit TOTAL order without a
+    single-partition window — the 100-TB spelling of
+    ``Window.orderBy(...)``: range-repartition on the sort keys, sort
+    within partitions, derive (partition id, partition-local 0-based
+    index) from ``monotonically_increasing_id`` (pid in the high bits, a
+    pipeline-order counter — here the sorted order, since the sort sits
+    directly below — in the low 33), and add broadcast cumulative
+    partition offsets. ONE wide shuffle total (the range exchange
+    itself); the per-partition counts reduce map-side, so the offset
+    frame is #partitions rows and its cumulative window is trivially
+    bounded. Output is bit-identical to the single-partition window
+    whenever ``order_exprs`` is a total order — break ties with a unique
+    id (with ties, both spellings are nondeterministic anyway).
+
+    ``order_exprs`` accepts Columns, including ``.desc()`` sort orders
+    and computed keys (e.g. ``F.md5(...)``). ``total_col`` optionally
+    attaches the global row count as a column — free here (a sum over
+    the same tiny offsets frame), and saves callers a separate
+    ``df.count()`` driver job (e.g. sample_negatives' modulus).
+    """
+    ordered = (
+        df.repartitionByRange(*order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("_dr_mid", F.monotonically_increasing_id())
+        .withColumn("_dr_pid", F.shiftright("_dr_mid", 33).cast("int"))
+        .withColumn(
+            "_dr_lrn", F.col("_dr_mid").bitwiseAND(F.lit((1 << 33) - 1))
+        )
+    )
+    counts = ordered.groupBy("_dr_pid").agg(F.count(F.lit(1)).alias("_dr_cnt"))
+    w_off = Window.orderBy("_dr_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_dr_off", F.coalesce(F.sum("_dr_cnt").over(w_off), F.lit(0))
+    )
+    keep = ["_dr_pid", "_dr_off"]
+    if total_col is not None:
+        w_all = Window.orderBy("_dr_pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offsets = offsets.withColumn(total_col, F.sum("_dr_cnt").over(w_all))
+        keep.append(total_col)
+    rank = F.col("_dr_off") + F.col("_dr_lrn") + F.lit(0 if zero_based else 1)
+    return (
+        ordered.join(F.broadcast(offsets.select(*keep)), "_dr_pid")
+        .withColumn(out_col, rank.cast("long"))
+        .drop("_dr_mid", "_dr_pid", "_dr_lrn", "_dr_off")
+    )
+
+
 def global_line_numbers(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -71,27 +127,16 @@ def global_line_numbers(
     Reference: ``# [LLINE] = range(1, n+1)``,
     chicago/legacy_permits/helper.py:167,171.
 
-    ``distributed=True`` switches to the scale path: sort, then compute the
-    line number as partition-offset + local row_number, avoiding the
-    single-partition window. Offsets come from per-partition counts — one
-    tiny extra job, no wide shuffle beyond the sort itself.
+    ``distributed=True`` switches to the scale path (``distributed_rank``):
+    sort, then compute the line number as partition-offset + local index,
+    avoiding the single-partition window. No wide shuffle beyond the range
+    exchange behind the sort itself.
     """
     if not distributed:
         w = Window.orderBy(*order_cols)
         return df.withColumn(out_col, F.row_number().over(w))
-    ordered = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
-    wp = Window.partitionBy(F.spark_partition_id()).orderBy(*order_cols)
-    with_local = ordered.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_local_rn", F.row_number().over(wp)
-    )
-    counts = with_local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
-    return (
-        with_local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
-        .withColumn(out_col, (F.col("_off") + F.col("_local_rn")).cast("int"))
-        .drop("_pid", "_local_rn", "_off")
-    )
+    ranked = distributed_rank(df, list(order_cols), out_col)
+    return ranked.withColumn(out_col, F.col(out_col).cast("int"))
 
 
 def batch_ids(

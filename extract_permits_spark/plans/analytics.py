@@ -27,6 +27,7 @@ from extract_permits_spark.operators.joins import (
 )
 from extract_permits_spark.operators.reshape import explode_multi_value
 from extract_permits_spark.operators.windows import (
+    distributed_rank,
     duplicate_pair_flag,
     first_row_per_group,
 )
@@ -2477,19 +2478,22 @@ def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vectors themselves never move: the only join ships (idx, id)
     pairs. Self-draws are flagged, not silently redrawn — the trainer
     decides (redraw shifts every later draw; masking is the stable
-    contract). At 100 TB the global rank becomes the two-pass
-    distributed-offset spelling (docs_shard_shuffle's note) and the
-    rank map joins on idx; a near-dup exclusion (false negatives)
-    composes by anti-joining the dedup pair sets."""
+    contract). The global rank is the distributed-offset spelling
+    (operators/windows.py:distributed_rank — no single-partition
+    window), and the modulus n rides along as its free total-count
+    column instead of a separate driver-side count() job; the rank map
+    joins on idx so the vectors themselves never move. A near-dup
+    exclusion (false negatives) composes by anti-joining the dedup pair
+    sets."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()  # bounded scalar: corpus size for the modulus
-    w = Window.orderBy("vec_id")
-    ranked = emb.select(
-        "vec_id", (F.row_number().over(w) - 1).cast("long").alias("idx")
+    ranked = distributed_rank(
+        emb.select("vec_id"), [F.col("vec_id")], "idx",
+        zero_based=True, total_col="_n",
     )
     draws = ranked.select(
         "vec_id",
         F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("draw_idx"),
+        "_n",
     ).select(
         "vec_id",
         "draw_idx",
@@ -2501,7 +2505,7 @@ def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("draw_idx").cast("string"),
                 )
             ),
-            F.lit(int(n)),
+            F.col("_n"),
         ).alias("_neg_idx"),
     )
     return draws.join(
@@ -4126,15 +4130,17 @@ def docs_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards. Round-robin on the *shuffled* rank gives every shard an
     unbiased sample AND equal size (±1) by construction.
 
-    At 100 TB the single global row_number window is the one piece that
-    must change shape: the production spelling is the two-pass
-    distributed-offset rank (operators/windows.py:global_line_numbers
-    offers exactly that path); the md5 sort keys are near-uniform so the
-    range partitioning behind the sort is skew-free."""
+    The global rank is the distributed-offset spelling
+    (operators/windows.py:distributed_rank — range exchange + local
+    index + broadcast partition offsets), NOT a single-partition
+    row_number window: identical output under this total order (md5 key,
+    doc_id tiebreak), one wide shuffle, no one-reducer funnel at 100 TB.
+    The md5 sort keys are near-uniform so the range partitioning behind
+    the sort is skew-free."""
     d = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy(F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id")
-    return d.select(
-        "doc_id", (F.row_number().over(w) - 1).cast("long").alias("shuffle_rank")
+    key = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    return distributed_rank(
+        d.select("doc_id"), [key, F.col("doc_id")], "shuffle_rank", zero_based=True
     ).select(
         "doc_id",
         "shuffle_rank",
@@ -4175,13 +4181,11 @@ def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     number of times inside one shard cancels out of the hash — n_docs
     catches that case.) Shard assignment is docs_shard_shuffle's
     md5-ranked round-robin, recomputed here so the manifest is
-    self-contained; at 100 TB the global rank becomes the two-pass
-    distributed-offset spelling and the 8-group aggregate is map-side
-    partial everywhere."""
+    self-contained; the global rank is the distributed-offset spelling
+    (operators/windows.py:distributed_rank — no single-partition window)
+    and the 8-group aggregate is map-side partial everywhere."""
     d = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
-    )
+    key = F.md5(F.col("doc_id").cast("string").cast("binary"))
     h = simfn.md5_long60(
         F.concat(
             F.col("doc_id").cast("string"),
@@ -4189,12 +4193,14 @@ def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("text"), F.lit("")),
         )
     )
+    base = d.select(
+        F.col("doc_id"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("_len"),
+        h.alias("_h"),
+    )
     return (
-        d.select(
-            F.col("doc_id"),
-            (F.row_number().over(w) - 1).cast("long").alias("_rank"),
-            F.length(F.coalesce(F.col("text"), F.lit(""))).alias("_len"),
-            h.alias("_h"),
+        distributed_rank(
+            base, [key, F.col("doc_id")], "_rank", zero_based=True
         )
         .groupBy(F.pmod("_rank", F.lit(8)).cast("int").alias("shard_id"))
         .agg(
@@ -4227,10 +4233,16 @@ def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum binning: quartile buckets over a quality signal
     (stopword ratio — natural-language-likeness), highest-quality bin
-    first. ntile over a global order; at scale the same two-pass
-    distributed-offset trick as docs_shard_shuffle applies (or
-    percentile_approx cutpoints + a map-side CASE, which avoids the
-    global sort entirely)."""
+    first. The ntile runs on the distributed-offset rank
+    (operators/windows.py:distributed_rank), not a single-partition
+    window: with rn the 1-based global rank, n the row count, q = n div 4
+    and r = n mod 4, SQL ntile(4) assigns the first r buckets q+1 rows
+    and the rest q — i.e. bucket = ceil(rn/(q+1)) while rn ≤ r·(q+1),
+    else r + ceil((rn − r·(q+1))/q). Pure map-side arithmetic once the
+    rank and the (free) total column exist; bit-identical to ntile under
+    this total order (ratio desc, doc_id tiebreak). An approximate
+    variant (percentile_approx cutpoints + map-side CASE) would avoid
+    the global sort entirely, at the cost of exactness."""
     d = load_table(spark, sf_dir, "documents")
     from extract_permits_spark.functions.similarity import tokens
 
@@ -4244,10 +4256,21 @@ def docs_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
     )
-    w = Window.orderBy(F.col("stopword_ratio").desc(), "doc_id")
-    return (
-        d.select("doc_id", ratio.alias("stopword_ratio"))
-        .withColumn("quality_bin", F.ntile(4).over(w).cast("long"))
+    ranked = distributed_rank(
+        d.select("doc_id", ratio.alias("stopword_ratio")),
+        [F.col("stopword_ratio").desc(), F.col("doc_id")],
+        "_rn",
+        total_col="_n",
+    )
+    q = F.floor(F.col("_n") / 4).cast("long")
+    r = (F.col("_n") % 4).cast("long")
+    boundary = r * (q + 1)
+    ceil_div = lambda a, b: ((a + b - F.lit(1)) / b).cast("long")  # noqa: E731
+    tile = F.when(F.col("_rn") <= boundary, ceil_div(F.col("_rn"), q + 1)).otherwise(
+        r + ceil_div(F.col("_rn") - boundary, F.greatest(q, F.lit(1)))
+    )
+    return ranked.select(
+        "doc_id", "stopword_ratio", tile.cast("long").alias("quality_bin")
     )
 
 

@@ -597,3 +597,82 @@ def test_salted_join_plans_as_hash_join_on_salted_key(spark):
         or "BroadcastHashJoin" in plan
         or "ShuffledHashJoin" in plan
     )
+
+
+# ---------------------------------------------------------------------------
+# r10-VERDICT ask #1: no registry plan may funnel an unbounded table
+# through a partition-less Window (single-reducer global sort at 100 TB).
+# ---------------------------------------------------------------------------
+
+
+def _iter_plan(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _iter_plan(node.children().apply(i))
+
+
+def _subtree_bounded(node) -> bool:
+    """A partition-less Window is safe when its INPUT is bounded by
+    construction: a grouped Aggregate below it caps rows at group
+    cardinality (distributed_rank's per-partition-count offset frames,
+    sample_mixture_weights' per-source counts), and a GlobalLimit below
+    it caps rows outright (the RAG shortlist/rerank windows)."""
+    for sub in _iter_plan(node):
+        kind = sub.getClass().getSimpleName()
+        if kind == "GlobalLimit":
+            return True
+        if kind == "Aggregate" and sub.groupingExpressions().size() > 0:
+            return True
+    return False
+
+
+def _partitionless_windows_over_unbounded(df) -> int:
+    plan = df._jdf.queryExecution().optimizedPlan()
+    n = 0
+    for node in _iter_plan(plan):
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().size() == 0
+            and not _subtree_bounded(node.children().apply(0))
+        ):
+            n += 1
+    return n
+
+
+def test_no_partitionless_window_over_unbounded_input(spark):
+    """Every registry entry's optimized logical plan: a Window with an
+    empty partitionSpec whose child subtree is NOT bounded (no grouped
+    Aggregate, no GlobalLimit below it) is a single-reducer funnel — the
+    docs_shard_shuffle/docs_shard_manifest/docs_quality_bins/
+    sample_negatives class fixed in r11 via distributed_rank. By-name
+    exemption: w3_line_numbers_batches keeps the reference's review-file
+    semantics (global LLINE over a ≤few-thousand-row upload file,
+    reference batch size 250 — chicago/legacy_permits/helper.py:167);
+    its scale path exists as global_line_numbers(distributed=True)."""
+    exempt = {"w3_line_numbers_batches"}
+    offenders = {}
+    for name, fn in analytics.queries().items():
+        if name in exempt:
+            continue
+        df = fn(spark, SF_DIR)
+        bad = _partitionless_windows_over_unbounded(df)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"unbounded partition-less Window in: {offenders}"
+
+
+def test_partitionless_window_detector_catches_planted_violation(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    planted = docs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    assert _partitionless_windows_over_unbounded(planted) == 1
+    # and the exempt-by-construction shapes stay exempt
+    agg = docs.groupBy("source").count()
+    bounded = agg.withColumn(
+        "rn", F.row_number().over(Window.orderBy("source"))
+    )
+    assert _partitionless_windows_over_unbounded(bounded) == 0

@@ -82,6 +82,45 @@ def test_global_line_numbers_both_paths(spark):
     )
 
 
+def test_distributed_rank_matches_global_window(spark):
+    """distributed_rank must be bit-identical to Window.orderBy row_number
+    under a total order — including desc sort orders and computed
+    (expression) keys — and total_col must equal the global row count.
+    Shuffled multi-partition input so partition-local indices genuinely
+    need the offsets."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 500)
+        .repartition(7)  # scramble away from insertion order
+        .select(
+            F.col("id"),
+            F.md5(F.col("id").cast("string").cast("binary")).alias("h"),
+        )
+    )
+    order = [F.col("h").desc(), F.col("id")]
+    want = {
+        (r["id"], r["rn"])
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    got = windows.distributed_rank(df, order, "rn", total_col="n").collect()
+    assert {(r["id"], r["rn"]) for r in got} == want
+    assert {r["n"] for r in got} == {500}
+    # zero_based shifts every rank down by one, nothing else
+    got0 = windows.distributed_rank(df, order, "rn", zero_based=True).collect()
+    assert {(r["id"], r["rn"] + 1) for r in got0} == want
+
+
+def test_distributed_rank_empty_frame(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10).where(F.col("id") < 0)
+    assert windows.distributed_rank(df, [F.col("id")], "rn").count() == 0
+
+
 def test_batch_ids_renumber(spark):
     # reference: 250-row upload batches with per-batch renumbered lines
     df = spark.createDataFrame([(i,) for i in range(600)], ["k"])
