@@ -972,7 +972,7 @@ def lsh_cross_hits(
     num_planes: int = 16,
     seed: int = 42,
     min_cosine: float = 0.8,
-    max_bucket_size: int = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Cross-dataset embedding near-dup probe — SEMANTIC decontamination:
     for every corpus (training) vector, count the probe (eval) vectors
@@ -985,14 +985,40 @@ def lsh_cross_hits(
     Scale shape: the PROBE side (eval suites — always the small side)
     explodes the Hamming-1 ball of its signatures (1+num_planes variants
     per table) and equi-joins the corpus's exact signatures, so the
-    corpus is never self-joined and no pairwise comparison happens;
-    degenerate corpus buckets are capped like the self-join path (the cap
-    never binds on the fixtures, so the pairwise-replay oracle is exact).
+    corpus is never self-joined and no pairwise comparison happens.
     Candidates dedup to (corpus, probe) pairs before the one cosine fold
     per pair. Signatures come from the same ``_lsh_sig_frame`` as
     ``lsh_neardup_pairs`` — the batch dedup and the decontamination gate
-    can never drift."""
-    dim = len_planes_dim(corpus, vec_col)
+    can never drift.
+
+    ``max_bucket_size`` defaults to None — UNCAPPED: a decontamination
+    gate that silently drops oversized corpus buckets skips exactly the
+    degenerate (near-identical) vectors most likely to be leaked eval
+    content, and a cap computed over "the corpus" diverges between the
+    batch path (full training split) and a per-micro-batch stream, which
+    would break the stream ≡ batch equivalence the ingest gate relies
+    on. Uncapped, per-vector decisions depend on nothing but the static
+    probe side, so the equivalence is unconditional and the pairwise
+    oracle is exact at any scale. A degenerate bucket costs candidates
+    proportional to its size × the (small) probe side — pass an explicit
+    cap only for throughput triage, never on a correctness gate.
+
+    The plane dimensionality comes from the PROBE side — the static,
+    usually-non-empty eval suite — so an empty corpus micro-batch cannot
+    poison the dim probe (head() on an empty frame has no row); an empty
+    probe falls back to the corpus, and with BOTH sides empty the gate
+    stays total (every corpus row — none — scored clean)."""
+    dim_row = (
+        probe.select(F.size(F.col(vec_col)).alias("d")).head()
+        or corpus.select(F.size(F.col(vec_col)).alias("d")).head()
+    )
+    if dim_row is None:
+        return corpus.select(
+            id_col,
+            F.lit(0).cast("long").alias("n_hits"),
+            F.lit(False).alias("is_contaminated"),
+        )
+    dim = int(dim_row["d"])
     csig = _lsh_sig_frame(
         corpus, id_col, vec_col, num_tables, num_planes, seed, dim
     )
@@ -1012,9 +1038,12 @@ def lsh_cross_hits(
             )
         ).alias("_b"),
     ).select(F.col(id_col).alias("_cid"), F.col("_b.t"), F.col("_b.sig"))
-    sized = c_bucketed.withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy("t", "sig"))
-    ).where(F.col("_n") <= max_bucket_size)
+    if max_bucket_size is None:
+        sized = c_bucketed
+    else:
+        sized = c_bucketed.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("t", "sig"))
+        ).where(F.col("_n") <= max_bucket_size).drop("_n")
     # probe side explodes the Hamming-≤1 ball: variant == exact corpus sig
     # realizes |sig_c ^ sig_p| ≤ 1 without any pairwise scan
     p_variants = psig.select(

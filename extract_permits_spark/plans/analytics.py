@@ -60,84 +60,75 @@ def register(name: str, sql: str | None = None):
 # round; _CHECK_FIRST controls that window and is rotated each round so
 # every entry earns a driver row (see the r9 NOTE below the list).
 _CHECK_FIRST = [
-    # r10 window: staleness rotation — ALL 42 entries last witnessed in
-    # CORRECTNESS_r06 (the oldest cohort, registry order), then the 3
-    # entries whose implementation changed this round (both streaming
-    # ingest paths went idempotent-on-replay; emb_neardup_lsh's signature
-    # block was factored into _lsh_sig_frame), then the 2 r10-new
-    # entries, then the first 3 of the r7 cohort. ~3.5-round cadence.
-    # --- r6 cohort (longest unwitnessed, complete) ---
-    "stream_stateful_totals",
-    "a8_salted_agg",
-    "j7_asof_join",
-    "ev_rollup",
-    "j8_range_join",
-    "sample_hash_split",
-    "sample_stratified",
-    "a7_quantiles",
-    "text_clean_mask",
-    "sketch_approx_quantiles",
-    "sketch_hll_region_distinct",
-    "docs_chunk",
-    "dedup_exact_keep_first",
-    "docs_pretrain_filter",
-    "x4_pivot",
-    "w5_rolling",
-    "u3_intersect",
-    "dedup_cluster_components",
-    "dedup_cluster_canonical",
-    "pack_sequences",
-    "sample_interleave",
-    "emb_quantize",
-    "text_repetition",
-    "docs_segment_dedup",
-    "sketch_topk_tokens",
-    "sample_mixture_weights",
-    "ev_hopping_agg",
-    "ev_session_window",
-    "stream_session_agg",
-    "docs_url_dedup",
-    "docs_dsir_weights",
-    "emb_pq_codes",
-    "emb_pq_adc_topk",
-    "docs_shard_shuffle",
-    "docs_quality_bins",
-    "docs_host_cap",
-    "docs_incremental_dedup",
-    "vocab_bpe_pairs",
-    "dedup_semantic",
+    # r11 window (6 changed + 3 stale + 41 oldest = 50): the 6 entries
+    # whose implementation changed this round (the four global ranks
+    # rewired onto distributed_rank — docs_shard_shuffle,
+    # docs_shard_manifest, docs_quality_bins, sample_negatives — plus
+    # both semantic-decon gates, now uncapped with the dim probe on the
+    # eval side), then the 3 r6-cohort entries displaced from the r10
+    # window (last witnessed CORRECTNESS_r06), then the first 41 of the
+    # 46-entry r7 cohort in driver order. ~3.5-round cadence.
     # --- changed this round ---
-    "stream_decontaminate_ingest",
-    "stream_ann_index_ingest",
-    "stream_neardup_ingest",
-    "emb_neardup_lsh",
-    # --- new this round ---
-    "emb_cross_decontaminate",
-    "j11_salted_skew_join",
+    "docs_shard_shuffle",
     "docs_shard_manifest",
-    "stream_semantic_decon_ingest",
-    "docs_source_overlap_matrix",
-    "jsonl_corrupt_quarantine",
+    "docs_quality_bins",
     "sample_negatives",
+    "emb_cross_decontaminate",
+    "stream_semantic_decon_ingest",
+    # --- r6 cohort (last witnessed r6, displaced from the r10 window) ---
+    "ev_retention",
+    "emb_prototypicality",
+    "dedup_winnowing",
+    # --- r7 cohort (last witnessed r7, driver order, first 41 of 46) ---
+    "docs_pii_redact",
+    "ev_cube",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "w6_rank_family",
+    "ev_transitions",
+    "x5_scd2_intervals",
+    "j9_fuzzy_symspell",
+    "graph_pagerank",
+    "stream_stream_join",
+    "ev_time_weighted_avg",
+    "x6_merge_upsert",
+    "a9_mode",
+    "j10_null_safe_join",
+    "stream_cdc_apply",
+    "ev_variant_agg",
+    "vocab_bpe_train",
+    "a10_regression",
+    "sketch_cms_topk",
+    "ev_attribution",
+    "x7_date_spine",
+    "a11_histogram",
+    "sample_leakage_safe_split",
+    "profile_documents",
+    "ev_anomaly_zscore",
+    "graph_triangles",
+    "j7b_asof_forward",
+    "q1_incremental_maintenance",
+    "ev_dau_wau",
+    "docs_dup_rate_by_source",
+    "sample_weighted_per_source",
+    "q4_priority_exists",
+    "q7_nation_trade",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q14_promo_revenue",
+    "q17_small_quantity",
+    "q19_disjunctive",
+    "q22_idle_customers",
+    "q15_top_supplier",
+    "q2_min_balance_supplier",
 ]
 
-# r11 NOTE: continue the staleness rotation — next up are ev_retention,
-# emb_prototypicality and dedup_winnowing (the three r6-cohort entries
-# displaced from the r10 window by the r10-new entries and the changed
-# stream_neardup_ingest) and then the COMPLETE r7 cohort
-# (46 entries: ev_cube, q6_forecast_revenue, the TPC-H
-# adaptations q4/q7/q8/q9/q10/q13/q14/q15/q16/q17/q19/q22/q2,
-# docs_pii_redact, w6_rank_family, ev_transitions, x5_scd2_intervals,
-# j9_fuzzy_symspell, graph_pagerank, stream_stream_join,
-# ev_time_weighted_avg, x6_merge_upsert, a9_mode, j10_null_safe_join,
-# stream_cdc_apply, ev_variant_agg, vocab_bpe_train, a10_regression,
-# sketch_cms_topk, ev_attribution, x7_date_spine, a11_histogram,
-# sample_leakage_safe_split, profile_documents, ev_anomaly_zscore,
-# graph_triangles, j7b_asof_forward, q1_incremental_maintenance,
-# ev_dau_wau, docs_dup_rate_by_source, sample_weighted_per_source,
-# jsonl_corpus_roundtrip, ev_gap_fill, ev_entropy), then the oldest r8
-# entries to fill 50; as always, pull in any entry whose implementation
-# changed since its last driver row.
+# r12 NOTE: continue the staleness rotation — next up are the 5 r7-cohort
+# entries displaced from this window (jsonl_corpus_roundtrip, q13_custdist,
+# q16_supplier_cnt, ev_gap_fill, ev_entropy), then the oldest r8 cohort
+# (45 more to fill 50); as always, any entry whose implementation changed
+# since its last driver row jumps the queue.
+
 
 
 def _reordered(d: dict) -> dict:
@@ -3529,8 +3520,11 @@ def stream_semantic_decon_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrive through a file stream in multiple micro-batches
     (maxFilesPerTrigger=1) and each batch is probed against the STATIC
     eval suite (vec_id%10==0) with the exact batch operator
-    (similarity.lsh_cross_hits — per-vector decisions are independent,
-    so stream ≡ batch by construction). The oracle is
+    (similarity.lsh_cross_hits — per-vector decisions are independent
+    and, with the gate UNCAPPED — no corpus-bucket-size filter whose
+    binding point would depend on how much corpus a frame happens to
+    hold — depend on nothing but the static probe side, so stream ≡
+    batch unconditionally, at any scale). The oracle is
     emb_cross_decontaminate's pairwise replay verbatim — proving the
     ingest-time incremental decision equals the full-corpus batch
     conclusion, the same invariant the n-gram gate

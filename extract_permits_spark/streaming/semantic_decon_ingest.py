@@ -47,9 +47,18 @@ def apply_semantic_decon_batch(
     (lsh_cross_hits — probe-side Hamming-ball bucket join, one cosine
     fold per candidate) and land it at ``out_path`` idempotently via a
     batch_id-scoped dynamic partition overwrite. Module-level so the
-    replay contract is unit-testable."""
+    replay contract is unit-testable.
+
+    An EMPTY micro-batch returns without writing (writing nothing is
+    replay-safe): the availableNow file source used here always delivers
+    file-backed batches, but processing-time triggers can deliver empty
+    ones, and scoring an empty corpus frame has nothing to land. The
+    probe-side plane dimensionality is derived from ``eval_vecs`` inside
+    lsh_cross_hits, so the guard is belt-and-braces, not load-bearing."""
     from extract_permits_spark.functions.similarity import lsh_cross_hits
 
+    if bdf.isEmpty():
+        return
     (
         lsh_cross_hits(
             eval_vecs,

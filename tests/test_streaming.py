@@ -629,6 +629,17 @@ def test_semantic_decon_ingest_replay_is_idempotent(spark, tmp_path):
     )
     assert after == before
 
+    # an EMPTY micro-batch (processing-time triggers can deliver these;
+    # availableNow file batches never do) is a no-op: nothing written,
+    # nothing disturbed, no crash in the dim probe (r10 ADVICE)
+    empty = b0.where(F.col("vec_id") < 0)
+    apply_semantic_decon_batch(empty, 2, ev, out, min_cosine=0.99)
+    final = sorted(
+        (r["vec_id"], r["n_hits"], r["is_contaminated"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert final == before
+
 
 def test_neardup_ingest_replay_is_idempotent(spark, tmp_path):
     """Same at-least-once contract for the near-dup gate: replaying a
