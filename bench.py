@@ -421,6 +421,39 @@ def main() -> None:
             times_scale["llm_corpus_curation_sf1eq"] = round(time.time() - t0, 3)
         finally:
             shutil.rmtree(cur_dir, ignore_errors=True)
+        _settle()
+
+        # cross-dataset semantic decon at 10x embeddings (r11): the
+        # marquee structural-win shape — the eval side explodes the
+        # Hamming-1 ball of its signatures and equi-joins the corpus's
+        # exact signatures, while the DuckDB pair replays the identical
+        # semantics pairwise (tr x ev bit_count theta join), so this row
+        # measures the bucket-join-vs-pairwise crossover at scale.
+        # Amplified table materialized outside the timed region on both
+        # engines; the key stride is a multiple of 10 so the vec_id%10
+        # eval/train split is preserved.
+        from extract_permits_spark.functions.similarity import lsh_cross_hits
+
+        emb0 = load_table(spark, sf_dir, "embeddings")
+        amp_emb = emb0
+        for c in range(1, 10):
+            amp_emb = amp_emb.unionByName(
+                emb0.withColumn("vec_id", _F.col("vec_id") + _F.lit(c * 10**7))
+            )
+        emb_dir = tempfile.mkdtemp(prefix="bench_emb_sf1eq_")
+        amp_emb.write.parquet(os.path.join(emb_dir, "embeddings"))
+        _settle()
+        try:
+            emb_m = spark.read.parquet(os.path.join(emb_dir, "embeddings"))
+            ev_s = emb_m.where(_F.col("vec_id") % 10 == 0)
+            tr_s = emb_m.where(_F.col("vec_id") % 10 != 0)
+            t0 = time.time()
+            force(lsh_cross_hits(ev_s, tr_s, min_cosine=0.35))
+            times_scale["emb_cross_decontaminate_sf1eq"] = round(
+                time.time() - t0, 3
+            )
+        finally:
+            shutil.rmtree(emb_dir, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
     # The driver captures stdout via a tail that truncated the r6/r7 JSON

@@ -54,16 +54,13 @@ def merge_snapshot(base: DataFrame | None, updates: DataFrame) -> DataFrame:
     return latest_per_key(base.select(*cols).unionByName(updates))
 
 
-def run_cdc_apply_available_now(
-    spark: SparkSession,
-    dir_path: str,
-    checkpoint: str,
-    out_dir: str,
-):
-    """Drain the events backlog, maintaining a current-state-per-user
-    parquet snapshot via foreachBatch. Each batch: read prior snapshot →
-    latest-wins merge → write to a scratch dir → atomic directory swap
-    (never read and overwrite the same files in one job).
+def apply_cdc_batch(
+    spark: SparkSession, bdf: DataFrame, batch_id: int, out_dir: str
+) -> None:
+    """Apply one micro-batch: read prior snapshot → latest-wins merge →
+    write to a scratch dir → atomic directory swap (never read and
+    overwrite the same files in one job). Module-level so the replay
+    contract is unit-testable (tests/test_streaming.py pins it).
 
     Replay semantics: foreachBatch is at-least-once, and this sink is
     idempotent WITHOUT batch_id scoping because the merge is — replaying
@@ -71,20 +68,32 @@ def run_cdc_apply_available_now(
     the same latest-wins winners (deterministic tie-break), so the swap
     installs an identical snapshot. The scratch/old dirs are
     batch_id-named so a replay never collides with its own leftovers."""
+    live = os.path.join(out_dir, "live")
+    scratch = os.path.join(out_dir, f"_scratch_{batch_id}")
+    base = spark.read.parquet(live) if os.path.exists(live) else None
+    merged = merge_snapshot(base, bdf)
+    merged.write.mode("overwrite").parquet(scratch)
+    old = os.path.join(out_dir, f"_old_{batch_id}")
+    if os.path.exists(live):
+        os.rename(live, old)
+    os.rename(scratch, live)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def run_cdc_apply_available_now(
+    spark: SparkSession,
+    dir_path: str,
+    checkpoint: str,
+    out_dir: str,
+):
+    """Drain the events backlog, maintaining a current-state-per-user
+    parquet snapshot via foreachBatch (apply_cdc_batch per micro-batch —
+    see its docstring for the replay/idempotency contract)."""
     from .events import read_events_stream
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
-        live = os.path.join(out_dir, "live")
-        scratch = os.path.join(out_dir, f"_scratch_{batch_id}")
-        base = spark.read.parquet(live) if os.path.exists(live) else None
-        merged = merge_snapshot(base, bdf)
-        merged.write.mode("overwrite").parquet(scratch)
-        old = os.path.join(out_dir, f"_old_{batch_id}")
-        if os.path.exists(live):
-            os.rename(live, old)
-        os.rename(scratch, live)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        apply_cdc_batch(spark, bdf, batch_id, out_dir)
 
     stream = read_events_stream(spark, dir_path)
     return (

@@ -679,3 +679,69 @@ def test_neardup_ingest_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert after == before
+
+
+def test_cdc_apply_replay_is_idempotent(spark, tmp_path):
+    """cdc_apply's exactly-once claim rests on MERGE idempotency, not
+    batch_id scoping: replaying a micro-batch against a snapshot that
+    already incorporates it must install an identical snapshot — both in
+    the crash-replay order (b0, b0 again, b1) and after a later batch
+    has landed (b0, b1, b0 again). A planted append-style double-apply
+    must diverge, proving the comparison has teeth."""
+    from extract_permits_spark.streaming.cdc_apply import (
+        apply_cdc_batch,
+        merge_snapshot,
+    )
+
+    cols = "user_id long, ts timestamp, event_id long, value double, event_type string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, cols)
+
+    import datetime as dt
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    b0 = mk(
+        [
+            (1, t("2024-01-01T00:00:00"), 10, 1.0, "a"),
+            (1, t("2024-01-01T00:05:00"), 11, 2.0, "b"),
+            (2, t("2024-01-01T00:01:00"), 12, 3.0, "a"),
+        ]
+    )
+    b1 = mk(
+        [
+            (1, t("2024-01-01T00:03:00"), 13, 9.0, "c"),  # older than 11: loses
+            (2, t("2024-01-01T00:09:00"), 14, 4.0, "b"),  # newer: wins
+            (3, t("2024-01-01T00:02:00"), 15, 5.0, "a"),
+        ]
+    )
+
+    def snap(out):
+        return sorted(
+            map(tuple, spark.read.parquet(str(out) + "/live").collect())
+        )
+
+    out_a = tmp_path / "a"  # clean run: b0, b1
+    apply_cdc_batch(spark, b0, 0, str(out_a))
+    apply_cdc_batch(spark, b1, 1, str(out_a))
+    want = snap(out_a)
+    assert len(want) == 3  # one current row per user
+    got = {r[0]: (r[2], r[3]) for r in want}
+    assert got[1] == (11, 2.0) and got[2] == (14, 4.0) and got[3] == (15, 5.0)
+
+    out_b = tmp_path / "b"  # crash replay: b0 written, checkpoint lost, b0 again
+    apply_cdc_batch(spark, b0, 0, str(out_b))
+    apply_cdc_batch(spark, b0, 0, str(out_b))
+    apply_cdc_batch(spark, b1, 1, str(out_b))
+    assert snap(out_b) == want
+
+    # out-of-order redelivery after a later batch landed
+    apply_cdc_batch(spark, b0, 0, str(out_a))
+    assert snap(out_a) == want
+
+    # planted violation: an append-without-merge sink is NOT idempotent —
+    # the same comparison must catch it
+    naive = merge_snapshot(None, b0).unionByName(merge_snapshot(None, b0))
+    assert sorted(map(tuple, naive.collect())) != sorted(
+        map(tuple, merge_snapshot(None, b0).collect())
+    )

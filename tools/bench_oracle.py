@@ -186,6 +186,29 @@ def main() -> None:
         con.execute(oracles["llm_corpus_curation"]).fetchall()
         times["llm_corpus_curation_sf1eq"] = round(time.time() - t0, 3)
 
+    # cross-dataset semantic decon at 10x embeddings (mirror of bench.py's
+    # emb_cross_decontaminate_sf1eq): amplified table materialized outside
+    # the timed region; the key stride is a multiple of 10 so the
+    # vec_id%10 eval/train split is preserved. This oracle is the exact
+    # pairwise replay — structurally O(|tr|*|ev|) where Spark's
+    # Hamming-ball bucket join is near-linear in the corpus — so the
+    # DuckDB time is an upper bound by construction; the row exists to
+    # measure that crossover.
+    if "emb_cross_decontaminate" in oracles:
+        p = os.path.join(sf_dir, "embeddings.parquet")
+        union = " UNION ALL ".join(
+            f"SELECT * REPLACE (vec_id + {c * 10**7} AS vec_id) "
+            f"FROM read_parquet('{p}')"
+            for c in range(10)
+        )
+        con.execute(f"CREATE TABLE _amp_emb10 AS {union}")
+        con.execute(
+            "CREATE OR REPLACE VIEW embeddings AS SELECT * FROM _amp_emb10"
+        )
+        t0 = time.time()
+        con.execute(oracles["emb_cross_decontaminate"]).fetchall()
+        times["emb_cross_decontaminate_sf1eq"] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
