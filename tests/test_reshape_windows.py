@@ -132,6 +132,45 @@ def test_batch_ids_renumber(spark):
     assert by_k[599]["batch"] == 2 and by_k[599]["lline"] == 100
 
 
+def test_batch_ids_distributed_parity(spark):
+    """The distributed=True scale path (distributed_rank underneath, no
+    single-partition window) must assign bit-identical (batch, lline)
+    pairs to the default single-window path — this is the tested scale
+    story behind w3_line_numbers_batches' by-name exemption in
+    tests/test_plan_quality.py."""
+    df = spark.createDataFrame([((i * 37) % 600,) for i in range(600)], ["k"])
+    key = lambda r: r["k"]  # noqa: E731
+    plain = sorted(windows.batch_ids(df, ["k"], batch_size=250).collect(), key=key)
+    dist = sorted(
+        windows.batch_ids(df, ["k"], batch_size=250, distributed=True).collect(),
+        key=key,
+    )
+    assert [tuple(r) for r in plain] == [tuple(r) for r in dist]
+    # and the distributed spelling really is window-free at the plan level
+    from test_plan_quality import _partitionless_windows_over_unbounded
+
+    d2 = windows.batch_ids(df, ["k"], batch_size=250, distributed=True)
+    assert _partitionless_windows_over_unbounded(d2) == 0
+
+
+def test_distributed_rank_partition_overflow_guard(spark):
+    """The mid-bit-layout guard (r11 ADVICE): a range partition holding
+    ≥ 2^33 rows would silently corrupt ranks (local counter overflows
+    into the pid bits), so the offsets frame must raise instead. The
+    planted check monkeypatches the threshold comparison indirectly by
+    verifying the guard expression wiring: a healthy frame passes (+0
+    offset), and the assert_true column is not pruned from the plan."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100)
+    out = windows.distributed_rank(df, [F.col("id")], "rn")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the optimizer rewrites assert_true(c, m) → if(c) null else
+    # raise_error(m); either spelling proves pruning kept the guard
+    assert "raise_error" in plan or "assert_true" in plan
+    assert out.where(F.col("rn") != F.col("id") + 1).count() == 0
+
+
 def test_asof_join_edges(spark):
     from extract_permits_spark.operators.asof import asof_join
 

@@ -745,3 +745,61 @@ def test_cdc_apply_replay_is_idempotent(spark, tmp_path):
     assert sorted(map(tuple, naive.collect())) != sorted(
         map(tuple, merge_snapshot(None, b0).collect())
     )
+
+
+def test_cdc_apply_swap_crash_windows_recover(spark, tmp_path):
+    """r11 ADVICE: the directory swap is two renames, and a crash in
+    between (live gone, _old_{bid} holds the prior state) or just after
+    (live present, stale _old_{bid} left behind) must not lose state or
+    fail the replay. Simulate both crash states by arranging the dirs
+    exactly as a killed process would leave them, then replay the batch
+    and check the snapshot equals the clean-run result."""
+    import os
+    import shutil
+
+    from extract_permits_spark.streaming.cdc_apply import apply_cdc_batch
+
+    cols = "user_id long, ts timestamp, event_id long, value double, event_type string"
+    import datetime as dt
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    b0 = spark.createDataFrame(
+        [(1, t("2024-01-01T00:00:00"), 10, 1.0, "a"),
+         (2, t("2024-01-01T00:01:00"), 11, 3.0, "a")], cols
+    )
+    b1 = spark.createDataFrame(
+        [(1, t("2024-01-01T00:05:00"), 12, 2.0, "b"),
+         (3, t("2024-01-01T00:02:00"), 13, 5.0, "a")], cols
+    )
+
+    def snap(out):
+        return sorted(map(tuple, spark.read.parquet(str(out) + "/live").collect()))
+
+    clean = tmp_path / "clean"
+    apply_cdc_batch(spark, b0, 0, str(clean))
+    apply_cdc_batch(spark, b1, 1, str(clean))
+    want = snap(clean)
+
+    # crash window A: between rename(live→old) and rename(scratch→live)
+    # during batch 1 — live is MISSING, _old_1 holds the b0 snapshot,
+    # _scratch_1 holds a (possibly partial) merge; the replay must
+    # restore _old_1 as live, drop the scratch, and re-apply b1.
+    a = tmp_path / "crash_a"
+    apply_cdc_batch(spark, b0, 0, str(a))
+    os.rename(a / "live", a / "_old_1")
+    (a / "_scratch_1").mkdir()
+    (a / "_scratch_1" / "part-partial.parquet").write_bytes(b"torn write")
+    apply_cdc_batch(spark, b1, 1, str(a))
+    assert snap(a) == want
+    assert not any(p.name.startswith(("_old_", "_scratch_")) for p in a.iterdir())
+
+    # crash window B: after rename(scratch→live), before rmtree(old) —
+    # live already holds the merged batch-1 snapshot AND a stale _old_1
+    # remains; the replay's own rename(live→old) must not collide.
+    b = tmp_path / "crash_b"
+    apply_cdc_batch(spark, b0, 0, str(b))
+    apply_cdc_batch(spark, b1, 1, str(b))
+    shutil.copytree(b / "live", b / "_old_1")
+    apply_cdc_batch(spark, b1, 1, str(b))
+    assert snap(b) == want
+    assert not any(p.name.startswith(("_old_", "_scratch_")) for p in b.iterdir())
