@@ -456,6 +456,71 @@ def main() -> None:
             shutil.rmtree(emb_dir, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
+
+    # Paired DuckDB leg (r11 VERDICT #7): if tools/bench_oracle.py has
+    # written oracle_last.json for the same sf, fold its per-row seconds
+    # into machine-readable ratios. The stdout block stays COMPACT
+    # (headline totals + per-scale-row ratios only) because the driver's
+    # tail capture is 2000 chars and the bare line is already ~1.5 kB;
+    # the full per-row {spark, duckdb, ratio} map goes to
+    # bench_last.json. oracle_ts records the oracle leg's mtime — a
+    # same-sitting pair has the two legs minutes apart; anything older
+    # is cross-sitting and must be read against BASELINE.md's host-drift
+    # notes, not as plan drift.
+    paired_stdout: dict | None = None
+    paired_full: dict | None = None
+    oracle_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "oracle_last.json"
+    )
+    if os.path.exists(oracle_path):
+        try:
+            with open(oracle_path) as f:
+                oracle = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            oracle = None
+        if oracle and oracle.get("sf") == sf:
+            otimes: dict[str, float] = oracle.get("queries", {})
+            # the oracle leg keys the flagship composite by its registry
+            # name; the bench row is the end-to-end partitioned write
+            alias = {"permit_pipeline": "permit_pipeline_upload"}
+            rows: dict[str, dict] = {}
+            for name, s in {**times, **times_scale}.items():
+                d = otimes.get(alias.get(name, name))
+                if d is not None and d > 0:
+                    rows[name] = {
+                        "spark": s,
+                        "duckdb": d,
+                        "ratio": round(s / d, 3),
+                    }
+            shared_head = [n for n in rows if n in times]
+            sp = round(sum(times[n] for n in shared_head), 3)
+            du = round(sum(rows[n]["duckdb"] for n in shared_head), 3)
+            import datetime as _dt
+
+            ts = _dt.datetime.fromtimestamp(
+                os.path.getmtime(oracle_path), tz=_dt.timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ")
+            paired_stdout = {
+                "n": len(shared_head),
+                "spark_s": sp,
+                "duckdb_s": du,
+                "ratio": round(sp / du, 3) if du else None,
+                "scale": {
+                    n: r["ratio"] for n, r in rows.items() if n in times_scale
+                },
+                "oracle_ts": ts,
+            }
+            paired_full = {
+                "rows": rows,
+                "headline_shared": {
+                    "n": len(shared_head),
+                    "spark_s": sp,
+                    "duckdb_s": du,
+                    "ratio": round(sp / du, 3) if du else None,
+                },
+                "oracle_ts": ts,
+                "oracle_engine": oracle.get("engine"),
+            }
     # The driver captures stdout via a tail that truncated the r6/r7 JSON
     # line mid-way. Two mitigations (r7 VERDICT #5): the stdout line
     # carries ONLY the contract fields (metric/value/unit/queries/sf plus
@@ -465,16 +530,23 @@ def main() -> None:
     # end-to-end with exactly these keys, and the driver spec names only
     # metric/value/unit/queries/sf — the split is intentional; any
     # consumer needing cold/min/methodology must read bench_last.json.
-    stdout_line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": times,
-            "queries_scale": times_scale,
-            "sf": sf,
-        }
-    )
+    stdout_obj = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "queries_scale": times_scale,
+        "sf": sf,
+    }
+    if paired_stdout is not None:
+        stdout_obj["paired"] = paired_stdout
+    stdout_line = json.dumps(stdout_obj)
+    if len(stdout_line) > 1950 and "paired" in stdout_obj:
+        # the driver parses the LAST 2000 chars of output; a longer line
+        # gets its front truncated and fails to parse. Drop the paired
+        # block from stdout before that happens — bench_last.json keeps it.
+        del stdout_obj["paired"]
+        stdout_line = json.dumps(stdout_obj)
     full_line = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -485,11 +557,14 @@ def main() -> None:
             "queries_cold": times_cold,
             "queries_scale": times_scale,
             "sf": sf,
+            "paired": paired_full,
             "methodology": "each query forced 4x: 1 cold run "
             "(queries_cold) + 3 steady runs; queries = per-query "
             "median of steady runs, queries_min = min; value sums "
             "the medians; queries_scale rows are single-run at 10x "
-            "the bench sf and excluded from value",
+            "the bench sf and excluded from value; paired = per-row "
+            "ratios against oracle_last.json (tools/bench_oracle.py) "
+            "when present for the same sf, null otherwise",
         }
     )
     print(stdout_line)

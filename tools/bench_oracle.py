@@ -209,18 +209,27 @@ def main() -> None:
         con.execute(oracles["emb_cross_decontaminate"]).fetchall()
         times["emb_cross_decontaminate_sf1eq"] = round(time.time() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "oracle_headline_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "engine": f"duckdb {duckdb.__version__}, all cores",
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "oracle_headline_total",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+            "engine": f"duckdb {duckdb.__version__}, all cores",
+        }
     )
+    print(line)
+    # durable copy, the pairing input for bench.py's `paired` block: a
+    # bench.py run in the same sitting reads this and emits per-row
+    # Spark/DuckDB ratios so BENCH_rN.json carries machine-readable
+    # ratios instead of BASELINE.md prose alone (r11 VERDICT #7).
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "oracle_last.json",
+    )
+    with open(out, "w") as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":
