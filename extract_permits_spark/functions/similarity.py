@@ -973,6 +973,7 @@ def lsh_cross_hits(
     seed: int = 42,
     min_cosine: float = 0.8,
     max_bucket_size: int | None = None,
+    salt_shards: int = 8,
 ) -> DataFrame:
     """Cross-dataset embedding near-dup probe — SEMANTIC decontamination:
     for every corpus (training) vector, count the probe (eval) vectors
@@ -1002,6 +1003,23 @@ def lsh_cross_hits(
     oracle is exact at any scale. A degenerate bucket costs candidates
     proportional to its size × the (small) probe side — pass an explicit
     cap only for throughput triage, never on a correctness gate.
+
+    ``salt_shards`` bounds the uncapped gate's hot-bucket skew (r11
+    VERDICT #2) without dropping a single row: a degenerate corpus
+    bucket (millions of near-identical boilerplate embeddings landing
+    in one ``(t, sig)`` key) would otherwise concentrate the candidate
+    join's entire fan-in on one reducer task. The corpus side refines
+    the join key with ``_salt = xxhash64(id) % salt_shards`` and the
+    probe side replicates each Hamming-ball variant across ALL shards,
+    so every (corpus, probe) candidate pair survives exactly once —
+    a pure key refinement, result-identical for any shard count (the
+    planted-degenerate-bucket test pins this), while the hot bucket's
+    per-task fan-in divides by ``salt_shards``. The replication cost
+    lands only on the probe side — the small side by contract — and is
+    a constant factor on it, vs. the corpus-proportional cost of a
+    second sizing pass or a checkpoint (the alternative designs). Salt
+    derives from the static row id, so streaming micro-batches salt
+    identically to the batch path: stream ≡ batch is untouched.
 
     The plane dimensionality comes from the PROBE side — the static,
     usually-non-empty eval suite — so an empty corpus micro-batch cannot
@@ -1044,6 +1062,16 @@ def lsh_cross_hits(
         sized = c_bucketed.withColumn(
             "_n", F.count(F.lit(1)).over(Window.partitionBy("t", "sig"))
         ).where(F.col("_n") <= max_bucket_size).drop("_n")
+    join_keys = ["t", "sig"]
+    if salt_shards > 1:
+        # hot-bucket bound (see docstring): refine the join key so a
+        # degenerate (t, sig) bucket's fan-in spreads over salt_shards
+        # reducer keys; the probe replication below makes it lossless
+        sized = sized.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("_cid")), F.lit(salt_shards)).cast("int"),
+        )
+        join_keys = ["t", "sig", "_salt"]
     # probe side explodes the Hamming-≤1 ball: variant == exact corpus sig
     # realizes |sig_c ^ sig_p| ≤ 1 without any pairwise scan
     p_variants = psig.select(
@@ -1071,8 +1099,16 @@ def lsh_cross_hits(
             )
         ).alias("sig"),
     )
+    if salt_shards > 1:
+        # replicate each probe variant across every salt shard — the
+        # corpus row's shard is among them, so no candidate is lost; the
+        # constant-factor blowup is on the SMALL (eval) side only
+        p_variants = p_variants.withColumn(
+            "_salt",
+            F.explode(F.array(*[F.lit(i) for i in range(salt_shards)])),
+        )
     cand = (
-        p_variants.join(sized, ["t", "sig"])
+        p_variants.join(sized, join_keys)
         .select("_cid", "_pid")
         .distinct()
     )
