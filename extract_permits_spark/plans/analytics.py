@@ -4234,9 +4234,10 @@ def docs_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the rest q — i.e. bucket = ceil(rn/(q+1)) while rn ≤ r·(q+1),
     else r + ceil((rn − r·(q+1))/q). Pure map-side arithmetic once the
     rank and the (free) total column exist; bit-identical to ntile under
-    this total order (ratio desc, doc_id tiebreak). An approximate
-    variant (percentile_approx cutpoints + map-side CASE) would avoid
-    the global sort entirely, at the cost of exactness."""
+    this total order (ratio desc, doc_id tiebreak). The sort-free
+    100-TB variant is ``docs_quality_bins_approx`` below: exact
+    histogram-derived cutpoints + a map-side CASE — same quartile
+    cutpoints, ties share a bin instead of splitting on doc_id."""
     d = load_table(spark, sf_dir, "documents")
     from extract_permits_spark.functions.similarity import tokens
 
@@ -4265,6 +4266,110 @@ def docs_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.select(
         "doc_id", "stopword_ratio", tile.cast("long").alias("quality_bin")
+    )
+
+
+@register(
+    "docs_quality_bins_approx",
+    r"""
+    WITH q AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(COALESCE(text,''))) = 0 THEN 0.0
+                  ELSE round(
+                    CAST(len(list_filter(string_split_regex(trim(lower(COALESCE(text,''))), '\s+'),
+                         t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                    / len(string_split_regex(trim(lower(COALESCE(text,''))), '\s+')), 6)
+             END AS stopword_ratio
+      FROM documents
+    ),
+    hist AS (
+      SELECT stopword_ratio AS v, COUNT(*) AS c FROM q GROUP BY stopword_ratio
+    ),
+    cum AS (
+      SELECT v,
+             SUM(c) OVER (ORDER BY v DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd,
+             SUM(c) OVER () AS n
+      FROM hist
+    ),
+    cuts AS (
+      SELECT MAX(CASE WHEN cd >= (1*n + 3) // 4 THEN v END) AS d1,
+             MAX(CASE WHEN cd >= (2*n + 3) // 4 THEN v END) AS d2,
+             MAX(CASE WHEN cd >= (3*n + 3) // 4 THEN v END) AS d3
+      FROM cum
+    )
+    SELECT doc_id, stopword_ratio,
+           CAST(1 + CAST(stopword_ratio < d1 AS INT)
+                  + CAST(stopword_ratio < d2 AS INT)
+                  + CAST(stopword_ratio < d3 AS INT) AS BIGINT) AS quality_bin
+    FROM q, cuts
+    """,
+)
+def docs_quality_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning WITHOUT the global row sort — the 100-TB
+    spelling of ``docs_quality_bins``. Instead of ranking every row
+    (distributed_rank = one corpus-wide range shuffle), the quartile
+    cutpoints come from a VALUE HISTOGRAM: groupBy(ratio) with map-side
+    partial aggregation collapses the corpus to its distinct 6-dp ratio
+    values (≤ 10^6 + 1 rows whatever the corpus size), two windows over
+    that bounded frame derive descending cumulative counts and the
+    total, and cutpoint d_k = max{v : #rows ≥ v  ≥  ceil(k·n/4)} — the
+    exact discrete k/4-quantile. Bin assignment is then a map-side CASE
+    behind a 1-ROW broadcast cross join of the cutpoint frame — the
+    q11/rag_bm25-class sanctioned scalar-broadcast spelling (a single
+    build row makes the NLJ a broadcast variable, not a pairwise scan).
+
+    Contract difference vs the exact entry, by design: cutpoints are
+    bit-exact quantiles (no sketch, no tolerance — the DuckDB oracle
+    replays the identical integer logic and hashes must match), but
+    ties SHARE a bin (threshold semantics) where ntile splits them on
+    the doc_id tiebreak to equalize bin sizes. At corpus scale the
+    quality signal is what matters and equal-size binning of ties is
+    an artifact; callers that need exact quartile counts use
+    ``docs_quality_bins``. floor-on-double is exact for k·n+3 < 2^53,
+    i.e. corpora under ~3·10^15 docs."""
+    d = load_table(spark, sf_dir, "documents")
+    from extract_permits_spark.functions.similarity import tokens
+
+    stop = F.array(*[F.lit(s) for s in
+                     ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]])
+    tk = tokens(F.col("text"))
+    ratio = F.when(F.size(tk) == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.size(F.filter(tk, lambda t: F.array_contains(stop, t)))
+            / F.size(tk),
+            6,
+        )
+    )
+    scored = d.select("doc_id", ratio.alias("stopword_ratio"))
+    hist = scored.groupBy(F.col("stopword_ratio").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # both windows run over the HISTOGRAM (bounded above the Aggregate on
+    # the plan spine — see tests/test_plan_quality.py), never over rows
+    w_desc = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "v",
+        F.sum("c").over(w_desc).alias("cd"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    thr = lambda k: F.floor((F.lit(k) * F.col("n") + F.lit(3)) / 4)  # noqa: E731
+    cuts = cum.agg(
+        *[
+            F.max(F.when(F.col("cd") >= thr(k), F.col("v"))).alias(f"d{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    bin_ = (
+        F.lit(1)
+        + (F.col("stopword_ratio") < F.col("d1")).cast("int")
+        + (F.col("stopword_ratio") < F.col("d2")).cast("int")
+        + (F.col("stopword_ratio") < F.col("d3")).cast("int")
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "stopword_ratio", bin_.cast("long").alias("quality_bin")
     )
 
 

@@ -734,3 +734,22 @@ def test_partitionless_window_detector_catches_planted_violation(spark):
         "rn", F.row_number().over(Window.orderBy("doc_id"))
     )
     assert _partitionless_windows_over_unbounded(limited_join) == 0
+
+
+def test_quality_bins_approx_no_global_row_sort(spark):
+    """docs_quality_bins_approx is the sort-free 100-TB spelling: the
+    corpus-sized frame must never pass through a range exchange (the
+    global-sort signature that docs_quality_bins' distributed_rank
+    legitimately pays), the cutpoint join must be a broadcast hash join
+    (not a BNLJ cross join), and the only windows are over the bounded
+    value histogram (the registry-wide partition-less-window test covers
+    that via the Aggregate-on-spine exemption)."""
+    plan = _plan(spark, "docs_quality_bins_approx")
+    assert "rangepartitioning" not in plan.lower()
+    # the 1-row cutpoint frame rides the sanctioned scalar-broadcast NLJ
+    # (q11/rag_bm25 class); what's banned is a data x data cross join
+    assert "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # contrast: the exact ntile twin DOES range-shuffle the corpus
+    exact = _plan(spark, "docs_quality_bins")
+    assert "rangepartitioning" in exact.lower()
