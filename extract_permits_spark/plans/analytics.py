@@ -4903,32 +4903,37 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: explode → (doc,term) count → term document-frequency →
     broadcast the DF table back (vocabulary ≪ corpus, so the join is a
     broadcast, never a sort-merge over the token stream) → per-doc top-3
-    via row_number. The corpus count is a 1-row cross join (bounded
-    driver-independent scalar). ln() argument is an exact small-int
-    ratio and the score is rounded to 6dp before ranking, so the order —
-    and therefore the top-3 cut — is engine-independent (ties break on
-    the term string, binary collation both sides)."""
+    via row_number. The corpus count rides the sanctioned 1-row
+    scalar-broadcast cross join (q11/rag_bm25 class) — IN the plan, not
+    a separate driver count() job, so the function is fully lazy and
+    one job cheaper (r11 VERDICT #8; hash unchanged, the ln() argument
+    is the same exact small-int ratio). Score is rounded to 6dp before
+    ranking, so the order — and therefore the top-3 cut — is
+    engine-independent (ties break on the term string, binary collation
+    both sides)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).where(F.length("term") > 0)
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # Corpus size is a bounded O(1) driver scalar (one long, like the
-    # k-means centroid state) — folding it into the IDF literal keeps the
-    # plan join-free here. A 1-row crossJoin (or a constant-key equi-join,
-    # which ConstantFolding collapses right back) would plan as
-    # BroadcastNestedLoopJoin and trip the headline no-BNLJ guard.
-    n_docs = d.count()
-    scored = tf.join(F.broadcast(df_), "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1.0))),
-            6,
-        ).alias("tfidf"),
+    n = d.agg(F.count(F.lit(1)).alias("_n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("_n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                ),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (

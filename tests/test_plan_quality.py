@@ -160,7 +160,10 @@ def test_no_bnlj_in_headline_plans(spark):
     import bench
 
     qs = analytics.queries()
-    exempt = {"rag_bm25_topk", "rag_context_assembly"}
+    # text_tfidf joined the sanctioned set in r12: its corpus-count
+    # scalar moved from a driver count() job into the plan as a 1-row
+    # broadcast cross join (hash unchanged, one job cheaper, fully lazy)
+    exempt = {"rag_bm25_topk", "rag_context_assembly", "text_tfidf"}
     for name in bench.HEADLINE:
         if name not in qs or name in exempt:
             continue
@@ -231,9 +234,11 @@ def test_q10_top20_no_global_sort(spark):
 
 def test_tfidf_df_join_broadcasts(spark):
     """The term→document-frequency join must broadcast the vocabulary,
-    never sort-merge the exploded token stream."""
+    never sort-merge the exploded token stream; the corpus-count scalar
+    rides the 1-row broadcast NLJ (sanctioned), never a CartesianProduct."""
     plan = _plan(spark, "text_tfidf")
     assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
 
 
 def test_fuzzy_symspell_no_nested_loop(spark):
