@@ -1,0 +1,179 @@
+"""Registry machinery + cross-chunk memo caches for the analytics
+query surface.
+
+Lives in its own CYCLE-FREE module (r12): the four chunk modules
+(analytics_core/_corpus/_events/_rag) import `register` and the shared
+cache helpers from here, never from the analytics hub — so a Spark
+WORKER unpickling a UDF whose __module__ is a chunk can import that
+chunk directly without re-entering the hub's in-progress import (the
+hub imports the chunks, completing the cycle exactly once, on the
+driver). tpch_extra imports from here for the same reason.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from extract_permits_spark.functions import similarity as simfn
+from extract_permits_spark.sources.readers import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            # a second @register with an existing name would silently
+            # SHADOW the first (dict overwrite) — this bit in r9 when a
+            # new decontamination entry collided with the r6 one. Fail
+            # at import time instead.
+            raise ValueError(f"duplicate registry entry: {name!r}")
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _dec(c, scale: int = 2):
+    """Exact-sum helper: double → decimal(18,s) so SUM is associative."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast(f"decimal(18,{scale})")
+
+
+# Deterministic driver-coordinated computations (the CC label fixpoint and
+# the IVF Lloyd fit) run actions while BUILDING their result, so a caller
+# that constructs the same query twice — the correctness harness does, once
+# for values and once for the schema — pays the whole loop twice. Both are
+# pure functions of (session, fixture dir); memoize per process. The cached
+# components frame is localCheckpoint'ed (safe to reuse); the cached
+# centroids are plain floats.
+_COMPONENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_JACCARD_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_IVF_CENTROID_CACHE: dict[tuple[int, str], list[list[float]]] = {}
+
+
+def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared shingle scan (r5-VERDICT ask #3): the n-gram pair list feeds
+    three registry entries (the pair detector itself plus both cluster
+    resolutions). Materialize it once per (session, fixture) and reuse —
+    at scale this is the standard pattern of persisting the candidate
+    pair list before closure rather than re-deriving it per consumer."""
+    key = (id(spark), sf_dir)
+    if key not in _JACCARD_PAIRS_CACHE:
+        _JACCARD_PAIRS_CACHE[key] = _jaccard_pairs_uncached(
+            spark, sf_dir
+        ).localCheckpoint(eager=True)
+    return _JACCARD_PAIRS_CACHE[key]
+
+
+def _collapsed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph edges with exact-duplicate collapse — the
+    dup-heavy-crawl scale path (CCNet/Dolma-style: exact dedup BEFORE
+    near-dup detection).
+
+    The shared-shingle pair join is quadratic in the per-shingle posting
+    length, so a corpus where each page has k exact copies pays k² on
+    every bucket. Collapsing identical texts first (min doc_id per
+    md5(text) = the representative) runs the pair join on DISTINCT texts
+    only and re-attaches twins as star edges rep→twin — linear in twin
+    count. Connected components over (rep pairs ∪ twin stars) equal
+    components over the full pair graph exactly: exact twins share ALL
+    shingles (Jaccard 1.0 ≥ 0.2), so within a twin group every pair edge
+    existed, and any twin↔other edge is implied via its rep's path.
+    Twin stars are restricted to shingle-ELIGIBLE docs (≥ 1 shingle),
+    matching the old graph's node set — identical-text docs too short to
+    shingle were never nodes and must not become one.
+
+    Measured at the 10×-amplified sf0.1 bench shape (50k docs, 9 exact
+    twins each): curation composite 72 s → see BENCH; at 1× the extra
+    md5 window costs ~0.1 s."""
+    d = load_table(spark, sf_dir, "documents")
+    eligible = d.select("doc_id", "text").where(
+        F.size(simfn.word_shingles("text", 3)) > 0
+    )
+    wt = Window.partitionBy("_h")
+    mem = eligible.withColumn(
+        "_h", F.md5(F.coalesce(F.col("text"), F.lit("")))
+    ).select("doc_id", "text", F.min("doc_id").over(wt).alias("_rep"))
+    reps = mem.where(F.col("doc_id") == F.col("_rep")).select("doc_id", "text")
+    sh = reps.select(
+        "doc_id", simfn.word_shingles("text", 3).alias("shingles")
+    )
+    exploded = sh.select(
+        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("sh")
+    )
+    shared = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["sh"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sz").alias("_sza"),
+            F.col("b.sz").alias("_szb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    jac = F.col("_shared") / (F.col("_sza") + F.col("_szb") - F.col("_shared"))
+    rep_pairs = shared.where(jac >= 0.2).select("id_a", "id_b")
+    twin_stars = mem.where(F.col("doc_id") != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    return rep_pairs.unionByName(twin_stars)
+
+
+def _components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from extract_permits_spark.operators.graph import connected_components
+
+    key = (id(spark), sf_dir)
+    if key not in _COMPONENTS_CACHE:
+        _COMPONENTS_CACHE[key] = connected_components(
+            _collapsed_edges(spark, sf_dir)
+        )
+    return _COMPONENTS_CACHE[key]
+
+
+def _ivf_centroids_cached(
+    spark: SparkSession, emb: DataFrame, sf_dir: str
+) -> list[list[float]]:
+    key = (id(spark), sf_dir)
+    if key not in _IVF_CENTROID_CACHE:
+        _IVF_CENTROID_CACHE[key] = simfn.kmeans_fit(
+            emb, "vec_id", "embedding", k=16, rounds=3
+        )
+    return _IVF_CENTROID_CACHE[key]
+
+
+def _jaccard_pairs_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", simfn.word_shingles("text", 3).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    exploded = sh.select(
+        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("sh")
+    )
+    shared = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["sh"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sz").alias("_sza"),
+            F.col("b.sz").alias("_szb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    jac = F.col("_shared") / (F.col("_sza") + F.col("_szb") - F.col("_shared"))
+    return (
+        shared.where(jac >= 0.2)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )

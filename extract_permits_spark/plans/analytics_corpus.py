@@ -1,0 +1,2182 @@
+"""Corpus curation: reshape extras, near-dup cluster machinery consumers,
+docs_* filters/shards/quality bins, PQ/IVF serving, vocab + samples.
+
+Split from plans/analytics.py in r12 along accretion order — NOT by
+theme alone — because registration ORDER is load-bearing:
+plans/analytics.py imports the four chunk modules in original-file
+order, so the registry dict (and therefore queries()/oracle_sql()
+iteration order and the driver's _CHECK_FIRST window semantics) is
+bit-identical to the pre-split single file. The registry machinery,
+_CHECK_FIRST, and the cross-chunk memo caches live in analytics.py.
+"""
+
+from __future__ import annotations
+
+from extract_permits_spark.plans._registry import (
+    _ORACLES,
+    _components_cached,
+    _dec,
+    _ivf_centroids_cached,
+    register,
+)
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from extract_permits_spark.functions import similarity as simfn
+from extract_permits_spark.functions import text as textfn
+from extract_permits_spark.operators.windows import distributed_rank
+from extract_permits_spark.plans import ann_sql as _ann_sql
+from extract_permits_spark.plans.analytics_core import _ann_recall_frame
+from extract_permits_spark.sources.readers import load_table
+
+
+
+# ===========================================================================
+# X4 — long-to-wide pivot (conditional aggregation — the portable form of
+# .pivot(); identical map-side-combine shape).
+# ===========================================================================
+
+
+@register(
+    "x4_pivot",
+    """
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           COUNT(CASE WHEN event_type NOT IN ('click','view','purchase') THEN 1 END) AS n_other
+    FROM events GROUP BY user_id
+    """,
+)
+def x4_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def n(pred, name):
+        return F.count(F.when(pred, 1)).alias(name)
+
+    t = F.col("event_type")
+    return e.groupBy("user_id").agg(
+        n(t == "click", "n_click"),
+        n(t == "view", "n_view"),
+        n(t == "purchase", "n_purchase"),
+        n(~t.isin("click", "view", "purchase"), "n_other"),
+    )
+
+
+# ===========================================================================
+# W5 — rolling-frame window aggregate (7-row trailing sum per key).
+# ===========================================================================
+
+
+@register(
+    "w5_rolling",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_sum
+    FROM events
+    """,
+)
+def w5_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias(
+            "rolling_sum"
+        ),
+    )
+
+
+# ===========================================================================
+# U3 — INTERSECT (set-op completeness; the reference uses only union/anti).
+# ===========================================================================
+
+
+@register(
+    "u3_intersect",
+    """
+    SELECT o_custkey AS k FROM orders
+    INTERSECT
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+    """,
+)
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    return o.intersect(c)
+
+
+# ===========================================================================
+# S6/S7/S8 — Excel round trip: formatted render -> reviewed-workbook ingest
+# -> flag partition, oracle-checked. The reviewer's fill-color flags are
+# simulated with a deterministic cross-engine rule (md5 hex prefix), so the
+# whole xlsx surface (pure-stdlib codec, sinks/xlsx_io.py) sits on the
+# correctness gate rather than pytest alone.
+# Reference: save_xlsx_file chicago/permit_cleaning.py:911-1135 (write),
+# format_reviewed_permits_for_upload.py:31-204 (read + flag colors).
+# ===========================================================================
+
+_XLSX_SQL = """
+SELECT doc_id, source, is_flagged
+FROM (
+  SELECT doc_id, source,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
+           AS is_flagged
+  FROM documents ORDER BY doc_id LIMIT 200
+)
+"""
+
+
+@register("xlsx_review_roundtrip", _XLSX_SQL)
+def xlsx_review_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render a review workbook (S8), color the PIN-analog cell of
+    "reviewer-selected" rows with the reference's yellow flag fill (S7),
+    re-ingest values + fills (S6), and emit the flag partition. The file is
+    driver-side by contract — review workbooks are 250-row-batched (S9) —
+    so the bounded ``limit(200).toPandas()`` is the operator's semantics,
+    not a scale shortcut; everything before/after the file hop is
+    distributed."""
+    import os
+    import tempfile
+
+    from extract_permits_spark.sinks.excel_sink import read_reviewed_workbook
+    from extract_permits_spark.sinks.xlsx_io import (
+        CondFormat,
+        DataValidation,
+        SheetSpec,
+        read_xlsx,
+        write_xlsx,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    review = (
+        d.orderBy("doc_id")
+        .limit(200)
+        .select(
+            "doc_id",
+            "source",
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            .isin("0", "1", "2")
+            .alias("flag"),
+        )
+        .toPandas()
+    )
+    rows = [[int(r.doc_id), str(r.source)] for r in review.itertuples(index=False)]
+    fills = {
+        (i, 0): "FFFFFF00"  # reviewer's yellow on the id cell
+        for i, r in enumerate(review.itertuples(index=False))
+        if r.flag
+    }
+    path = os.path.join(tempfile.mkdtemp(prefix="xlsx_rt_"), "review.xlsx")
+    # S8 presentation extras ride the same gate: a traffic-light cfRule and
+    # a data-validation block (reference permit_cleaning.py:1027-1084) are
+    # written and must survive the round trip bit-for-bit.
+    cf = CondFormat(f"A2:B{len(rows) + 1}", '$B2<>""', "FFB3B3")
+    dv = DataValidation(
+        f"A2:A{len(rows) + 1}",
+        "custom",
+        formula1='$B2=""',
+        error_title="Errors not resolved",
+        error_message="This row still has errors.",
+    )
+    write_xlsx(
+        path,
+        [
+            SheetSpec(
+                name="Permits",
+                header=["doc_id", "source"],
+                rows=rows,
+                fills=fills,
+                cond_formats=[cf],
+                validations=[dv],
+            )
+        ],
+    )
+    raw = read_xlsx(path, "Permits")
+    if raw.cond_formats != [
+        {"sqref": cf.sqref, "formula": cf.formula, "bg_color": "FF" + cf.bg_color}
+    ] or [v["formula1"] for v in raw.validations] != [dv.formula1]:
+        raise AssertionError("S8 conditional-format/validation round trip failed")
+    ingested = read_reviewed_workbook(spark, path, "Permits", pin_header="doc_id")
+    return ingested.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        "is_flagged",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: near-dup pairs -> connected components ->
+# one canonical survivor per cluster (operators/graph.py). The pair list
+# is the oracle-checked n-gram Jaccard detector; the closure is iterative
+# min-label propagation (O(cluster diameter) shuffle rounds), checked
+# against a DuckDB recursive CTE computing the same min-reachable-id.
+# ---------------------------------------------------------------------------
+
+_JACCARD_PAIRS_SQL = """
+    WITH RECURSIVE sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) - 2, 0) + 1),
+               i -> array_to_string(list_slice(
+                      string_split_regex(trim(lower(COALESCE(text,''))), '\\s+'), i, i + 2), ' ')
+             )) AS shingles
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) >= 3
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS sh FROM sh),
+    -- MATERIALIZED: without it the recursive reach CTE re-evaluates the
+    -- pair join every iteration. Count-based shared-shingle form (shingles
+    -- are distinct per doc, so COUNT(*) per pair == |A.intersect.B|): same
+    -- result set as the all-pairs list_intersect cross join, ~13x faster.
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+      HAVING CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)) >= 0.2
+    ),
+    sym AS MATERIALIZED (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    )
+"""
+
+
+# Collapsed edge set for the component-closure consumers (mirror of
+# _collapsed_edges): exact twins collapse to their min-doc_id
+# representative before the quadratic shared-shingle pair join; twins
+# re-attach as star edges. Ends at `sym` — same interface the closure
+# CTEs consume — and yields IDENTICAL components to the full pair graph
+# (twins share all shingles, so every collapsed edge was present or
+# path-implied). The full pair list (_JACCARD_PAIRS_SQL) remains the
+# oracle for entries whose OUTPUT is the pair graph itself
+# (dedup_ngram_jaccard, graph_triangles, graph_pagerank).
+_COMPONENT_EDGES_SQL = """
+    WITH RECURSIVE mem AS MATERIALIZED (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(COALESCE(text,''))) AS rep,
+             COALESCE(text,'') AS t
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) >= 3
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(t)), '\\s+')) - 2, 0) + 1),
+               i -> array_to_string(list_slice(
+                      string_split_regex(trim(lower(t)), '\\s+'), i, i + 2), ' ')
+             )) AS shingles
+      FROM mem WHERE doc_id = rep
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS sh FROM sh),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+      HAVING CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)) >= 0.2
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT rep AS u, doc_id AS v FROM mem WHERE doc_id <> rep
+    ),
+    sym AS MATERIALIZED (
+      SELECT u, v FROM edges
+      UNION
+      SELECT v AS u, u AS v FROM edges
+    )
+"""
+
+
+@register(
+    "dedup_cluster_components",
+    _COMPONENT_EDGES_SQL
+    + """
+    , reach(id, comp) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+        SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id
+    )
+    SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the n-gram Jaccard near-dup pairs: every doc
+    that appears in a pair, labeled with the minimum doc_id reachable
+    through the pair graph (the cluster key). Spark side is iterative
+    min-label propagation over DataFrames (operators/graph.py:44); the
+    oracle is a DuckDB recursive CTE over the same pair SQL."""
+    return _components_cached(spark, sf_dir).select("id", "component")
+
+
+@register(
+    "dedup_cluster_canonical",
+    _COMPONENT_EDGES_SQL
+    + """
+    , reach(id, comp) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+        SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id
+    ),
+    comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id)
+    SELECT component, canonical_id, cluster_size FROM (
+      SELECT c.component,
+             FIRST_VALUE(c.id) OVER (
+               PARTITION BY c.component
+               ORDER BY length(COALESCE(d.text, '')) DESC, c.id ASC
+             ) AS canonical_id,
+             CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT) AS cluster_size,
+             ROW_NUMBER() OVER (PARTITION BY c.component ORDER BY c.id) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.id
+    ) WHERE rn = 1
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per duplicate cluster: the surviving document (longest text, ties
+    to lowest doc_id) and the cluster size — the actual dedup DECISION a
+    pretraining pipeline applies after pair detection."""
+    from extract_permits_spark.operators.graph import canonical_per_cluster
+
+    d = load_table(spark, sf_dir, "documents")
+    docs_q = d.select("doc_id", F.length(F.coalesce("text", F.lit(""))).alias("_quality"))
+    comps = _components_cached(spark, sf_dir)
+    return canonical_per_cluster(comps, docs_q, id_col="doc_id", quality_col="_quality")
+
+
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly (functions/corpus.py): sequence packing and deterministic
+# mixture interleaving — the steps between dedup and training-shard write.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id % 8 AS shard, doc_id,
+             CASE WHEN trim(COALESCE(text,'')) = '' THEN 0
+                  ELSE len(string_split_regex(trim(COALESCE(text,'')), '\\s+'))
+             END AS weight,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pack(shard, rn, doc_id, weight, bin, used) AS (
+        SELECT shard, rn, doc_id, weight, 0, weight FROM toks WHERE rn = 1
+      UNION ALL
+        SELECT t.shard, t.rn, t.doc_id, t.weight,
+               CASE WHEN p.used + t.weight > 64 THEN p.bin + 1 ELSE p.bin END,
+               CASE WHEN p.used + t.weight > 64 THEN t.weight ELSE p.used + t.weight END
+        FROM pack p JOIN toks t ON t.shard = p.shard AND t.rn = p.rn + 1
+    )
+    SELECT shard, doc_id, CAST(weight AS BIGINT) AS weight, CAST(bin AS BIGINT) AS bin
+    FROM pack
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing of documents into 64-token bins, 8
+    independent shards (functions/corpus.py:next_fit_pack — stateful
+    applyInPandas per shard). The oracle replays the identical walk as a
+    DuckDB recursive CTE advancing one row per shard per step."""
+    from extract_permits_spark.functions.corpus import next_fit_pack
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        textfn.token_count("text").cast("long").alias("n_tokens"),
+    )
+    return next_fit_pack(
+        docs, id_col="doc_id", weight_col="n_tokens", shard_col="shard", budget=64
+    )
+
+
+@register(
+    "sample_interleave",
+    """
+    SELECT doc_id, source, mix_rank FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS mix_rank
+      FROM documents
+      WHERE source IN ('src0', 'src1', 'src2')
+    )
+    WHERE mix_rank <= CASE source
+                        WHEN 'src0' THEN 12 WHEN 'src1' THEN 6 ELSE 3 END
+    """,
+)
+def sample_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sample: 12/6/3 documents from src0/src1/src2
+    selected by md5(doc_id) — reproducible across engines and runs
+    (functions/corpus.py:interleave_sources)."""
+    from extract_permits_spark.functions.corpus import interleave_sources
+
+    d = load_table(spark, sf_dir, "documents")
+    out = interleave_sources(
+        d, id_col="doc_id", source_col="source",
+        quotas={"src0": 12, "src1": 6, "src2": 3},
+    )
+    return out.select("doc_id", "source", F.col("mix_rank").cast("long").alias("mix_rank"))
+
+
+@register(
+    "emb_quantize",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM embeddings
+    ),
+    qq AS (
+      SELECT e.vec_id,
+             CASE WHEN q.maxabs = 0
+                  THEN list_transform(e.embedding, x -> 0)
+                  ELSE list_transform(e.embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) / (q.maxabs / 127.0) + 0.5) AS INT))
+             END AS qvec,
+             q.maxabs
+      FROM embeddings e JOIN q USING (vec_id)
+    )
+    SELECT vec_id,
+           floor((maxabs / 127.0) * 1000000000.0 + 0.5) / 1000000000.0 AS scale,
+           CAST(list_min(qvec) AS INT) AS q_min,
+           CAST(list_max(qvec) AS INT) AS q_max,
+           CAST(list_sum(qvec) AS BIGINT) AS q_sum
+    FROM qq
+    """,
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column
+    (functions/similarity.py:int8_quantize) — summarized per vector as
+    (scale, min, max, sum of quantized values) so the cross-engine value
+    hash covers every element without comparing array renderings. The
+    scale is rounded with the floor(x*1e9 + 0.5)/1e9 half-up spelling on
+    BOTH engines — Spark round() is HALF_UP while DuckDB's double round is
+    not, so a tie at the 9th decimal would otherwise flake."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q, scale = simfn.int8_quantize(F.col("embedding"))
+    scale9 = F.floor(scale * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    return emb.select(
+        "vec_id",
+        scale9.alias("scale"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, v: acc + v).alias("q_sum"),
+    )
+
+
+# ===========================================================================
+# r6 additions: repetition quality filters, sub-document dedup, benchmark
+# decontamination, corpus vocabulary/mixture stats, hopping + session
+# windows (batch and streaming engines over the same oracle).
+# ===========================================================================
+
+
+@register(
+    "text_repetition",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(COALESCE(text,'')) = '' THEN []
+                  ELSE string_split_regex(trim(lower(COALESCE(text,''))), '\s+')
+             END AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+             END AS big,
+             CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             END AS tri
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE round(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+           END AS dup_token_frac,
+           CASE WHEN len(big) = 0 THEN 0.0
+                ELSE round(CAST(list_max(list_transform(list_distinct(big),
+                       x -> len(list_filter(big, b -> b = x)))) AS DOUBLE) / len(big), 6)
+           END AS top_bigram_frac,
+           CASE WHEN len(tri) = 0 THEN 0.0
+                ELSE round(CAST(list_max(list_transform(list_distinct(tri),
+                       x -> len(list_filter(tri, b -> b = x)))) AS DOUBLE) / len(tri), 6)
+           END AS top_trigram_frac
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (duplicate-token fraction, top
+    bigram/trigram share). Narrow per-document array expressions — no
+    shuffle, linear over the corpus; per-doc cost bounded by doc length.
+    The line-level variant (functions/text.py:dup_line_fraction) is
+    pytest-covered — the fixture corpus is single-line."""
+    d = load_table(spark, sf_dir, "documents")
+    return textfn.repetition_metrics(d, "doc_id", "text")
+
+
+@register(
+    "docs_segment_dedup",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(COALESCE(text,'')) = '' THEN []
+                  ELSE string_split_regex(trim(lower(COALESCE(text,''))), '\s+')
+             END AS toks
+      FROM documents
+    ), seg AS (
+      SELECT doc_id,
+             CAST((i - 1) // 8 AS INT) AS seg_idx,
+             array_to_string(toks[i:i+7], ' ') AS seg
+      FROM t, unnest(range(1, len(toks) + 1, 8)) AS u(i)
+      WHERE len(toks) > 0
+    ), ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM seg
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '')
+             AS clean_text
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def docs_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup at 8-token-segment grain (the RefinedWeb
+    paragraph-dedup pass, segment-shaped because the fixture corpus has no
+    newlines): corpus-global keep-first on segment text, then in-order
+    reassembly per document. functions/corpus.py:segment_dedup."""
+    from extract_permits_spark.functions.corpus import segment_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return segment_dedup(d, "doc_id", "text", seg_tokens=8)
+
+
+@register(
+    "docs_decontaminate",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(COALESCE(text,'')) = '' THEN []
+                  ELSE string_split_regex(trim(lower(COALESCE(text,''))), '\s+')
+             END AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS g
+      FROM t, unnest(range(1, len(toks) - 3, 1)) AS u(i)
+      WHERE len(toks) >= 5
+    ), ev AS (
+      SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0
+    ), hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_hits
+      FROM sh s JOIN ev USING (g)
+      WHERE s.doc_id % 10 <> 0
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS is_contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 10 <> 0
+    """,
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    5-gram with the (held-out) eval slice ``doc_id % 10 == 0``. The eval
+    n-gram set is broadcast — a map-side hash probe over the training
+    n-grams, no shuffle of the big side
+    (functions/corpus.py:decontaminate)."""
+    from extract_permits_spark.functions.corpus import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % 10 == 0)
+    train = d.where(F.col("doc_id") % 10 != 0)
+    return decontaminate(train, ev, "doc_id", "text", n=5)
+
+
+@register("stream_decontaminate_ingest", _ORACLES["docs_decontaminate"])
+def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static decontamination gate: training documents
+    (doc_id%10!=0) arrive through a file stream in multiple micro-batches
+    (maxFilesPerTrigger=1) and each is flagged against the STATIC eval
+    5-gram index (doc_id%10==0), built once with the exact tokenize/
+    n-gram contract of the batch decontamination
+    (streaming/decontaminate_ingest.py ↔ functions/corpus.py:
+    decontaminate). The oracle is docs_decontaminate's batch SQL
+    verbatim — proving the incremental per-micro-batch decision equals
+    the full-corpus batch conclusion, the invariant that lets a crawl
+    pipeline gate contamination at ingest time instead of re-scanning
+    the corpus before every training run."""
+    import os
+    import shutil
+    import tempfile
+
+    from extract_permits_spark.streaming.decontaminate_ingest import (
+        run_decontaminate_ingest_available_now,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = d.where(F.col("doc_id") % 10 == 0)
+    train = d.where(F.col("doc_id") % 10 != 0)
+
+    work = tempfile.mkdtemp(prefix="stream_decon_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    for half, fname in ((0, "f0"), (1, "f1")):
+        train.where((F.col("doc_id") % 2) == half).coalesce(1).write.parquet(
+            os.path.join(src, fname)
+        )
+    for sub in ("f0", "f1"):
+        for fn in os.listdir(os.path.join(src, sub)):
+            if fn.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(src, sub, fn),
+                    os.path.join(src, f"{sub}.parquet"),
+                )
+        shutil.rmtree(os.path.join(src, sub), ignore_errors=True)
+
+    out = os.path.join(work, "out")
+    q, eval_grams = run_decontaminate_ingest_available_now(
+        spark, src, eval_docs, os.path.join(work, "ckpt"), out_path=out
+    )
+    q.awaitTermination(300)
+    eval_grams.unpersist()
+    # project off the idempotency partition key — the oracle is the batch
+    # decontamination contract, which has no notion of micro-batches
+    return spark.read.parquet(out).select(
+        "doc_id", "n_hits", "is_contaminated"
+    )
+
+
+@register("stream_semantic_decon_ingest", _ann_sql.lsh_cross_decon_sql())
+def stream_semantic_decon_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static SEMANTIC decontamination gate
+    (streaming/semantic_decon_ingest.py): training vectors (vec_id%10!=0)
+    arrive through a file stream in multiple micro-batches
+    (maxFilesPerTrigger=1) and each batch is probed against the STATIC
+    eval suite (vec_id%10==0) with the exact batch operator
+    (similarity.lsh_cross_hits — per-vector decisions are independent
+    and, with the gate UNCAPPED — no corpus-bucket-size filter whose
+    binding point would depend on how much corpus a frame happens to
+    hold — depend on nothing but the static probe side, so stream ≡
+    batch unconditionally, at any scale). The oracle is
+    emb_cross_decontaminate's pairwise replay verbatim — proving the
+    ingest-time incremental decision equals the full-corpus batch
+    conclusion, the same invariant the n-gram gate
+    (stream_decontaminate_ingest) pins for exact-match leakage. Writes
+    are batch_id-scoped dynamic-partition overwrites (idempotent under
+    foreachBatch replay)."""
+    import os
+    import shutil
+    import tempfile
+
+    from extract_permits_spark.streaming.semantic_decon_ingest import (
+        run_semantic_decon_ingest_available_now,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 10 == 0)
+    tr = emb.where(F.col("vec_id") % 10 != 0)
+
+    work = tempfile.mkdtemp(prefix="stream_semdecon_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    for half, fname in ((0, "f0"), (1, "f1")):
+        tr.where((F.col("vec_id") % 2) == half).coalesce(1).write.parquet(
+            os.path.join(src, fname)
+        )
+    for sub in ("f0", "f1"):
+        for fn in os.listdir(os.path.join(src, sub)):
+            if fn.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(src, sub, fn),
+                    os.path.join(src, f"{sub}.parquet"),
+                )
+        shutil.rmtree(os.path.join(src, sub), ignore_errors=True)
+
+    out = os.path.join(work, "out")
+    q = run_semantic_decon_ingest_available_now(
+        spark, src, ev, os.path.join(work, "ckpt"), out, min_cosine=0.35
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        "vec_id", "n_hits", "is_contaminated"
+    )
+
+
+@register(
+    "sketch_topk_tokens",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(COALESCE(text,''))), '\s+')) AS token
+      FROM documents
+      WHERE trim(COALESCE(text,'')) <> ''
+    )
+    SELECT token, COUNT(*) AS n
+    FROM toks GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def sketch_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequent-items: top-20 tokens by count, ties broken by token
+    text so the result set is deterministic. Partial-aggregates map-side
+    (mergeable across executors); the final top-k is a single reduce of
+    per-partition heads — the exact-count analog of a frequent-items
+    sketch, and the vocabulary-stats pass a tokenizer build runs."""
+    from extract_permits_spark.functions.similarity import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "sample_mixture_weights",
+    """
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    )
+    SELECT source, n_docs,
+           round(pow(n_docs, 0.5) / SUM(pow(n_docs, 0.5)) OVER (), 6) AS weight
+    FROM c
+    """,
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture weights (w ∝ n^0.5, normalized):
+    the sampling-temperature computation for multi-source corpus assembly
+    (functions/corpus.py:mixture_weights). One aggregation; the window
+    normalizer runs over source-count rows, whose cardinality is the
+    number of sources, not documents."""
+    from extract_permits_spark.functions.corpus import mixture_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return mixture_weights(d, "source", alpha=0.5)
+
+
+@register(
+    "ev_hopping_agg",
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE, event_type, value
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM w GROUP BY ws, event_type
+    """,
+)
+def ev_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 1-hour windows every 30 minutes — each
+    event lands in exactly two windows. Spark's window() expands to the
+    overlap set before the partial aggregation, so the shuffle carries
+    pre-combined per-(window,type) rows, not events. The DuckDB twin
+    spells the two aligned window starts with time_bucket + UNION ALL."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_EV_SESSION_SQL = """
+    WITH gaps AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sid
+"""
+
+
+@register("ev_session_window", _EV_SESSION_SQL)
+def ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (session_window(), 30-minute gap) in batch
+    mode — the engine-managed form of ev_sessionize's gaps-and-islands.
+    Spark merges sessions whose windows overlap OR touch: a gap of exactly
+    30 minutes still merges (closed-interval merge), so the oracle's
+    island break is strictly >, matching ev_sessionize. streaming/events.py:session_counts
+    is shared with the streaming twin stream_session_agg."""
+    from extract_permits_spark.streaming.events import session_counts
+
+    e = load_table(spark, sf_dir, "events")
+    return session_counts(e.withColumn("ts", F.col("ts").cast("timestamp")))
+
+
+@register("stream_session_agg", _EV_SESSION_SQL)
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME session aggregation through the streaming engine
+    (file source -> watermark -> session_window merge state -> availableNow
+    drain): streaming and batch must agree with the gaps-and-islands
+    oracle. Session state is merged per micro-batch and bounded by the
+    watermark at steady state."""
+    import os
+    import shutil
+    import tempfile
+
+    from extract_permits_spark.streaming.events import run_sessions_available_now
+
+    work = tempfile.mkdtemp(prefix="ev_stream_sessions_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+    name = f"ev_stream_sessions_{abs(hash(sf_dir)) % 10**8}"
+    q = run_sessions_available_now(spark, src, os.path.join(work, "ckpt"), table_name=name)
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+# ===========================================================================
+# URL-level dedup — the first pass of every crawl pipeline (CCNet,
+# RefinedWeb, Dolma): canonicalize the URL, keep the best document per
+# canonical key. The fixture corpus has no URL column, so the entry
+# synthesizes three deterministic URL *variants* per document (https+www
+# +utm tracking / HTTP+trailing-slash+ref+fragment / bare+utm_campaign)
+# from doc_id — documents agreeing on (source, doc_id%23, doc_id%7)
+# collide after canonicalization, exercising scheme/www/fragment/tracking
+# stripping, trailing-slash removal, and query-parameter sorting at once.
+# ===========================================================================
+
+_URL_DEDUP_SQL = r"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+        CASE doc_id % 3 WHEN 0 THEN 'https://www.' WHEN 1 THEN 'HTTP://' ELSE 'https://' END
+        || source || '.Example.com/Docs/' || CAST(doc_id % 23 AS VARCHAR)
+        || CASE doc_id % 3
+             WHEN 0 THEN '?z=9&utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+             WHEN 1 THEN '/?z=9&id=' || CAST(doc_id % 7 AS VARCHAR) || '&ref=tw#frag'
+             ELSE '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&z=9&utm_campaign=x'
+           END AS url
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_chars,
+             regexp_replace(regexp_replace(url, '^https?://', '', 'i'), '#.*$', '') AS u1
+      FROM u
+    ), parts AS (
+      SELECT doc_id, n_chars,
+        regexp_replace(lower(regexp_extract(u1, '^([^/?]+)', 1)), '^www\.', '') AS host,
+        regexp_replace(regexp_extract(regexp_replace(u1, '^[^/?]+', ''), '^([^?]*)', 1), '/+$', '') AS path,
+        CASE WHEN instr(regexp_replace(u1, '^[^/?]+', ''), '?') > 0
+             THEN regexp_replace(regexp_replace(u1, '^[^/?]+', ''), '^[^?]*\?', '')
+             ELSE '' END AS q
+      FROM c
+    ), keyed AS (
+      SELECT doc_id, n_chars,
+        host || path || CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS canonical_url
+      FROM (
+        SELECT doc_id, n_chars, host, path,
+          array_to_string(list_sort(list_filter(string_split(q, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+              '^(utm_[a-z]+|ref|fbclid|gclid|msclkid|mc_cid|mc_eid)=', 'i'))), '&') AS qq
+        FROM parts
+      )
+    )
+    SELECT doc_id, canonical_url,
+           COUNT(*) OVER (PARTITION BY canonical_url) AS n_dups,
+           row_number() OVER (PARTITION BY canonical_url
+                              ORDER BY n_chars DESC, doc_id) = 1 AS is_canonical
+    FROM keyed
+"""
+
+
+@register("docs_url_dedup", _URL_DEDUP_SQL)
+def docs_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + keep-best-per-canonical-URL
+    (functions/web.py). Pure expressions end to end: the canonical key is
+    one codegen'd regexp chain, the dedup one hash shuffle on a short
+    near-uniform string key — the cheapest dedup pass available at crawl
+    scale, run before any content hashing."""
+    from extract_permits_spark.functions.web import url_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    variant = F.col("doc_id") % 3
+    idq = (F.col("doc_id") % 7).cast("string")
+    url = F.concat(
+        F.when(variant == 0, F.lit("https://www."))
+        .when(variant == 1, F.lit("HTTP://"))
+        .otherwise(F.lit("https://")),
+        F.col("source"),
+        F.lit(".Example.com/Docs/"),
+        (F.col("doc_id") % 23).cast("string"),
+        F.when(variant == 0, F.concat(F.lit("?z=9&utm_source=feed&id="), idq))
+        .when(variant == 1, F.concat(F.lit("/?z=9&id="), idq, F.lit("&ref=tw#frag")))
+        .otherwise(F.concat(F.lit("?id="), idq, F.lit("&z=9&utm_campaign=x"))),
+    )
+    deduped = url_dedup(
+        d.withColumn("url", url), "doc_id", "url", quality_col="n_chars"
+    )
+    return deduped.select("doc_id", "canonical_url", "n_dups", "is_canonical")
+
+
+# ===========================================================================
+# DSIR-style importance weighting (Xie et al. 2023): hashed-unigram
+# log-likelihood ratio of target vs raw bag-of-words models. The target
+# slice reuses the decontamination convention (doc_id % 10 == 0 plays the
+# target domain); raw = the rest. Model state is a bounded 1024-row
+# bucket table (broadcast), so the scoring pass is map-side regardless of
+# corpus size.
+# ===========================================================================
+
+_DSIR_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 10 = 0 AS is_target,
+             unnest(string_split_regex(trim(lower(COALESCE(text,''))), '\s+')) AS tok
+      FROM documents
+      WHERE trim(COALESCE(text,'')) <> ''
+    ), b AS (
+      SELECT doc_id, is_target,
+             CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 1024 AS bucket
+      FROM toks
+    ), stats AS (
+      SELECT bucket,
+             SUM(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS rc,
+             SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc
+      FROM b GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(rc) AS r_total, SUM(tc) AS t_total FROM stats
+    ), ratio AS (
+      SELECT bucket,
+             ln((tc + 1.0) / (t_total + 1024.0)) - ln((rc + 1.0) / (r_total + 1024.0)) AS lr
+      FROM stats, tot
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(ratio.lr) AS importance_weight
+    FROM b JOIN ratio USING (bucket)
+    WHERE NOT b.is_target
+    GROUP BY b.doc_id
+"""
+
+
+@register("docs_dsir_weights", _DSIR_SQL)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resampling weights for data selection
+    (functions/corpus.py:importance_weights). The bucket LM table is
+    bounded (1024 rows) and broadcast; only compact (bucket, count) pairs
+    shuffle. Cross-engine md5 bucket hash, oracle replays the full model
+    fit + scoring."""
+    from extract_permits_spark.functions.corpus import importance_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.where(F.col("doc_id") % 10 == 0)
+    raw = d.where(F.col("doc_id") % 10 != 0)
+    return importance_weights(raw, target, "doc_id", "text")
+
+
+# ===========================================================================
+# Product quantization (Jégou et al. 2011) — the compression layer that
+# makes 100-TB embedding stores searchable: 64-dim float32 → 8 codes
+# (32× smaller). Deterministic per-subspace Lloyd fit; both entries are
+# REAL twins (plans/ann_sql.py replays fit + encode + ADC end to end).
+# ===========================================================================
+
+_PQ_BOOK_CACHE: dict = {}
+
+
+def _pq_book_cached(spark: SparkSession, emb: DataFrame, sf_dir: str):
+    from extract_permits_spark.functions.pq import pq_fit
+
+    key = (id(spark), sf_dir)
+    if key not in _PQ_BOOK_CACHE:
+        _PQ_BOOK_CACHE[key] = pq_fit(emb, m=8, k=16, rounds=1)
+    return _PQ_BOOK_CACHE[key]
+
+
+@register("emb_pq_codes", _ann_sql.pq_codes_sql())
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ fit + encode: per-subspace codes and per-coordinate squared
+    reconstruction error. Encoding is a zero-shuffle narrow map (literal
+    codebook in codegen); driver state is the bounded m×k×(d/m)
+    codebook."""
+    from extract_permits_spark.functions.pq import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = _pq_book_cached(spark, emb, sf_dir)
+    return pq_encode(emb, book).drop("_code_arr")
+
+
+@register("emb_pq_adc_topk", _ann_sql.pq_adc_sql())
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes: the query stays raw, the corpus is only
+    touched through its 8-byte codes — per-subspace literal distance
+    table indexed by code, left-associated sum (the oracle mirrors the
+    fold order via list_sum(list(... ORDER BY sub)))."""
+    from extract_permits_spark.functions.pq import pq_adc_topk
+    from extract_permits_spark.functions.similarity import _py_round_half_up
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = _pq_book_cached(spark, emb, sf_dir)
+    raw = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    norm = sum(x * x for x in raw) ** 0.5
+    qvec = [_py_round_half_up(x / norm, 9) for x in raw]
+    return pq_adc_topk(emb, book, qvec, topk=20)
+
+
+@register("emb_ivfpq_topk", _ann_sql.ivfpq_topk_sql(num_probes=6))
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the composed production ANN path (FAISS IndexIVFPQ;
+    Jégou et al. 2011 §V): the IVF coarse quantizer prunes to the 6
+    nearest clusters, PQ codes + a per-query asymmetric distance table
+    rank only their members. Reuses the cached k-means centroids
+    (ann_ivf_* family) and the cached PQ codebook (emb_pq_* family) —
+    index once, query many. One narrow map computes BOTH the cluster
+    assignment and the 8-byte code per vector; the probe filter lands
+    before anything wide; the only exchange is the final top-k. The
+    oracle replays coarse fit, probe selection, PQ fit/encode, and ADC
+    ranking end-to-end (plans/ann_sql.py:ivfpq_topk_sql)."""
+    from extract_permits_spark.functions.pq import ivfpq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = _pq_book_cached(spark, emb, sf_dir)
+    centroids = _ivf_centroids_cached(spark, emb, sf_dir)
+    raw = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return ivfpq_adc_topk(
+        emb, book, centroids, raw, num_probes=6, topk=20
+    )
+
+
+@register(
+    "emb_ivfpq_batch_topk", _ann_sql.ivfpq_batch_topk_sql(num_probes=6)
+)
+def emb_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVFADC — the production serving shape composed end-to-end:
+    a 5-query batch's probe sets + asymmetric distance tables broadcast
+    as a tiny frame (bounded driver state: num_probes rows × m×k doubles
+    per query), ONE kernel scan of the corpus equi-joins it on
+    cluster_id (the join IS the probe pruning — a corpus row fans out
+    only to queries probing its cluster), and the per-query top-20 is a
+    rank-limit window Spark runs as WindowGroupLimit (pre-exchange
+    heaps, same shape as ann_batch_topk). The oracle replays both fits
+    once for the whole batch plus per-query probes/tables/ranking
+    (plans/ann_sql.py:ivfpq_batch_topk_sql)."""
+    from extract_permits_spark.functions.pq import ivfpq_batch_topk_from_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = _pq_book_cached(spark, emb, sf_dir)
+    centroids = _ivf_centroids_cached(spark, emb, sf_dir)
+    return ivfpq_batch_topk_from_table(
+        emb, book, centroids, n_queries=5, num_probes=6, topk=20
+    )
+
+
+@register("emb_ivfpq_indexed_topk", _ann_sql.ivfpq_topk_sql(num_probes=6))
+def emb_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index IVFADC serving path as a correctness row:
+    write_ivfpq_index builds the codes-only cluster-partitioned index,
+    ivfpq_topk_from_index queries it reading ONLY the probed partition
+    directories (PartitionFilters; no embedding column in the serving
+    plan — test_plan_quality pins both). Rankings are bitwise-equal to
+    the in-memory path by construction (same kernel, same distance
+    tables, same fold order), so the oracle is the same full IVFADC
+    replay emb_ivfpq_topk proves. The 20-row result is materialized to
+    a table because the index lives in a temp dir."""
+    import os
+    import shutil
+    import tempfile
+
+    from extract_permits_spark.functions.pq import (
+        ivfpq_topk_from_index,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = _pq_book_cached(spark, emb, sf_dir)
+    centroids = _ivf_centroids_cached(spark, emb, sf_dir)
+    raw = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    work = tempfile.mkdtemp(prefix="ivfpq_serve_")
+    idx = os.path.join(work, "index")
+    write_ivfpq_index(emb, book, centroids, idx)
+    tag = abs(hash(sf_dir)) % 10**8
+    table = f"ivfpq_served_{tag}"
+    (
+        ivfpq_topk_from_index(
+            spark, idx, book, centroids, raw, num_probes=6, topk=20
+        )
+        .select(
+            "vec_id",
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "codes",
+            "adc_dist",
+        )
+        .write.mode("overwrite")
+        .saveAsTable(table)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.sql(
+        f"SELECT vec_id, cluster_id, codes, adc_dist FROM {table}"
+    )
+
+
+@register("stream_ann_index_ingest", _ann_sql.ivfpq_codes_sql())
+def stream_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN-index maintenance (streaming/ann_index_ingest.py):
+    the embeddings table is written out as parquet shards, then drained
+    through Structured Streaming (file source, maxFilesPerTrigger=1 →
+    multiple micro-batches); each batch is coarse-assigned + PQ-encoded
+    with the FROZEN quantizers (the production contract — re-fitting
+    invalidates every written code) and appended to the cluster-
+    partitioned index. The entry returns the final index CONTENT
+    (vec_id, cluster_id, codes); the oracle computes the same
+    assignment+codes in one batch replay, so a dropped batch, a double-
+    applied batch, or any encode drift between the streaming and batch
+    paths hash-mismatches."""
+    import os
+    import shutil
+    import tempfile
+
+    from extract_permits_spark.streaming.ann_index_ingest import (
+        run_index_ingest_available_now,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = _pq_book_cached(spark, emb, sf_dir)
+    centroids = _ivf_centroids_cached(spark, emb, sf_dir)
+    work = tempfile.mkdtemp(prefix="ann_index_stream_")
+    src = os.path.join(work, "in")
+    emb.repartition(4).write.parquet(src)
+    idx = os.path.join(work, "index")
+    q = run_index_ingest_available_now(
+        spark, src, book, centroids, idx, os.path.join(work, "ckpt")
+    )
+    q.awaitTermination(300)
+    tag = abs(hash(sf_dir)) % 10**8
+    table = f"ann_index_ingested_{tag}"
+    (
+        spark.read.parquet(idx)
+        .select(
+            "vec_id",
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            F.array_join(
+                F.transform("code_arr", lambda c: c.cast("string")), "-"
+            ).alias("codes"),
+        )
+        .write.mode("overwrite")
+        .saveAsTable(table)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.sql(f"SELECT vec_id, cluster_id, codes FROM {table}")
+
+
+@register("emb_ivfpq_recall", _ann_sql.ivfpq_recall_sql(num_probes=6))
+def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@20 of IVFADC vs exact cosine top-k — the checkable quality
+    number for emb_ivfpq_topk, completing the family symmetry (every
+    approximate ANN path here ships a measured, fully-oracled recall:
+    lsh/ivf/matryoshka/ivfpq). IVFADC is approximate twice over — probe
+    pruning can miss a cluster AND the 8-byte codes are lossy — so its
+    recall is the compounding of the two trades FAISS IndexIVFPQ makes;
+    the oracle replays both fits, probe selection, encode, ADC ranking,
+    and the exact top-k, so the recall VALUE must hash-match, not just
+    clear a floor (floor asserted in tests/test_recall.py)."""
+    from extract_permits_spark.functions.pq import ivfpq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = _pq_book_cached(spark, emb, sf_dir)
+    centroids = _ivf_centroids_cached(spark, emb, sf_dir)
+    raw = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return _ann_recall_frame(
+        ivfpq_adc_topk(emb, book, centroids, raw, num_probes=6, topk=20),
+        simfn.brute_force_topk(emb, raw, k=20),
+        k=20,
+    )
+
+
+# ===========================================================================
+# Training-run data layout: deterministic global shuffle + fixed shard
+# assignment, and quality-score curriculum binning. Both are pure
+# relational plans — the "shuffle" is an md5 sort key (reproducible
+# across runs and engines), sharding is modulo on the rank.
+# ===========================================================================
+
+
+@register(
+    "docs_shard_shuffle",
+    r"""
+    WITH ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+               AS shuffle_rank
+      FROM documents
+    )
+    SELECT doc_id,
+           shuffle_rank,
+           CAST(shuffle_rank % 8 AS INT) AS shard_id,
+           CAST(shuffle_rank // 8 AS BIGINT) AS pos_in_shard
+    FROM ranked
+    """,
+)
+def docs_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + round-robin shard assignment for a
+    training run: order by md5(id) (reproducible, engine-independent,
+    uncorrelated with any data attribute), then stripe ranks across 8
+    shards. Round-robin on the *shuffled* rank gives every shard an
+    unbiased sample AND equal size (±1) by construction.
+
+    The global rank is the distributed-offset spelling
+    (operators/windows.py:distributed_rank — range exchange + local
+    index + broadcast partition offsets), NOT a single-partition
+    row_number window: identical output under this total order (md5 key,
+    doc_id tiebreak), one wide shuffle, no one-reducer funnel at 100 TB.
+    The md5 sort keys are near-uniform so the range partitioning behind
+    the sort is skew-free."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    return distributed_rank(
+        d.select("doc_id"), [key, F.col("doc_id")], "shuffle_rank", zero_based=True
+    ).select(
+        "doc_id",
+        "shuffle_rank",
+        F.pmod("shuffle_rank", F.lit(8)).cast("int").alias("shard_id"),
+        (F.col("shuffle_rank") / 8).cast("bigint").alias("pos_in_shard"),
+    )
+
+
+@register(
+    "docs_shard_manifest",
+    r"""
+    WITH ranked AS (
+      SELECT doc_id, text,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+               AS shuffle_rank
+      FROM documents
+    )
+    SELECT CAST(shuffle_rank % 8 AS INT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(COALESCE(text,''))) AS BIGINT) AS n_chars,
+           bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || COALESCE(text,'')), 1, 15))::BIGINT)
+             AS content_hash
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard MANIFEST for a training run — the reproducibility rail that
+    ships with the shards: per shard, the row count, the total char
+    count, and an order-insensitive content hash (bit_xor of the
+    cross-engine md5_long60 over 'doc_id:text'). A re-generated shard
+    set, a resumed write, or a data revision is verified by comparing
+    manifests instead of re-reading the corpus; any dropped, duplicated
+    or mutated document flips its shard's hash. XOR is the right fold:
+    commutative (shard-internal order-free — the groupBy needs no sort),
+    overflow-free at any count, and computable identically by any engine
+    with an md5. (Caveat by construction: a document duplicated an EVEN
+    number of times inside one shard cancels out of the hash — n_docs
+    catches that case.) Shard assignment is docs_shard_shuffle's
+    md5-ranked round-robin, recomputed here so the manifest is
+    self-contained; the global rank is the distributed-offset spelling
+    (operators/windows.py:distributed_rank — no single-partition window)
+    and the 8-group aggregate is map-side partial everywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    h = simfn.md5_long60(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
+    )
+    base = d.select(
+        F.col("doc_id"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("_len"),
+        h.alias("_h"),
+    )
+    return (
+        distributed_rank(
+            base, [key, F.col("doc_id")], "_rank", zero_based=True
+        )
+        .groupBy(F.pmod("_rank", F.lit(8)).cast("int").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_len").cast("long").alias("n_chars"),
+            F.expr("bit_xor(_h)").alias("content_hash"),
+        )
+    )
+
+
+@register(
+    "docs_quality_bins",
+    r"""
+    WITH q AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(COALESCE(text,''))) = 0 THEN 0.0
+                  ELSE round(
+                    CAST(len(list_filter(string_split_regex(trim(lower(COALESCE(text,''))), '\s+'),
+                         t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                    / len(string_split_regex(trim(lower(COALESCE(text,''))), '\s+')), 6)
+             END AS stopword_ratio,
+             n_chars
+      FROM documents
+    )
+    SELECT doc_id, stopword_ratio,
+           ntile(4) OVER (ORDER BY stopword_ratio DESC, doc_id) AS quality_bin
+    FROM q
+    """,
+)
+def docs_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: quartile buckets over a quality signal
+    (stopword ratio — natural-language-likeness), highest-quality bin
+    first. The ntile runs on the distributed-offset rank
+    (operators/windows.py:distributed_rank), not a single-partition
+    window: with rn the 1-based global rank, n the row count, q = n div 4
+    and r = n mod 4, SQL ntile(4) assigns the first r buckets q+1 rows
+    and the rest q — i.e. bucket = ceil(rn/(q+1)) while rn ≤ r·(q+1),
+    else r + ceil((rn − r·(q+1))/q). Pure map-side arithmetic once the
+    rank and the (free) total column exist; bit-identical to ntile under
+    this total order (ratio desc, doc_id tiebreak). The sort-free
+    100-TB variant is ``docs_quality_bins_approx`` below: exact
+    histogram-derived cutpoints + a map-side CASE — same quartile
+    cutpoints, ties share a bin instead of splitting on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    from extract_permits_spark.functions.similarity import tokens
+
+    stop = F.array(*[F.lit(s) for s in
+                     ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]])
+    tk = tokens(F.col("text"))
+    ratio = F.when(F.size(tk) == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.size(F.filter(tk, lambda t: F.array_contains(stop, t)))
+            / F.size(tk),
+            6,
+        )
+    )
+    ranked = distributed_rank(
+        d.select("doc_id", ratio.alias("stopword_ratio")),
+        [F.col("stopword_ratio").desc(), F.col("doc_id")],
+        "_rn",
+        total_col="_n",
+    )
+    q = F.floor(F.col("_n") / 4).cast("long")
+    r = (F.col("_n") % 4).cast("long")
+    boundary = r * (q + 1)
+    ceil_div = lambda a, b: ((a + b - F.lit(1)) / b).cast("long")  # noqa: E731
+    tile = F.when(F.col("_rn") <= boundary, ceil_div(F.col("_rn"), q + 1)).otherwise(
+        r + ceil_div(F.col("_rn") - boundary, F.greatest(q, F.lit(1)))
+    )
+    return ranked.select(
+        "doc_id", "stopword_ratio", tile.cast("long").alias("quality_bin")
+    )
+
+
+@register(
+    "docs_quality_bins_approx",
+    r"""
+    WITH q AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(COALESCE(text,''))) = 0 THEN 0.0
+                  ELSE round(
+                    CAST(len(list_filter(string_split_regex(trim(lower(COALESCE(text,''))), '\s+'),
+                         t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                    / len(string_split_regex(trim(lower(COALESCE(text,''))), '\s+')), 6)
+             END AS stopword_ratio
+      FROM documents
+    ),
+    hist AS (
+      SELECT stopword_ratio AS v, COUNT(*) AS c FROM q GROUP BY stopword_ratio
+    ),
+    cum AS (
+      SELECT v,
+             SUM(c) OVER (ORDER BY v DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd,
+             SUM(c) OVER () AS n
+      FROM hist
+    ),
+    cuts AS (
+      SELECT MAX(CASE WHEN cd >= (1*n + 3) // 4 THEN v END) AS d1,
+             MAX(CASE WHEN cd >= (2*n + 3) // 4 THEN v END) AS d2,
+             MAX(CASE WHEN cd >= (3*n + 3) // 4 THEN v END) AS d3
+      FROM cum
+    )
+    SELECT doc_id, stopword_ratio,
+           CAST(1 + CAST(stopword_ratio < d1 AS INT)
+                  + CAST(stopword_ratio < d2 AS INT)
+                  + CAST(stopword_ratio < d3 AS INT) AS BIGINT) AS quality_bin
+    FROM q, cuts
+    """,
+)
+def docs_quality_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning WITHOUT the global row sort — the 100-TB
+    spelling of ``docs_quality_bins``. Instead of ranking every row
+    (distributed_rank = one corpus-wide range shuffle), the quartile
+    cutpoints come from a VALUE HISTOGRAM: groupBy(ratio) with map-side
+    partial aggregation collapses the corpus to its distinct 6-dp ratio
+    values (≤ 10^6 + 1 rows whatever the corpus size), two windows over
+    that bounded frame derive descending cumulative counts and the
+    total, and cutpoint d_k = max{v : #rows ≥ v  ≥  ceil(k·n/4)} — the
+    exact discrete k/4-quantile. Bin assignment is then a map-side CASE
+    behind a 1-ROW broadcast cross join of the cutpoint frame — the
+    q11/rag_bm25-class sanctioned scalar-broadcast spelling (a single
+    build row makes the NLJ a broadcast variable, not a pairwise scan).
+
+    Contract difference vs the exact entry, by design: cutpoints are
+    bit-exact quantiles (no sketch, no tolerance — the DuckDB oracle
+    replays the identical integer logic and hashes must match), but
+    ties SHARE a bin (threshold semantics) where ntile splits them on
+    the doc_id tiebreak to equalize bin sizes. At corpus scale the
+    quality signal is what matters and equal-size binning of ties is
+    an artifact; callers that need exact quartile counts use
+    ``docs_quality_bins``. floor-on-double is exact for k·n+3 < 2^53,
+    i.e. corpora under ~3·10^15 docs."""
+    d = load_table(spark, sf_dir, "documents")
+    from extract_permits_spark.functions.similarity import tokens
+
+    stop = F.array(*[F.lit(s) for s in
+                     ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]])
+    tk = tokens(F.col("text"))
+    ratio = F.when(F.size(tk) == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.size(F.filter(tk, lambda t: F.array_contains(stop, t)))
+            / F.size(tk),
+            6,
+        )
+    )
+    scored = d.select("doc_id", ratio.alias("stopword_ratio"))
+    hist = scored.groupBy(F.col("stopword_ratio").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # both windows run over the HISTOGRAM (bounded above the Aggregate on
+    # the plan spine — see tests/test_plan_quality.py), never over rows
+    w_desc = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "v",
+        F.sum("c").over(w_desc).alias("cd"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    thr = lambda k: F.floor((F.lit(k) * F.col("n") + F.lit(3)) / 4)  # noqa: E731
+    cuts = cum.agg(
+        *[
+            F.max(F.when(F.col("cd") >= thr(k), F.col("v"))).alias(f"d{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    bin_ = (
+        F.lit(1)
+        + (F.col("stopword_ratio") < F.col("d1")).cast("int")
+        + (F.col("stopword_ratio") < F.col("d2")).cast("int")
+        + (F.col("stopword_ratio") < F.col("d3")).cast("int")
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "stopword_ratio", bin_.cast("long").alias("quality_bin")
+    )
+
+
+# ===========================================================================
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup by
+# clustering first: k-means over the embeddings, pairwise cosine only
+# WITHIN a cluster, greedy keep-lowest-id above the threshold. The oracle
+# replays the full Lloyd fit (shared CTEs with the IVF twin), so the
+# driver hash-checks the clustering itself, not just the final flags.
+# ===========================================================================
+
+
+# ===========================================================================
+# Per-host crawl cap (docs_host_cap) — the Gopher/RefinedWeb-style
+# frequency cap: no single host may contribute more than N documents,
+# keeping the best N by quality. The fixture has no URL column, so the
+# host is synthesized deterministically (source × doc_id%7 → 140 hosts).
+# Filtering on the rank (not flagging) lets Catalyst insert
+# WindowGroupLimit: each map task pre-prunes to its local top-N per host
+# BEFORE the shuffle, so the exchange carries ≤ N·hosts·tasks rows —
+# the mega-host skew killer at crawl scale (plan-asserted).
+# ===========================================================================
+
+_HOST_CAP_SQL = r"""
+    SELECT doc_id, host, host_rank FROM (
+      SELECT doc_id, host,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY n_chars DESC, doc_id) AS host_rank
+      FROM (
+        SELECT doc_id, n_chars,
+               source || '-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                 AS host
+        FROM documents
+      )
+    ) WHERE host_rank <= 3
+"""
+
+
+@register("docs_host_cap", _HOST_CAP_SQL)
+def docs_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the best 3 documents per host (quality = n_chars, determinism
+    tiebreak doc_id). The rank filter plans as WindowGroupLimit — a
+    map-side partial top-N per host before the exchange — so a host with
+    10^8 pages ships at most 3 rows per input task instead of all of
+    them. This is the shape that survives adversarial host skew."""
+    d = load_table(spark, sf_dir, "documents")
+    host = F.concat(
+        F.col("source"), F.lit("-"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com"),
+    )
+    w = Window.partitionBy("host").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.select("doc_id", "n_chars", host.alias("host"))
+        .withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("host_rank") <= 3)
+        .select("doc_id", "host", "host_rank")
+    )
+
+
+# ===========================================================================
+# Incremental (cross-snapshot) dedup with a Bloom prefilter — the
+# continuous-crawl refresh: the fixture corpus plays the base snapshot; the
+# incoming snapshot is synthesized deterministically from it (doc_id%3==0 →
+# re-crawled exact copy, %3==1 → updated page, %3==2 → dropped). Only
+# Bloom candidates enter the exact key join; false positives (bloom says
+# maybe, exact says new) are part of the checked output.
+# ===========================================================================
+
+_INC_DEDUP_SQL = r"""
+    WITH base AS (SELECT md5(COALESCE(text,'')) AS key FROM documents),
+    inc AS (
+      SELECT d0 + 100000 AS doc_id, md5(t) AS key FROM (
+        SELECT doc_id AS d0,
+               CASE WHEN doc_id % 3 = 0 THEN COALESCE(text,'')
+                    ELSE COALESCE(text,'') || ' updated edition' END AS t
+        FROM documents WHERE doc_id % 3 < 2)
+    ),
+    h AS (SELECT 0 AS i UNION ALL SELECT 1),
+    bpos AS (
+      SELECT DISTINCT
+        CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || key), 1, 15)) AS BIGINT)
+          % 4096 AS pos
+      FROM base CROSS JOIN h
+    ),
+    ipos AS (
+      SELECT doc_id, key,
+        CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || key), 1, 15)) AS BIGINT)
+          % 4096 AS pos
+      FROM inc CROSS JOIN h
+    ),
+    cand AS (
+      SELECT doc_id, key,
+             bool_and(pos IN (SELECT pos FROM bpos)) AS bloom_candidate
+      FROM ipos GROUP BY doc_id, key
+    )
+    SELECT doc_id, bloom_candidate,
+           bloom_candidate AND key IN (SELECT key FROM base) AS is_dup
+    FROM cand
+"""
+
+
+@register("docs_incremental_dedup", _INC_DEDUP_SQL)
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup (functions/corpus.py:incremental_dedup): the
+    Bloom bitmask is built once from the base side (bounded driver state,
+    m/8 bytes), probed map-side as pure codegen (element_at + getbit on
+    literal words — no join, no shuffle), and only candidates pay the
+    exact key join. The hand-rolled twin of AQE's runtime bloom-filter
+    injection, made oracle-replayable via the md5 position hash."""
+    from extract_permits_spark.functions.corpus import incremental_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    base = d.select(F.md5(txt.cast("binary")).alias("key"))
+    inc = d.where(F.col("doc_id") % 3 < 2).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.md5(
+            F.when(F.col("doc_id") % 3 == 0, txt)
+            .otherwise(F.concat(txt, F.lit(" updated edition")))
+            .cast("binary")
+        ).alias("key"),
+    )
+    return incremental_dedup(base, inc)
+
+
+# ===========================================================================
+# BPE vocabulary induction, the distributed step: adjacent-symbol pair
+# counts over the word-frequency table (Sennrich et al. 2016). One merge
+# round = argmax of this output; the expensive part at corpus scale is
+# exactly these two map-side-combined shuffles (word freq, pair freq) —
+# the iterative merge loop then runs on the bounded vocab table.
+# ===========================================================================
+
+_BPE_PAIRS_SQL = r"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(lower(COALESCE(text,''))), '\s+'))
+               AS word
+      FROM documents
+      WHERE trim(COALESCE(text,'')) <> ''
+    ), wf AS (
+      SELECT word, COUNT(*) AS freq FROM words WHERE word <> '' GROUP BY word
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, length(word)),
+                    i -> substring(word, CAST(i AS INT), 2))) AS pair,
+             freq
+      FROM wf WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+"""
+
+
+@register("vocab_bpe_pairs", _BPE_PAIRS_SQL)
+def vocab_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE pair statistics: corpus → word-frequency table
+    (first shuffle, map-side combine collapses the corpus to its
+    vocabulary) → adjacent char-pair counts weighted by word frequency
+    (second shuffle over the *vocab*, not the corpus). The top pair is
+    the next BPE merge; at 100 TB the vocab table is ~10^6 rows, so
+    every merge round after this costs vocabulary-scale, not
+    corpus-scale."""
+    from extract_permits_spark.functions.similarity import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokens(F.col("text"))).alias("word")).where(
+        F.col("word") != ""
+    )
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.where(F.length("word") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# Winnowing fingerprints (Schleimer et al. 2003 — MOSS): fixed-density
+# substring fingerprints robust to insert/delete shift. Any shared word
+# substring of ≥ w+k-1 = 7 words yields ≥ 1 shared fingerprint.
+# ===========================================================================
+
+_WINNOW_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(COALESCE(text,''))), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 4 THEN
+          list_transform(range(1, len(toks) - 4 + 2),
+            i -> CAST(('0x' || substring(md5(
+                   array_to_string(list_slice(toks, i, i + 3), ' ')), 1, 15))
+                 AS BIGINT))
+        ELSE CAST([] AS BIGINT[]) END AS h
+      FROM t
+    ), fp AS (
+      SELECT doc_id,
+        list_distinct(
+          CASE WHEN len(h) >= 4 THEN
+                 list_transform(range(1, len(h) - 4 + 2),
+                                j -> list_min(list_slice(h, j, j + 3)))
+               WHEN len(h) > 0 THEN [list_min(h)]
+               ELSE CAST([] AS BIGINT[]) END) AS fps
+      FROM g
+    ), ex AS (SELECT doc_id, unnest(fps) AS fingerprint FROM fp)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM ex a JOIN ex b ON a.fingerprint = b.fingerprint
+                       AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY n_shared DESC, id_a, id_b
+    LIMIT 25
+"""
+
+
+@register("dedup_winnowing", _WINNOW_SQL)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing substring-overlap candidates
+    (functions/similarity.py:winnow_pairs): positional k-gram hashes →
+    sliding-window minima → inverted-index self-join. Detects *partial*
+    overlap (a lifted paragraph) that whole-document MinHash dilutes
+    away; fingerprint density is a fixed ~2/(w+1) sample of the corpus,
+    so the index is ~25x smaller than the full shingle set."""
+    d = load_table(spark, sf_dir, "documents")
+    return simfn.winnow_pairs(d, k=4, w=4, min_shared=2, topn=25)
+
+
+@register("emb_prototypicality", _ann_sql.prototypicality_sql())
+def emb_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SSL-prototypes half of D4 (arXiv:2308.12284): rank every
+    vector by cosine to its own cluster centroid, flag the top 10 % most
+    prototypical per cluster — the most-redundant region of each semantic
+    neighbourhood. With dedup_semantic this completes the D4 recipe.
+    Centroid lookup is element_at into the literal matrix (zero-shuffle
+    codegen); the only exchange is the per-cluster rank window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return simfn.prototypicality_flags(
+        emb, num_clusters=16, centroids=_ivf_centroids_cached(spark, emb, sf_dir)
+    )
+
+
+@register("dedup_semantic", _ann_sql.semdedup_sql())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-compare semantic dedup over the embeddings table.
+    Reuses the deterministic IVF centroids (bounded driver state,
+    broadcast as literals); the intra-cluster pair generation is an
+    equi-join on cluster_id — a hash shuffle on the cluster key, never an
+    all-pairs product. The paper sizes k ∝ n/⟨cluster⟩, which keeps the
+    per-cluster pairwise work constant as the corpus grows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return simfn.semdedup_flags(
+        emb, num_clusters=16, centroids=_ivf_centroids_cached(spark, emb, sf_dir)
+    )
+
+
+# ===========================================================================
+# Batch r6b — event-sequence analytics (funnel, retention, cube), two more
+# TPC-H shapes (Q6, Q10), TF-IDF term scoring, PII redaction, and the
+# remaining rank-family window functions. Each is the engine-native form
+# of an operation the reference's consumers run downstream of extraction
+# (ordered-sequence checks, cohort counts, ranked review lists).
+# ===========================================================================
+
+
+@register(
+    "ev_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id
+    ), s4 AS (
+      SELECT e.user_id, min(e.ts) AS t4
+      FROM events e JOIN s3 ON e.user_id = s3.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_num, 'signup' AS stage, count(*) AS n_users FROM s1
+      UNION ALL SELECT 2, 'view', count(*) FROM s2
+      UNION ALL SELECT 3, 'click', count(*) FROM s3
+      UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+    )
+    """,
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: signup → view → click → purchase, each
+    stage's event strictly after the user's previous-stage timestamp.
+
+    Expressed as a chain of (filter → per-user min-ts aggregate → equi-join
+    on user_id): every join/agg shuffles on the SAME key, so after the
+    first exchange the stages are co-partitioned and AQE keeps reusing the
+    layout; the surviving-user set shrinks monotonically, so each later
+    join's build side is smaller (AQE flips them to broadcast at runtime).
+    No window over the full event log and no per-user event collection —
+    state per stage is one timestamp per surviving user, which is what a
+    1000-executor funnel over 100 TB of events needs.
+    """
+    from functools import reduce
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    stages = ["signup", "view", "click", "purchase"]
+    survivors: list[DataFrame] = []
+    prev = None
+    for i, stage in enumerate(stages):
+        cur = e.where(F.col("event_type") == stage)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").where(F.col("ts") > F.col("_prev_ts"))
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias("_prev_ts"))
+        survivors.append(
+            cur.groupBy().agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("stage_num"),
+                F.lit(stage).alias("stage"),
+                "n_users",
+            )
+        )
+        prev = cur
+    return reduce(DataFrame.unionByName, survivors)
+
+
+@register(
+    "ev_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort, a.active_day) AS BIGINT) AS day_offset,
+           count(*) AS n_users
+    FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each later day they return. Two aggregates and one join, all keyed
+    on user_id (co-partitioned, single logical shuffle under AQE); the
+    output is O(active-days²) regardless of event volume, so the result
+    stays tiny even when the input is 100 TB. The distinct-day projection
+    happens BEFORE the join — the join carries (user, day) pairs, never raw
+    events."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("active_day")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("active_day").alias("cohort"))
+    activity = e.distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("active_day", "cohort").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "ev_cube",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(strftime(CAST(ts AS DATE), '%Y-%m-%d'), 'ALL') AS day,
+           CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS BIGINT) AS gid,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    """,
+)
+def ev_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all four grouping sets of type × day) with
+    GROUPING() disambiguation — complements ev_rollup's hierarchy. Spark
+    expands the sets map-side and shuffles once; sums stay in
+    decimal(18,2) so every grand-total is exact and engine-independent."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("_day"), "value"
+    )
+    return (
+        e.cube("event_type", "_day")
+        .agg(
+            F.grouping("event_type").cast("int").alias("_gt"),
+            F.grouping("_day").cast("int").alias("_gd"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.date_format("_day", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+            (F.col("_gt") * 2 + F.col("_gd")).cast("long").alias("gid"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue shape: pure filter + scalar aggregate.
+    All three predicates push down to the parquet scan (min/max row-group
+    skipping on l_shipdate makes this a partial-file read when the table
+    is date-sorted/partitioned — the 100 TB case); the aggregate is a
+    map-side partial + 1-row exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .groupBy()
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: who returned the most revenue in
+    a quarter. Orders is filtered to one quarter BEFORE the lineitem join
+    (the selective side drives), nation broadcasts, and the final top-20
+    is a TakeOrderedAndProject — no global sort materializes. Revenue sums
+    in decimal so the DESC order (and therefore the LIMIT cut) is
+    identical across engines; ties break on c_custkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .join(li.where(F.col("l_returnflag") == "R"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_tfidf",
+    """
+    WITH tok AS (
+      SELECT doc_id, t.term
+      FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      WHERE length(t.term) > 0
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+      ) AS rn
+      FROM scored
+    )
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword extractor.
+
+    Plan shape: explode → (doc,term) count → term document-frequency →
+    broadcast the DF table back (vocabulary ≪ corpus, so the join is a
+    broadcast, never a sort-merge over the token stream) → per-doc top-3
+    via row_number. The corpus count rides the sanctioned 1-row
+    scalar-broadcast cross join (q11/rag_bm25 class) — IN the plan, not
+    a separate driver count() job, so the function is fully lazy and
+    one job cheaper (r11 VERDICT #8; hash unchanged, the ln() argument
+    is the same exact small-int ratio). Score is rounded to 6dp before
+    ranking, so the order — and therefore the top-3 cut — is
+    engine-independent (ties break on the term string, binary collation
+    both sides)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.length("term") > 0)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("_n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("_n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+# PII patterns shared by the Spark path and the DuckDB oracle. Both engines
+# treat these identically (no lookaround, no backreferences — the RE2-safe
+# subset). Order matters: emails first so their digits aren't half-eaten by
+# the phone pattern.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d[\d() .-]{7,}\d", "[PHONE]"),
+]
+
+
+def redact_pii(df: DataFrame, col: str) -> DataFrame:
+    """Scrub emails / IPv4s / phone-shaped digit runs from ``col``,
+    appending ``n_pii`` (total redaction count). Pure regexp expressions —
+    codegen'd, no UDF, order-preserving; at 100 TB this is a narrow map
+    stage with zero shuffle."""
+    out = df
+    counts = []
+    cleaned = F.col(col)
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(cleaned, F.lit(pat)).cast("long"))
+        cleaned = F.regexp_replace(cleaned, pat, token)
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return out.withColumn("n_pii", total).withColumn(col, cleaned)
+
+
+@register(
+    "docs_pii_redact",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST(doc_id % 100 AS VARCHAR)
+                    || ' or call 312-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE text END AS text
+      FROM documents
+    ), staged AS (
+      SELECT doc_id, text,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS c1,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g')
+               AS t1
+      FROM seeded
+    ), staged2 AS (
+      SELECT doc_id, c1,
+             CAST(len(regexp_extract_all(t1,
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS c2,
+             regexp_replace(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g') AS t2
+      FROM staged
+    )
+    SELECT doc_id,
+           c1 + c2 + CAST(len(regexp_extract_all(t2,
+             '\\+?\\d[\\d() .-]{7,}\\d')) AS BIGINT) AS n_pii,
+           regexp_replace(t2, '\\+?\\d[\\d() .-]{7,}\\d', '[PHONE]', 'g') AS text
+    FROM staged2
+    """,
+)
+def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus (Dolma-style regex taggers: email,
+    IPv4, phone). The fixture corpus is PII-free, so every 10th doc gets
+    deterministic synthetic PII appended (identically on both engines)
+    before redaction — the oracle row therefore checks the positive path
+    (3 redactions per seeded doc) AND the false-positive path (0
+    everywhere else). Unit-level positives are additionally pinned in
+    tests/test_text_multimodal.py."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" or call 312-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    seeded = d.withColumn(
+        "text", F.when(F.col("doc_id") % 10 == 0, planted).otherwise(F.col("text"))
+    )
+    return redact_pii(seeded, "text").select("doc_id", "n_pii", "text")

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from extract_permits_spark.plans.analytics import _dec, register
+from extract_permits_spark.plans._registry import _dec, register
 from extract_permits_spark.sources.readers import load_table
 
 
