@@ -40,76 +40,77 @@ from extract_permits_spark.sources.readers import load_table  # noqa: F401
 # round; _CHECK_FIRST controls that window and is rotated each round so
 # every entry earns a driver row (see the r9 NOTE below the list).
 _CHECK_FIRST = [
-    # r11 window (6 changed + 3 stale + 41 oldest = 50): the 6 entries
-    # whose implementation changed this round (the four global ranks
-    # rewired onto distributed_rank — docs_shard_shuffle,
-    # docs_shard_manifest, docs_quality_bins, sample_negatives — plus
-    # both semantic-decon gates, now uncapped with the dim probe on the
-    # eval side), then the 3 r6-cohort entries displaced from the r10
-    # window (last witnessed CORRECTNESS_r06), then the first 41 of the
-    # 46-entry r7 cohort in driver order. ~3.5-round cadence.
-    # --- changed this round ---
+    # r12 window (9 changed + 5 stale + 36 oldest = 50): the 9 entries
+    # whose plans changed this round (docs_quality_bins_approx is NEW —
+    # sort-free histogram binning; both semantic-decon gates gained the
+    # hot-bucket salt; text_tfidf folded its corpus count into the plan;
+    # rag_context_assembly carries its shortlist bound as an explicit
+    # limit; the four distributed_rank consumers inherit the 2^33
+    # counter-overflow guard), then the 5 r7-cohort stragglers (last
+    # witnessed CORRECTNESS_r07), then the first 36 of the 47-entry r8
+    # cohort in driver order. ~3.5-round cadence.
+    # --- changed/new this round ---
+    "docs_quality_bins_approx",
+    "emb_cross_decontaminate",
+    "stream_semantic_decon_ingest",
+    "text_tfidf",
+    "rag_context_assembly",
     "docs_shard_shuffle",
     "docs_shard_manifest",
     "docs_quality_bins",
     "sample_negatives",
-    "emb_cross_decontaminate",
-    "stream_semantic_decon_ingest",
-    # --- r6 cohort (last witnessed r6, displaced from the r10 window) ---
-    "ev_retention",
-    "emb_prototypicality",
-    "dedup_winnowing",
-    # --- r7 cohort (last witnessed r7, driver order, first 41 of 46) ---
-    "docs_pii_redact",
-    "ev_cube",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "w6_rank_family",
-    "ev_transitions",
-    "x5_scd2_intervals",
-    "j9_fuzzy_symspell",
-    "graph_pagerank",
-    "stream_stream_join",
-    "ev_time_weighted_avg",
-    "x6_merge_upsert",
-    "a9_mode",
-    "j10_null_safe_join",
-    "stream_cdc_apply",
-    "ev_variant_agg",
-    "vocab_bpe_train",
-    "a10_regression",
-    "sketch_cms_topk",
-    "ev_attribution",
-    "x7_date_spine",
-    "a11_histogram",
-    "sample_leakage_safe_split",
-    "profile_documents",
-    "ev_anomaly_zscore",
-    "graph_triangles",
-    "j7b_asof_forward",
-    "q1_incremental_maintenance",
-    "ev_dau_wau",
-    "docs_dup_rate_by_source",
-    "sample_weighted_per_source",
-    "q4_priority_exists",
-    "q7_nation_trade",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q14_promo_revenue",
-    "q17_small_quantity",
-    "q19_disjunctive",
-    "q22_idle_customers",
-    "q15_top_supplier",
-    "q2_min_balance_supplier",
+    # --- r7 cohort (last witnessed r7, driver order) ---
+    "jsonl_corpus_roundtrip",
+    "q13_custdist",
+    "q16_supplier_cnt",
+    "ev_gap_fill",
+    "ev_entropy",
+    # --- r8 cohort (last witnessed r8, driver order, first 36 of 47) ---
+    "llm_tokenize_pack",
+    "text_hash_embed",
+    "rag_hash_retrieval",
+    "rag_bm25_topk",
+    "rag_rrf_fusion",
+    "docs_snapshot_diff",
+    "docs_quality_prune",
+    "ev_grouping_sets",
+    "a12_winsorize",
+    "u4_except_all",
+    "vocab_bpe_encode",
+    "docs_unigram_xent",
+    "docs_quality_score",
+    "ann_batch_topk",
+    "x8_schema_evolution_union",
+    "mm_image_stats",
+    "mm_audio_stats",
+    "mm_frame_sample",
+    "ann_matryoshka_topk",
+    "ann_matryoshka_rerank",
+    "ann_matryoshka_recall",
+    "ann_matryoshka_mrr",
+    "docs_span_dup_rate",
+    "docs_span_mask",
+    "q11_important_stock",
+    "q12_late_ship_priority",
+    "q20_potential_promotion",
+    "docs_corpus_report",
+    "stream_corpus_ingest",
+    "llm_corpus_curation",
+    "q21_waiting_supplier",
+    "q18_large_volume",
+    "basket_brand_pairs",
+    "permit_pipeline_upload",
+    "q1_pricing_summary",
+    "dedup_exact",
 ]
 
-# r12 NOTE: continue the staleness rotation — next up are the 5 r7-cohort
-# entries displaced from this window (jsonl_corpus_roundtrip, q13_custdist,
-# q16_supplier_cnt, ev_gap_fill, ev_entropy), then the oldest r8 cohort
-# (45 more to fill 50); as always, any entry whose implementation changed
+# r13 NOTE: continue the staleness rotation — next up are the 11 r8-cohort
+# entries displaced from this window (dedup_simhash, ann_cosine_topk,
+# s1_socrata_pull, s2_dim_join_filter, e1_validate_partition,
+# j1_preagg_join, j2_anti_join, w3_line_numbers_batches,
+# x1_explode_pipe_list, ev_sessionize, ev_funnel), then the oldest r9
+# cohort to fill 50; as always, any entry whose implementation changed
 # since its last driver row jumps the queue.
-
-
 
 def _reordered(d: dict) -> dict:
     head = {k: d[k] for k in _CHECK_FIRST if k in d}
