@@ -271,3 +271,39 @@ def test_lsh_cross_hits_degenerate_bucket_salted(spark):
     )
     assert len(shard_counts) == 8
     assert max(r["count"] for r in shard_counts) <= 2 * (n // 8)
+
+
+@pytest.mark.parametrize("shards", [1, 2, 3, 16])
+def test_lsh_cross_hits_shard_count_invariance(spark, shards):
+    """The salt is a pure key refinement for ANY shard count: results on
+    mixed (clean + leaked) data must be identical to the canonical
+    default-8 run — bit-for-bit, including n_hits counts."""
+    base = load_table(spark, SF_DIR, "embeddings").limit(24)
+    rows = base.collect()
+    evs = rows[:4]
+    eval_df = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in evs],
+        "vec_id long, embedding array<double>",
+    )
+    leaked = [
+        (900000 + i, [x * 1.0005 for x in [float(v) for v in evs[i]["embedding"]]])
+        for i in range(4)
+    ]
+    corpus_df = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows[4:]]
+        + leaked,
+        "vec_id long, embedding array<double>",
+    )
+    want = sorted(
+        map(tuple, simfn.lsh_cross_hits(eval_df, corpus_df, min_cosine=0.99).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            simfn.lsh_cross_hits(
+                eval_df, corpus_df, min_cosine=0.99, salt_shards=shards
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert sum(1 for _, h, f in want if f) == 4  # all four leaks flagged
