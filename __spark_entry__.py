@@ -3,8 +3,9 @@
 ``entry(spark)`` runs the flagship permit pipeline (SURVEY.md §3.1) on the
 sf0.001 fixtures adapted to permit shape. ``queries()`` / ``oracle_sql()``
 expose one entry per implemented operator from SURVEY.md §2 plus the
-LLM-data-pipeline operators; the registry lives in
-``extract_permits_spark/plans/analytics.py``.
+LLM-data-pipeline operators; the registry hub is
+``extract_permits_spark/plans/analytics.py`` (entries live in its four
+chunk modules, imported in registration order — see plans/_registry.py).
 """
 
 from __future__ import annotations

@@ -78,13 +78,29 @@ def test_asof_join_single_shuffle(spark):
 
 def test_no_driver_collect_in_registry():
     """No registry entry may materialize a table on the driver: `.collect()`
-    is banned from the registry module (bounded `.first()` / `.limit(k)`
-    probes are the allowed driver-side scalars). Guards against the r1
-    s1_socrata_pull regression class."""
+    is banned from EVERY module that registers entries (bounded `.first()`
+    / `.limit(k)` probes are the allowed driver-side scalars). Guards
+    against the r1 s1_socrata_pull regression class. Post-r12-split the
+    surface spans the hub, _registry, the four chunk modules, and
+    tpch_extra — inspecting only `analytics` would cover the 149-line
+    hub and nothing else."""
     import inspect
 
-    src = inspect.getsource(analytics)
-    assert ".collect()" not in src, "driver-side collect() in a registry entry"
+    from extract_permits_spark.plans import (
+        _registry,
+        analytics_core,
+        analytics_corpus,
+        analytics_events,
+        analytics_rag,
+        tpch_extra,
+    )
+
+    for mod in (
+        analytics, _registry, analytics_core, analytics_corpus,
+        analytics_events, analytics_rag, tpch_extra,
+    ):
+        src = inspect.getsource(mod)
+        assert ".collect()" not in src, f"driver-side collect() in {mod.__name__}"
 
 
 def test_lsh_topk_single_scan(spark):
