@@ -873,6 +873,18 @@ def lsh_neardup_pairs(
     planted-duplicate test in tests/test_recall.py. Same determinism contract as the ANN family —
     the DuckDB oracle replays signatures and the Hamming condition
     pairwise (equivalent by construction).
+
+    ``max_bucket_size`` is a THROUGHPUT TRIAGE on the pair-list
+    contract, not a correctness knob: a (table, signature) bucket
+    larger than the cap is dropped from candidate generation, which at
+    crawl scale silently skips exactly the boilerplate floods dedup
+    exists for — unavoidable under this contract, because a flood
+    bucket's pair list is inherently quadratic in its size. A pipeline
+    that wants flood-safe dedup consumes the COMPONENTS contract
+    instead (plans: ``emb_neardup_components`` — exact-vector collapse
+    bounds every bucket to distinct-vector variety and attaches floods
+    as linear star edges; same closure, no intra-flood pair ever
+    materialized).
     """
     if pair_hamming > 1:
         raise ValueError("pair_hamming > 1 not implemented (ball explode grows fast)")

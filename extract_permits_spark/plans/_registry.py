@@ -141,6 +141,43 @@ def _components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _COMPONENTS_CACHE[key]
 
 
+_EMB_COMPONENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _emb_components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup components with exact-vector collapse — memoized
+    per (session, fixture) for the same reason as _components_cached: the
+    min-label fixpoint runs actions while building its result, and the
+    correctness harness constructs each query twice. The collapsed
+    construction (reps-only LSH pairs + twin star edges) yields exactly
+    the full pair graph's components: an exact twin has the identical
+    signature and identical cosine to every other vector as its rep, so
+    all its edges are implied through the rep (pinned by
+    tests/test_recall.py's uncollapsed-equivalence test)."""
+    from extract_permits_spark.operators.graph import connected_components
+
+    key = (id(spark), sf_dir)
+    if key not in _EMB_COMPONENTS_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        wt = Window.partitionBy("embedding")
+        mem = emb.select(
+            "vec_id", "embedding", F.min("vec_id").over(wt).alias("_rep")
+        )
+        reps = mem.where(F.col("vec_id") == F.col("_rep")).select(
+            "vec_id", "embedding"
+        )
+        rep_pairs = simfn.lsh_neardup_pairs(reps, min_cosine=0.35).select(
+            "id_a", "id_b"
+        )
+        stars = mem.where(F.col("vec_id") != F.col("_rep")).select(
+            F.col("_rep").alias("id_a"), F.col("vec_id").alias("id_b")
+        )
+        _EMB_COMPONENTS_CACHE[key] = connected_components(
+            rep_pairs.unionByName(stars)
+        )
+    return _EMB_COMPONENTS_CACHE[key]
+
+
 def _ivf_centroids_cached(
     spark: SparkSession, emb: DataFrame, sf_dir: str
 ) -> list[list[float]]:

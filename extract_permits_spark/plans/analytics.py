@@ -40,7 +40,7 @@ from extract_permits_spark.sources.readers import load_table  # noqa: F401
 # round; _CHECK_FIRST controls that window and is rotated each round so
 # every entry earns a driver row (see the r9 NOTE below the list).
 _CHECK_FIRST = [
-    # r12 window (9 changed + 5 stale + 36 oldest = 50): the 9 entries
+    # r12 window (10 changed/new + 5 stale + 35 oldest = 50): the entries
     # whose plans changed this round (docs_quality_bins_approx is NEW —
     # sort-free histogram binning; both semantic-decon gates gained the
     # hot-bucket salt; text_tfidf folded its corpus count into the plan;
@@ -51,6 +51,7 @@ _CHECK_FIRST = [
     # cohort in driver order. ~3.5-round cadence.
     # --- changed/new this round ---
     "docs_quality_bins_approx",
+    "emb_neardup_components",
     "emb_cross_decontaminate",
     "stream_semantic_decon_ingest",
     "text_tfidf",
@@ -101,11 +102,10 @@ _CHECK_FIRST = [
     "basket_brand_pairs",
     "permit_pipeline_upload",
     "q1_pricing_summary",
-    "dedup_exact",
 ]
 
-# r13 NOTE: continue the staleness rotation — next up are the 11 r8-cohort
-# entries displaced from this window (dedup_simhash, ann_cosine_topk,
+# r13 NOTE: continue the staleness rotation — next up are the 12 r8-cohort
+# entries displaced from this window (dedup_exact, dedup_simhash, ann_cosine_topk,
 # s1_socrata_pull, s2_dim_join_filter, e1_validate_partition,
 # j1_preagg_join, j2_anti_join, w3_line_numbers_batches,
 # x1_explode_pipe_list, ev_sessionize, ev_funnel), then the oldest r9

@@ -15,8 +15,10 @@ from __future__ import annotations
 from extract_permits_spark.plans._registry import (
     _ORACLES,
     _components_cached,
+    _emb_components_cached,
     register,
 )
+from extract_permits_spark.plans import ann_sql as _ann_sql
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1946,3 +1948,29 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT doc_id, text, lang, source, n_chars FROM {clean_t}"
     )
+
+# ===========================================================================
+# Embedding near-dup COMPONENTS (r12) — the scale-correct dedup contract
+# for embedding space. The pair-list entry (emb_neardup_lsh) is
+# inherently quadratic inside a degenerate bucket and its bucket cap is
+# a throughput triage that silently skips exactly the boilerplate floods
+# dedup exists for; this entry is what a 100-TB pipeline consumes
+# instead: exact-vector collapse bounds every LSH bucket to the
+# DISTINCT-vector variety (the flood collapses to one representative +
+# linear star edges), then the log-depth min-label closure labels every
+# flood member without materializing a single intra-flood pair. Mirrors
+# the text-side dedup_cluster_components / _collapsed_edges pattern.
+# ===========================================================================
+
+
+@register("emb_neardup_components", _ann_sql.lsh_neardup_components_sql())
+def emb_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector that participates in an embedding near-dup cluster
+    (LSH candidates at Hamming ≤ 1 per table, verified at 6-dp cosine ≥
+    0.35, exact twins attached by construction), labeled with the min
+    vec_id reachable through the pair graph. Collapse-equivalence to the
+    uncollapsed graph is exact (see _registry._emb_components_cached);
+    the oracle replays the identical collapsed construction with a
+    recursive min-label CTE."""
+    comps = _emb_components_cached(spark, sf_dir)
+    return comps.select(F.col("id").alias("vec_id"), "component")

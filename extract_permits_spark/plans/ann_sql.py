@@ -412,6 +412,66 @@ def lsh_neardup_pairs_sql(
     """
 
 
+def lsh_neardup_components_sql(
+    dim: int = 64,
+    num_tables: int = 8,
+    num_planes: int = 16,
+    pair_hamming: int = 1,
+    seed: int = 42,
+    min_cosine: float = 0.35,
+) -> str:
+    """Components over the embedding near-dup graph WITH exact-vector
+    collapse — the oracle twin of emb_neardup_components. Identical
+    construction both engines: collapse identical vectors to their
+    min-id representative, run the LSH pair condition + cosine verify
+    over REPRESENTATIVES only (pairwise bit_count here; Hamming-ball
+    bucket join on the Spark side), re-attach exact twins as star edges
+    rep→twin, then min-label transitive closure. The collapsed graph's
+    components equal the full pair graph's exactly: an exact twin has
+    the identical signature AND identical cosine to every other vector
+    as its rep, so twin↔twin and twin↔other edges are implied (same
+    argument as the text-side _COMPONENT_EDGES_SQL collapse)."""
+    sig_cols = ", ".join(
+        f"{_lsh_sig_expr('e', t, dim, num_planes, seed)} AS s{t}"
+        for t in range(num_tables)
+    )
+    pair_cond = " OR ".join(
+        f"bit_count(xor(a.s{t}, b.s{t})) <= {pair_hamming}"
+        for t in range(num_tables)
+    )
+    return f"""
+    WITH RECURSIVE {_v_cte(dim)},
+    mem AS MATERIALIZED (
+      SELECT vec_id, e, MIN(vec_id) OVER (PARTITION BY e) AS rep FROM v
+    ),
+    sigs AS MATERIALIZED (
+      SELECT vec_id, e, {sig_cols} FROM mem WHERE vec_id = rep
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+      WHERE ({pair_cond})
+        AND round({_cosine('a.e', 'b.e', dim)}, 6) >= {min_cosine}
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT rep AS u, vec_id AS v FROM mem WHERE vec_id <> rep
+    ),
+    sym AS MATERIALIZED (
+      SELECT u, v FROM edges
+      UNION
+      SELECT v AS u, u AS v FROM edges
+    ),
+    reach(id, comp) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+        SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id
+    )
+    SELECT id AS vec_id, MIN(comp) AS component FROM reach GROUP BY id
+    """
+
+
 def lsh_cross_decon_sql(
     dim: int = 64,
     num_tables: int = 8,

@@ -307,3 +307,55 @@ def test_lsh_cross_hits_shard_count_invariance(spark, shards):
     )
     assert got == want
     assert sum(1 for _, h, f in want if f) == 4  # all four leaks flagged
+
+
+def test_emb_components_collapse_equals_uncollapsed_graph(spark):
+    """The exact-vector collapse behind emb_neardup_components must yield
+    EXACTLY the components of the uncollapsed pair graph. Plant a
+    120-copy exact flood (one degenerate bucket), a 3-vector exact twin
+    group attached to a near-dup, and leave the rest as background:
+    components computed from (reps-only LSH pairs + twin stars) must
+    equal components computed from lsh_neardup_pairs over ALL vectors —
+    while the collapsed path never materializes an intra-flood pair
+    (120 copies → 119 star edges, not 7,140 pairs)."""
+    from extract_permits_spark.operators.graph import connected_components
+
+    base = load_table(spark, SF_DIR, "embeddings").limit(30).collect()
+    vecs = [[float(x) for x in r["embedding"]] for r in base]
+    rows = [(i, vecs[i]) for i in range(20)]              # background
+    rows += [(1000 + i, vecs[20]) for i in range(120)]    # exact flood
+    rows += [(2000 + i, vecs[21]) for i in range(3)]      # twin group
+    rows += [(3000, [x * 1.0004 for x in vecs[21]])]      # near-dup of it
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from pyspark.sql import Window as W
+
+    wt = W.partitionBy("embedding")
+    mem = emb.select("vec_id", "embedding", F.min("vec_id").over(wt).alias("_rep"))
+    reps = mem.where(F.col("vec_id") == F.col("_rep")).select("vec_id", "embedding")
+    rep_pairs = simfn.lsh_neardup_pairs(reps, min_cosine=0.99).select("id_a", "id_b")
+    stars = mem.where(F.col("vec_id") != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"), F.col("vec_id").alias("id_b")
+    )
+    collapsed = connected_components(rep_pairs.unionByName(stars))
+
+    # ground truth: the uncollapsed pair graph (cap lifted far above the
+    # flood so nothing is dropped from the quadratic bucket)
+    full_pairs = simfn.lsh_neardup_pairs(
+        emb, min_cosine=0.99, max_bucket_size=10**6
+    ).select("id_a", "id_b")
+    full = connected_components(full_pairs)
+
+    got = sorted(map(tuple, collapsed.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want
+    # the flood is one cluster labeled by its min id...
+    comp = {i: c for i, c in got}
+    assert all(comp[1000 + i] == 1000 for i in range(120))
+    # ...and the twin group fused with its near-dup
+    assert comp[3000] == comp[2000] == comp[2001] == comp[2002] == 2000
+    # the collapsed edge list is LINEAR in the flood: 119 stars + rep
+    # pairs, vs the uncollapsed 7,140 intra-flood pairs
+    n_stars = stars.count()
+    assert n_stars == 120 - 1 + 3 - 1
+    assert full_pairs.count() >= 120 * 119 // 2
