@@ -153,7 +153,12 @@ def _emb_components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full pair graph's components: an exact twin has the identical
     signature and identical cosine to every other vector as its rep, so
     all its edges are implied through the rep (pinned by
-    tests/test_recall.py's uncollapsed-equivalence test)."""
+    tests/test_recall.py's uncollapsed-equivalence test). One edge case
+    diverges deliberately: identical ZERO vectors cluster here via their
+    star edges, while the raw LSH graph would not pair them (cosine
+    0/0 = NULL fails any threshold) — exact duplicates clustering is the
+    right dedup answer, and the oracle replays the same collapsed
+    construction, so the gate is consistent either way."""
     from extract_permits_spark.operators.graph import connected_components
 
     key = (id(spark), sf_dir)
