@@ -92,3 +92,34 @@ def test_coverage_md_tracks_registry_both_ways():
         "the reverse drift check would be a no-op — fix the header or this test"
     )
     assert stale == [], f"COVERAGE.md cites non-registry entry names: {stale}"
+
+
+def test_registry_chunks_import_standalone():
+    """Worker-unpickle regression class (r12): a Spark executor
+    deserializing a UDF whose __module__ is a chunk imports that chunk
+    DIRECTLY, in a fresh interpreter, without the hub having run first.
+    Each registry module must therefore import standalone — a chunk that
+    pulls the hub mid-initialization dies with a
+    partially-initialized-module ImportError on executors while every
+    driver-side test stays green (s1_socrata_pull's Python datasource
+    found this the hard way). Subprocesses, not importlib: the point is
+    a COLD sys.modules."""
+    import subprocess
+    import sys
+
+    for mod in (
+        "extract_permits_spark.plans._registry",
+        "extract_permits_spark.plans.analytics_core",
+        "extract_permits_spark.plans.analytics_corpus",
+        "extract_permits_spark.plans.analytics_events",
+        "extract_permits_spark.plans.analytics_rag",
+        "extract_permits_spark.plans.tpch_extra",
+        "extract_permits_spark.plans.analytics",
+    ):
+        r = subprocess.run(
+            [sys.executable, "-c", f"import {mod}"],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, f"{mod} failed standalone import:\n{r.stderr[-2000:]}"
