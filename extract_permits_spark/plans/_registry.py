@@ -99,11 +99,23 @@ def _collapsed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = d.select("doc_id", "text").where(
         F.size(simfn.word_shingles("text", 3)) > 0
     )
-    wt = Window.partitionBy("_h")
-    mem = eligible.withColumn(
-        "_h", F.md5(F.coalesce(F.col("text"), F.lit("")))
-    ).select("doc_id", "text", F.min("doc_id").over(wt).alias("_rep"))
-    reps = mem.where(F.col("doc_id") == F.col("_rep")).select("doc_id", "text")
+    # groupBy, NOT Window.partitionBy(_h) (r12): the aggregate's map-side
+    # partial combine collapses a k-copy flood to ~one row per mapper
+    # BEFORE the shuffle, where the window shipped every copy to one hot
+    # reducer (and windows cannot be AQE-skew-split). min_by is exact
+    # here — every text in an _h group is identical by construction —
+    # and the star join's build side is one row per key, the classic
+    # AQE-splittable skew shape.
+    hashed = eligible.select(
+        "doc_id", "text", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("_h")
+    )
+    reps_min = hashed.groupBy("_h").agg(
+        F.min("doc_id").alias("_rep"),
+        F.expr("min_by(text, doc_id)").alias("_text"),
+    )
+    reps = reps_min.select(
+        F.col("_rep").alias("doc_id"), F.col("_text").alias("text")
+    )
     sh = reps.select(
         "doc_id", simfn.word_shingles("text", 3).alias("shingles")
     )
@@ -124,8 +136,10 @@ def _collapsed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = F.col("_shared") / (F.col("_sza") + F.col("_szb") - F.col("_shared"))
     rep_pairs = shared.where(jac >= 0.2).select("id_a", "id_b")
-    twin_stars = mem.where(F.col("doc_id") != F.col("_rep")).select(
-        F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b")
+    twin_stars = (
+        hashed.join(reps_min.select("_h", "_rep"), "_h")
+        .where(F.col("doc_id") != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b"))
     )
     return rep_pairs.unionByName(twin_stars)
 
@@ -164,18 +178,25 @@ def _emb_components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _EMB_COMPONENTS_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
-        wt = Window.partitionBy("embedding")
-        mem = emb.select(
-            "vec_id", "embedding", F.min("vec_id").over(wt).alias("_rep")
+        # groupBy, NOT Window.partitionBy(embedding): the aggregate's
+        # map-side partial combine collapses a flood to ~one row per
+        # mapper BEFORE the shuffle, where a window ships every copy to
+        # a single reducer (hot partition, and windows cannot be
+        # AQE-skew-split). The star-edge join's per-key build side is
+        # exactly one row, the classic AQE-splittable skew shape.
+        reps_min = emb.groupBy("embedding").agg(
+            F.min("vec_id").alias("_rep")
         )
-        reps = mem.where(F.col("vec_id") == F.col("_rep")).select(
-            "vec_id", "embedding"
+        reps = reps_min.select(
+            F.col("_rep").alias("vec_id"), "embedding"
         )
         rep_pairs = simfn.lsh_neardup_pairs(reps, min_cosine=0.35).select(
             "id_a", "id_b"
         )
-        stars = mem.where(F.col("vec_id") != F.col("_rep")).select(
-            F.col("_rep").alias("id_a"), F.col("vec_id").alias("id_b")
+        stars = (
+            emb.join(reps_min, "embedding")
+            .where(F.col("vec_id") != F.col("_rep"))
+            .select(F.col("_rep").alias("id_a"), F.col("vec_id").alias("id_b"))
         )
         _EMB_COMPONENTS_CACHE[key] = connected_components(
             rep_pairs.unionByName(stars)

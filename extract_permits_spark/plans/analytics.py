@@ -40,7 +40,7 @@ from extract_permits_spark.sources.readers import load_table  # noqa: F401
 # round; _CHECK_FIRST controls that window and is rotated each round so
 # every entry earns a driver row (see the r9 NOTE below the list).
 _CHECK_FIRST = [
-    # r12 window (10 changed/new + 5 stale + 35 oldest = 50): the entries
+    # r12 window (13 changed/new + 5 stale + 32 oldest = 50): the entries
     # whose plans changed this round (docs_quality_bins_approx is NEW —
     # sort-free histogram binning; both semantic-decon gates gained the
     # hot-bucket salt; text_tfidf folded its corpus count into the plan;
@@ -60,6 +60,9 @@ _CHECK_FIRST = [
     "docs_shard_manifest",
     "docs_quality_bins",
     "sample_negatives",
+    "dedup_cluster_components",
+    "dedup_cluster_canonical",
+    "sample_leakage_safe_split",
     # --- r7 cohort (last witnessed r7, driver order) ---
     "jsonl_corpus_roundtrip",
     "q13_custdist",
@@ -99,18 +102,16 @@ _CHECK_FIRST = [
     "llm_corpus_curation",
     "q21_waiting_supplier",
     "q18_large_volume",
-    "basket_brand_pairs",
-    "permit_pipeline_upload",
-    "q1_pricing_summary",
 ]
 
-# r13 NOTE: continue the staleness rotation — next up are the 12 r8-cohort
-# entries displaced from this window (dedup_exact, dedup_simhash, ann_cosine_topk,
-# s1_socrata_pull, s2_dim_join_filter, e1_validate_partition,
-# j1_preagg_join, j2_anti_join, w3_line_numbers_batches,
-# x1_explode_pipe_list, ev_sessionize, ev_funnel), then the oldest r9
-# cohort to fill 50; as always, any entry whose implementation changed
-# since its last driver row jumps the queue.
+# r13 NOTE: continue the staleness rotation — next up are the 15 r8-cohort
+# entries displaced from this window (basket_brand_pairs,
+# permit_pipeline_upload, q1_pricing_summary, dedup_exact, dedup_simhash,
+# ann_cosine_topk, s1_socrata_pull, s2_dim_join_filter,
+# e1_validate_partition, j1_preagg_join, j2_anti_join,
+# w3_line_numbers_batches, x1_explode_pipe_list, ev_sessionize, ev_funnel),
+# then the oldest r9 cohort to fill 50; as always, any entry whose
+# implementation changed since its last driver row jumps the queue.
 
 def _reordered(d: dict) -> dict:
     head = {k: d[k] for k in _CHECK_FIRST if k in d}

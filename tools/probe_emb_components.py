@@ -34,7 +34,6 @@ def main() -> None:
     from extract_permits_spark.operators.graph import connected_components
     from extract_permits_spark.functions import similarity as simfn
     from extract_permits_spark.sources.readers import load_table
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     spark = get_spark("probe-emb-components")
@@ -49,19 +48,19 @@ def main() -> None:
     amp.write.parquet(path)
 
     def run_spark() -> int:
+        # mirrors _registry._emb_components_cached (groupBy collapse +
+        # AQE-splittable star join — r12: map-side combine, no hot
+        # window partition per flood)
         e = spark.read.parquet(path)
-        wt = Window.partitionBy("embedding")
-        mem = e.select(
-            "vec_id", "embedding", F.min("vec_id").over(wt).alias("_rep")
-        )
-        reps = mem.where(F.col("vec_id") == F.col("_rep")).select(
-            "vec_id", "embedding"
-        )
+        reps_min = e.groupBy("embedding").agg(F.min("vec_id").alias("_rep"))
+        reps = reps_min.select(F.col("_rep").alias("vec_id"), "embedding")
         rep_pairs = simfn.lsh_neardup_pairs(reps, min_cosine=0.35).select(
             "id_a", "id_b"
         )
-        stars = mem.where(F.col("vec_id") != F.col("_rep")).select(
-            F.col("_rep").alias("id_a"), F.col("vec_id").alias("id_b")
+        stars = (
+            e.join(reps_min, "embedding")
+            .where(F.col("vec_id") != F.col("_rep"))
+            .select(F.col("_rep").alias("id_a"), F.col("vec_id").alias("id_b"))
         )
         return connected_components(rep_pairs.unionByName(stars)).count()
 
@@ -87,8 +86,11 @@ def main() -> None:
             n = connected_components(pairs).count()
             return n, round(time.time() - t0, 2)
 
-        unc_capped = run_uncollapsed(1000)
-        unc_lifted = run_uncollapsed(10**9)
+        if os.environ.get("PROBE_SKIP_UNCOLLAPSED") == "1":
+            unc_capped = unc_lifted = (None, None)
+        else:
+            unc_capped = run_uncollapsed(1000)
+            unc_lifted = run_uncollapsed(10**9)
 
         from extract_permits_spark.plans.ann_sql import (
             lsh_neardup_components_sql,
