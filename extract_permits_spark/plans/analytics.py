@@ -40,7 +40,7 @@ from extract_permits_spark.sources.readers import load_table  # noqa: F401
 # round; _CHECK_FIRST controls that window and is rotated each round so
 # every entry earns a driver row (see the r9 NOTE below the list).
 _CHECK_FIRST = [
-    # r12 window (13 changed/new + 5 stale + 32 oldest = 50): the entries
+    # r12 window (16 changed/new + 5 stale + 29 oldest = 50): the entries
     # whose plans changed this round (docs_quality_bins_approx is NEW —
     # sort-free histogram binning; both semantic-decon gates gained the
     # hot-bucket salt; text_tfidf folded its corpus count into the plan;
@@ -63,6 +63,9 @@ _CHECK_FIRST = [
     "dedup_cluster_components",
     "dedup_cluster_canonical",
     "sample_leakage_safe_split",
+    "dedup_exact_keep_first",
+    "docs_pretrain_filter",
+    "llm_pretrain_pipeline",
     # --- r7 cohort (last witnessed r7, driver order) ---
     "jsonl_corpus_roundtrip",
     "q13_custdist",
@@ -98,14 +101,12 @@ _CHECK_FIRST = [
     "q12_late_ship_priority",
     "q20_potential_promotion",
     "docs_corpus_report",
-    "stream_corpus_ingest",
     "llm_corpus_curation",
-    "q21_waiting_supplier",
-    "q18_large_volume",
 ]
 
-# r13 NOTE: continue the staleness rotation — next up are the 15 r8-cohort
-# entries displaced from this window (basket_brand_pairs,
+# r13 NOTE: continue the staleness rotation — next up are the 18 r8-cohort
+# entries displaced from this window (stream_corpus_ingest,
+# q21_waiting_supplier, q18_large_volume, basket_brand_pairs,
 # permit_pipeline_upload, q1_pricing_summary, dedup_exact, dedup_simhash,
 # ann_cosine_topk, s1_socrata_pull, s2_dim_join_filter,
 # e1_validate_partition, j1_preagg_join, j2_anti_join,

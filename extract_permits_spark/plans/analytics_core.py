@@ -2589,12 +2589,19 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup operator corpora actually run: drop exact duplicates,
     keeping the lowest-id copy. One shuffle on the 16-byte hash."""
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    # groupBy + min_by, not a row_number window (r12): the map-side
+    # partial combine collapses a k-copy flood per mapper before the
+    # shuffle, where the hash-partitioned window ships every copy (text
+    # included) to one hot reducer and cannot be AQE-skew-split; min_by
+    # on the unique doc_id is exactly keep-first.
     return (
-        d.select("doc_id", "lang", "source", "text")
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("doc_id", "lang", "source")
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("_h"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "source"), F.col("doc_id")
+            ).alias("_r")
+        )
+        .select("_r.*")
     )
 
 
@@ -2632,9 +2639,21 @@ def docs_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.length("t") <= 50000)
         & (F.col("n_toks") >= 5)
     )
-    w = Window.partitionBy(F.md5(F.col("t").cast("binary"))).orderBy("doc_id")
+    # groupBy + min_by, not a row_number window (r12): the map-side
+    # partial combine collapses a k-copy flood per mapper before the
+    # shuffle, where the hash-partitioned window ships every copy (text
+    # included) to one hot reducer and cannot be AQE-skew-split; min_by
+    # on the unique doc_id is exactly keep-first.
     return (
-        gated.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("doc_id", "lang", "source", F.col("n_toks").cast("long").alias("n_toks"))
+        gated.groupBy(F.md5(F.col("t").cast("binary")).alias("_h"))
+        .agg(
+            F.min_by(
+                F.struct(
+                    "doc_id", "lang", "source",
+                    F.col("n_toks").cast("long").alias("n_toks"),
+                ),
+                F.col("doc_id"),
+            ).alias("_r")
+        )
+        .select("_r.*")
     )

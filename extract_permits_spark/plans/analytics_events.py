@@ -1804,11 +1804,15 @@ def llm_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.length("t") <= 50000)
         & (F.col("n_toks") >= 5)
     )
-    w = Window.partitionBy(F.md5(F.col("t").cast("binary"))).orderBy("doc_id")
+    # groupBy + min_by, not a row_number window (r12): the map-side
+    # partial combine collapses a k-copy flood per mapper before the
+    # shuffle, where the hash-partitioned window ships every copy (text
+    # included) to one hot reducer and cannot be AQE-skew-split; min_by
+    # on the unique doc_id is exactly keep-first.
     filt = (
-        gated.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("doc_id", "t")
+        gated.groupBy(F.md5(F.col("t").cast("binary")).alias("_h"))
+        .agg(F.min_by(F.struct("doc_id", "t"), F.col("doc_id")).alias("_r"))
+        .select("_r.*")
     )
     chunks = textfn.chunk_documents(
         filt, id_col="doc_id", text_col="t", chunk_tokens=64, overlap=0
@@ -2042,11 +2046,15 @@ def llm_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         contaminated, "doc_id", "left_anti"
     )
 
-    wdup = Window.partitionBy(F.md5(F.col("t").cast("binary"))).orderBy("doc_id")
+    # groupBy + min_by, not a row_number window (r12): the map-side
+    # partial combine collapses a k-copy flood per mapper before the
+    # shuffle, where the hash-partitioned window ships every copy (text
+    # included) to one hot reducer and cannot be AQE-skew-split; min_by
+    # on the unique doc_id is exactly keep-first.
     deduped = (
-        train.withColumn("_rn", F.row_number().over(wdup))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        train.groupBy(F.md5(F.col("t").cast("binary")).alias("_h"))
+        .agg(F.min_by(F.struct(*train.columns), F.col("doc_id")).alias("_r"))
+        .select("_r.*")
     )
 
     quality = F.round(_quality_sigmoid(F.col("t")), 6)
