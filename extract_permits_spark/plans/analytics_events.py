@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from extract_permits_spark.functions import text as textfn
+from extract_permits_spark.operators.windows import distributed_group_rank
 from extract_permits_spark.plans.analytics_core import docs_pretrain_filter
 from extract_permits_spark.plans.analytics_corpus import (
     _COMPONENT_EDGES_SQL,
@@ -2059,14 +2060,17 @@ def llm_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     quality = F.round(_quality_sigmoid(F.col("t")), 6)
     scored = deduped.select("doc_id", "source", "tk", quality.alias("quality"))
-    wq = Window.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
-    wn = Window.partitionBy("source")
-    pruned = (
-        scored.withColumn("rn", F.row_number().over(wq))
-        .withColumn("n", F.count(F.lit(1)).over(wn))
-        .where(F.col("rn") <= F.ceil(F.lit(0.3) * F.col("n")).cast("long"))
-        .select("doc_id", "source", "tk")
-    )
+    # distributed_group_rank, not a per-source window (r12): see
+    # docs_quality_prune — no one-reducer-per-source sort at scale
+    pruned = distributed_group_rank(
+        scored,
+        ["source"],
+        [F.col("quality").desc(), F.col("doc_id")],
+        "rn",
+        total_col="n",
+    ).where(
+        F.col("rn") <= F.ceil(F.lit(0.3) * F.col("n")).cast("long")
+    ).select("doc_id", "source", "tk")
 
     wmix = (
         Window.partitionBy("source")

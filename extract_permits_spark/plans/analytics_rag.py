@@ -27,6 +27,7 @@ from extract_permits_spark.functions import similarity as simfn
 from extract_permits_spark.functions import text as textfn
 from extract_permits_spark.plans.analytics_core import _ann_recall_frame
 from extract_permits_spark.plans.analytics_corpus import _COMPONENT_EDGES_SQL
+from extract_permits_spark.operators.windows import distributed_group_rank
 from extract_permits_spark.plans.analytics_events import (
     _BPE_ROUNDS,
     _HASH_EMBED_SQL_BODY,
@@ -979,16 +980,20 @@ def docs_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         _quality_sigmoid(F.coalesce(F.col("text"), F.lit(""))), 6
     )
     scored = d.select("doc_id", "source", quality.alias("quality"))
-    w = Window.partitionBy("source").orderBy(
-        F.col("quality").desc(), F.col("doc_id")
+    # distributed_group_rank, not a per-source window (r12): a source is
+    # a HUGE group at corpus scale — the window gives each source one
+    # reducer sorting the whole group; the range-partitioned group rank
+    # spreads every source across many tasks (operators/windows.py).
+    ranked = distributed_group_rank(
+        scored,
+        ["source"],
+        [F.col("quality").desc(), F.col("doc_id")],
+        "rn",
+        total_col="n",
     )
-    wn = Window.partitionBy("source")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(wn))
-        .where(F.col("rn") <= F.ceil(F.lit(0.3) * F.col("n")).cast("long"))
-        .select("doc_id", "source", "quality")
-    )
+    return ranked.where(
+        F.col("rn") <= F.ceil(F.lit(0.3) * F.col("n")).cast("long")
+    ).select("doc_id", "source", "quality")
 
 
 @register(

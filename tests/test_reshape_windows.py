@@ -244,3 +244,37 @@ def test_asof_forward_and_tolerance(spark):
     got = {(r["k"], str(r["t"])): r["tag"] for r in back_tol.collect()}
     assert got[(1, "2024-01-01 10:00:00")] == "early"  # 60 min back: inclusive
     assert got[(1, "2024-01-01 13:00:00")] is None     # 11:00 is 2h back
+
+
+def test_distributed_group_rank_parity(spark):
+    """distributed_group_rank must be bit-identical to
+    row_number() OVER (PARTITION BY g ORDER BY q DESC, k) — including a
+    skewed group 50x the others — and carry the per-group total."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = [("hot", (i * 17) % 997, i) for i in range(500)]
+    rows += [(f"g{j}", (j * 31) % 97, 10000 + j * 10 + i) for j in range(7) for i in range(10)]
+    df = spark.createDataFrame(rows, ["g", "q", "k"])
+    got = sorted(
+        map(
+            tuple,
+            windows.distributed_group_rank(
+                df, ["g"], [F.col("q").desc(), F.col("k")], "rn", total_col="n"
+            )
+            .select("g", "q", "k", "rn", "n")
+            .collect(),
+        )
+    )
+    w = W.partitionBy("g").orderBy(F.col("q").desc(), F.col("k"))
+    wn = W.partitionBy("g")
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn("rn", F.row_number().over(w).cast("long"))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .select("g", "q", "k", "rn", "n")
+            .collect(),
+        )
+    )
+    assert got == want
