@@ -2072,6 +2072,15 @@ def llm_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn") <= F.ceil(F.lit(0.3) * F.col("n")).cast("long")
     ).select("doc_id", "source", "tk")
 
+    # The one remaining per-source window in this chain — a cumulative
+    # SUM, not a rank, so distributed_group_rank doesn't apply directly.
+    # It is budget-bounded by construction: `cum <= 600` keeps only the
+    # first ~dozens of rows per source under the md5 order, so a
+    # WindowGroupLimit-style early cut bounds what matters; the
+    # distributed spelling (per-(range-partition, source) partial sums +
+    # offset join, the distributed_rank pattern with SUM) is the
+    # designated follow-up if the token budget ever scales with corpus
+    # size.
     wmix = (
         Window.partitionBy("source")
         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
