@@ -50,6 +50,7 @@ _CHECK_FIRST = [
     # witnessed CORRECTNESS_r07), then the first 36 of the 47-entry r8
     # cohort in driver order. ~3.5-round cadence.
     # --- changed/new this round ---
+    "docs_zorder_layout",
     "docs_quality_bins_approx",
     "emb_neardup_components",
     "emb_cross_decontaminate",
@@ -99,20 +100,25 @@ _CHECK_FIRST = [
     "docs_span_mask",
     "q11_important_stock",
     "q12_late_ship_priority",
-    "q20_potential_promotion",
     "docs_corpus_report",
     "llm_corpus_curation",
 ]
 
-# r13 NOTE: continue the staleness rotation — next up are the 18 r8-cohort
-# entries displaced from this window (stream_corpus_ingest,
-# q21_waiting_supplier, q18_large_volume, basket_brand_pairs,
-# permit_pipeline_upload, q1_pricing_summary, dedup_exact, dedup_simhash,
-# ann_cosine_topk, s1_socrata_pull, s2_dim_join_filter,
-# e1_validate_partition, j1_preagg_join, j2_anti_join,
+# r13 NOTE: the window above is carried over VERBATIM from r12 — round 12
+# ended without a driver correctness run (no CORRECTNESS_r12.json exists),
+# so the r12 cohort at the head (including the round's 16 changed/new
+# entries) is still driver-unwitnessed and must get its first driver row
+# in r13. Entries changed in r13 jump the queue as usual (r13 additions:
+# docs_zorder_layout at head, displacing q20_potential_promotion to the
+# r14 queue). The deferred
+# rotation for r14+: q20_potential_promotion plus the 18 r8-cohort
+# entries displaced from this window
+# (stream_corpus_ingest, q21_waiting_supplier, q18_large_volume,
+# basket_brand_pairs, permit_pipeline_upload, q1_pricing_summary,
+# dedup_exact, dedup_simhash, ann_cosine_topk, s1_socrata_pull,
+# s2_dim_join_filter, e1_validate_partition, j1_preagg_join, j2_anti_join,
 # w3_line_numbers_batches, x1_explode_pipe_list, ev_sessionize, ev_funnel),
-# then the oldest r9 cohort to fill 50; as always, any entry whose
-# implementation changed since its last driver row jumps the queue.
+# then the oldest r9 cohort to fill 50.
 
 def _reordered(d: dict) -> dict:
     head = {k: d[k] for k in _CHECK_FIRST if k in d}

@@ -2180,3 +2180,172 @@ def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", F.when(F.col("doc_id") % 10 == 0, planted).otherwise(F.col("text"))
     )
     return redact_pii(seeded, "text").select("doc_id", "n_pii", "text")
+
+
+# ===========================================================================
+# Z-order layout — multi-dimensional data-skipping file layout (the
+# engine-native analog of Delta/Iceberg OPTIMIZE ZORDER BY (a, b)).
+# ===========================================================================
+
+_ZORDER_BUCKETS = 16  # 4 bits per dimension -> 8-bit Morton key
+_ZORDER_ROWS_PER_FILE = 64
+# The documented skip-eval predicates — the three shapes a corpus reader
+# actually issues, evaluated against each file's [min,max] stats exactly
+# the way parquet row-group / lakehouse file pruning does:
+#   point:  source = 'src12'            (one of the 20 uniform sources)
+#   range:  n_chars BETWEEN 250 AND 350 (a box around the fixture median)
+#   both:   point AND range
+# A single-dim sort prunes only its own shape (sort by n_chars: the
+# source predicate never prunes; sort by source: the chars predicate
+# never prunes), so each linear layout has an all-files worst case;
+# Z-order keeps every file a compact rectangle in (source, n_chars)
+# space and bounds the worst case across ALL three shapes.
+_ZORDER_SRC = "src12"
+_ZORDER_LO, _ZORDER_HI = 250, 350
+
+
+def _morton_sql(a: str, b: str, bits: int = 4) -> str:
+    """DuckDB expression interleaving the low `bits` of a (odd bit
+    positions) and b (even positions)."""
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        parts.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " | ".join(parts)
+
+
+def _morton_col(a, b, bits: int = 4):
+    """Spark Column twin of _morton_sql — same bit placement."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i))
+    return z
+
+
+_ZORDER_SQL = f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS rs,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS rc,
+             COUNT(*) OVER () AS tot
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source, n_chars,
+             CAST({_morton_sql(
+                 f'CAST((rs * {_ZORDER_BUCKETS}) // tot AS INT)',
+                 f'CAST((rc * {_ZORDER_BUCKETS}) // tot AS INT)')}
+                  AS INT) AS zval
+      FROM ranked
+    ),
+    filed AS (
+      SELECT source, n_chars,
+             CAST((ROW_NUMBER() OVER (ORDER BY zval, doc_id) - 1)
+                  // {_ZORDER_ROWS_PER_FILE} AS INT) AS file_id
+      FROM keyed
+    ),
+    stats AS (
+      SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(source) AS min_source, MAX(source) AS max_source,
+             MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      FROM filed GROUP BY file_id
+    )
+    SELECT file_id, n_rows, min_source, max_source, min_chars, max_chars,
+           (min_source <= '{_ZORDER_SRC}' AND max_source >= '{_ZORDER_SRC}')
+             AS scan_source_point,
+           (min_chars <= {_ZORDER_HI} AND max_chars >= {_ZORDER_LO})
+             AS scan_chars_range,
+           (min_source <= '{_ZORDER_SRC}' AND max_source >= '{_ZORDER_SRC}'
+            AND min_chars <= {_ZORDER_HI} AND max_chars >= {_ZORDER_LO})
+             AS scan_both
+    FROM stats
+    ORDER BY file_id
+"""
+
+
+@register("docs_zorder_layout", _ZORDER_SQL)
+def docs_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data-skipping layout: Z-order (Morton)
+    clustering of the corpus on (source, n_chars), 64-row target files,
+    and the per-file min/max stats a reader's pruning consults — the
+    engine-native spelling of Delta/Iceberg ``OPTIMIZE ZORDER BY``.
+
+    Construction (every step exact and cross-engine deterministic):
+    each dimension is bucketed into 16 equi-depth buckets by GLOBAL rank
+    (``distributed_rank`` — range exchange + broadcast offsets, never a
+    single-reducer window; ties broken by doc_id so the order is total);
+    the two 4-bit bucket ids are bit-interleaved into an 8-bit Morton
+    key; rows land in files by global rank over (zval, doc_id). Output:
+    one row per file with its row count, per-dimension min/max (the
+    row-group stats parquet would persist), and three ``scan_*`` flags —
+    whether stats-overlap pruning must read the file under each of the
+    three documented predicate shapes (source point / chars range /
+    both). Measured at sf0.1 (79 files): worst case over the three
+    shapes is 79 files for EITHER single-dim sort but 32 for Z-order —
+    the rectangle-locality argument, made hash-checkable
+    (tests/test_layout.py pins the comparison).
+
+    Scale shape: three range exchanges (two dim ranks + the final layout
+    rank) and one map-side-combined groupBy — no partition-less windows,
+    no collect, no data×data join. At 100 TB the dim-rank exchanges are
+    the cost; the documented cheapening is approx bucketing
+    (percentile_approx cutpoints + a map-side CASE, the same trade
+    docs_quality_bins_approx makes) which cuts the job to ONE exchange
+    at the cost of approximate bucket boundaries — layout quality
+    degrades gracefully, the stats/pruning contract is unaffected.
+
+    The physical WRITE path lives in sinks/layout.py (zvalue /
+    write_zordered: min-max-normalized cells, real parquet files whose
+    footer stats tests/test_layout.py measures); this entry is its
+    ORACLED logical twin — equi-depth rank buckets instead of min-max
+    cells precisely because global ranks (unlike double-normalized
+    cells) replay bit-identically in the DuckDB mirror, and because
+    equi-depth handles categorical dims (source) and skewed numerics
+    without the empty-cell pathology of value-normalized grids.
+
+    Reference scope note: beyond the reference surface (its pipeline is
+    row-preserving extract→clean→deliver); first-class here because file
+    layout IS the difference between reading 100 TB and reading 1 TB of
+    it for a selective multi-dim scan."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", "n_chars")
+    B, RPF = _ZORDER_BUCKETS, _ZORDER_ROWS_PER_FILE
+    rs = distributed_rank(
+        base, [F.col("source"), F.col("doc_id")], "rs",
+        zero_based=True, total_col="tot",
+    )
+    rc = distributed_rank(
+        rs, [F.col("n_chars"), F.col("doc_id")], "rc", zero_based=True
+    )
+    keyed = rc.select(
+        "doc_id", "source", "n_chars",
+        _morton_col(
+            F.expr(f"CAST((rs * {B}) DIV tot AS INT)"),
+            F.expr(f"CAST((rc * {B}) DIV tot AS INT)"),
+        ).cast("int").alias("zval"),
+    )
+    filed = distributed_rank(
+        keyed, [F.col("zval"), F.col("doc_id")], "rz", zero_based=True
+    ).select(
+        "source", "n_chars",
+        F.expr(f"CAST(rz DIV {RPF} AS INT)").alias("file_id"),
+    )
+    stats = filed.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("source").alias("min_source"),
+        F.max("source").alias("max_source"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    src, lo, hi = _ZORDER_SRC, _ZORDER_LO, _ZORDER_HI
+    hit_src = (F.col("min_source") <= src) & (F.col("max_source") >= src)
+    hit_chars = (F.col("min_chars") <= hi) & (F.col("max_chars") >= lo)
+    return stats.select(
+        "file_id", "n_rows", "min_source", "max_source", "min_chars",
+        "max_chars",
+        hit_src.alias("scan_source_point"),
+        hit_chars.alias("scan_chars_range"),
+        (hit_src & hit_chars).alias("scan_both"),
+    ).orderBy("file_id")

@@ -182,3 +182,95 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_
         .first()[0]
         >= 1000000
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_zorder_layout — the ORACLED logical twin of write_zordered
+# ---------------------------------------------------------------------------
+
+
+def test_morton_bit_placement(spark):
+    # interleave(a, b): a's bit i lands at position 2i+1, b's at 2i.
+    # Hand-computed: a=0b1010, b=0b0101 -> alternating -> 0b10011001 = 153;
+    # a=15,b=0 -> odd positions set = 0b10101010 = 170; a=0,b=15 -> 85.
+    from extract_permits_spark.plans.analytics_corpus import _morton_col
+
+    df = spark.createDataFrame(
+        [(0b1010, 0b0101), (15, 0), (0, 15), (0, 0), (15, 15)], "a int, b int"
+    )
+    got = [
+        r.z for r in df.select(
+            _morton_col(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    ]
+    assert got == [153, 170, 85, 0, 255]
+
+
+def test_zorder_bounds_worst_case_across_predicate_shapes(spark):
+    # The layout claim the entry's docstring makes, pinned: at sf0.1
+    # (79 files) the worst-case files-scanned over the three predicate
+    # shapes (source point / chars range / both) is all-files for EITHER
+    # single-dimension sort, but bounded for the Z-order layout.
+    from extract_permits_spark.operators.windows import distributed_rank
+    from extract_permits_spark.plans.analytics_corpus import (
+        _ZORDER_HI,
+        _ZORDER_LO,
+        _ZORDER_ROWS_PER_FILE,
+        _ZORDER_SRC,
+        docs_zorder_layout,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+
+    def scans(stats_rows):
+        src_pt = sum(
+            1 for r in stats_rows
+            if r.min_source <= _ZORDER_SRC <= r.max_source
+        )
+        chars_rg = sum(
+            1 for r in stats_rows
+            if r.min_chars <= _ZORDER_HI and r.max_chars >= _ZORDER_LO
+        )
+        return src_pt, chars_rg
+
+    def linear_layout(order_cols):
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        filed = distributed_rank(
+            d, [*order_cols, F.col("doc_id")], "r", zero_based=True
+        ).select(
+            "source", "n_chars",
+            F.expr(f"CAST(r DIV {_ZORDER_ROWS_PER_FILE} AS INT)").alias(
+                "file_id"
+            ),
+        )
+        return filed.groupBy("file_id").agg(
+            F.min("source").alias("min_source"),
+            F.max("source").alias("max_source"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        ).collect()
+
+    z = docs_zorder_layout(spark, sf_dir).collect()
+    n_files = len(z)
+    assert n_files >= 32  # the comparison is meaningless with a few files
+
+    z_src, z_chars = scans(z)
+    c_src, c_chars = scans(linear_layout([F.col("n_chars")]))
+    s_src, s_chars = scans(linear_layout([F.col("source")]))
+
+    # each single-dim sort fails its off-dimension shape completely...
+    assert c_src == n_files       # chars-sort: source predicate never prunes
+    assert s_chars == n_files     # source-sort: chars predicate never prunes
+    # ...so each linear layout's worst case is all files, while Z-order
+    # bounds BOTH shapes well below that.
+    assert max(z_src, z_chars) <= n_files // 2
+    # ...and Z-order stays within a small constant of each specialist on
+    # its HOME shape (measured at sf0.1, 79 files: source point — z 12 vs
+    # source-sort 5; chars range — z 32 vs chars-sort 17; the combined
+    # point+range predicate lands at 6). The 3x/2x bounds are loose on
+    # purpose: the claim is "competitive on every shape, catastrophic on
+    # none", not parity with the specialist.
+    assert z_src <= 3 * s_src
+    assert z_chars <= 2 * c_chars
