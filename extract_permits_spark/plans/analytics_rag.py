@@ -408,6 +408,19 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     rrf = rag_rrf_fusion(spark, sf_dir)
     wr = Window.orderBy(F.col("rrf").desc(), "doc_id")
     ranked = rrf.select("doc_id", F.row_number().over(wr).alias("rnk"))
+    # One scorer pass, not five: `ranked` (and `cand` below) is ≤10 rows
+    # but REFERENCING it lazily re-plans the whole BM25 + hash-embed
+    # corpus pipeline at every use site — the un-checkpointed physical
+    # plan holds 23 documents scans / 82 aggregates, because Catalyst has
+    # no cross-branch common-subtree elimination and the branches' shapes
+    # diverge too early for ReuseExchange. A LAZY localCheckpoint
+    # materializes the 10 rows once per evaluation — inside the timed
+    # action, not at construction — and every downstream branch reads the
+    # cached partitions. The re-applied .limit(10) is a data no-op that
+    # restores the GlobalLimit on the plan spine, which the checkpoint's
+    # LogicalRDD would otherwise hide from the bounded-window plan
+    # detector (tests/test_plan_quality.py) and from AQE's stats.
+    ranked = ranked.localCheckpoint(eager=False).limit(10)
 
     d = load_table(spark, sf_dir, "documents")
     # The .limit(10) is a no-op by construction (ranked is the fused
@@ -423,6 +436,10 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("rnk", "doc_id", F.coalesce("text", F.lit("")).alias("text"))
     )
+    # same one-pass contract as `ranked` above: cand feeds FOUR branches
+    # (both sides of the shingle self-join, the anti-join keep, and the
+    # chunker) — checkpoint the ≤10 rows so the text-fetch scan runs once
+    cand = cand.localCheckpoint(eager=False).limit(10)
 
     sh = cand.select("rnk", "doc_id", word_shingles(F.col("text")).alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")
