@@ -107,6 +107,11 @@ HEADLINE = [
     # 6-dp cosine verification (candidate step bucket-join vs pairwise,
     # same result set below the bucket cap).
     "emb_cross_decontaminate",
+    # Z-order layout (r13): equi-depth rank buckets -> Morton key ->
+    # file assignment + per-file min/max skipping stats. Fair pair: the
+    # DuckDB oracle replays the identical rank/bit-interleave/stats
+    # construction as window + bit-op SQL.
+    "docs_zorder_layout",
 ]
 
 
