@@ -51,6 +51,7 @@ _CHECK_FIRST = [
     # cohort in driver order. ~3.5-round cadence.
     # --- changed/new this round ---
     "docs_zorder_layout",
+    "sample_hard_negatives",
     "docs_quality_bins_approx",
     "emb_neardup_components",
     "emb_cross_decontaminate",
@@ -99,7 +100,6 @@ _CHECK_FIRST = [
     "docs_span_dup_rate",
     "docs_span_mask",
     "q11_important_stock",
-    "q12_late_ship_priority",
     "docs_corpus_report",
     "llm_corpus_curation",
 ]
@@ -109,9 +109,10 @@ _CHECK_FIRST = [
 # so the r12 cohort at the head (including the round's 16 changed/new
 # entries) is still driver-unwitnessed and must get its first driver row
 # in r13. Entries changed in r13 jump the queue as usual (r13 additions:
-# docs_zorder_layout at head, displacing q20_potential_promotion to the
-# r14 queue). The deferred
-# rotation for r14+: q20_potential_promotion plus the 18 r8-cohort
+# docs_zorder_layout and sample_hard_negatives at head, displacing
+# q20_potential_promotion and q12_late_ship_priority to the r14 queue).
+# The deferred rotation for r14+: q20_potential_promotion and
+# q12_late_ship_priority plus the 18 r8-cohort
 # entries displaced from this window
 # (stream_corpus_ingest, q21_waiting_supplier, q18_large_volume,
 # basket_brand_pairs, permit_pipeline_upload, q1_pricing_summary,

@@ -1996,3 +1996,86 @@ def emb_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive min-label CTE."""
     comps = _emb_components_cached(spark, sf_dir)
     return comps.select(F.col("id").alias("vec_id"), "component")
+
+
+@register(
+    "sample_hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+             label AS qlabel
+      FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(
+               list_sum(list_transform(range(1, 65),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))),
+               6) AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label <> q.qlabel
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS INT) AS hn_rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, hn_rank
+    FROM ranked WHERE hn_rank <= 5
+    """,
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (vec_id % 97 == 0 — a deterministic anchor batch), the top-5 most
+    cosine-similar vectors whose LABEL DIFFERS from the anchor's. The
+    complement of sample_negatives (uniform md5-hash draws): uniform
+    negatives saturate early in training, and the standard fix (DPR,
+    Gao et al.'s condenser line, SimCSE ablations — all public) is to
+    mine the highest-similarity wrong-label examples offline each epoch
+    and train against those.
+
+    Shape is ann_batch_topk's batched-serving plan with a label
+    constraint: the anchor batch broadcasts (id, vector, label); one
+    corpus pass scores every (anchor, candidate) pair, the wrong-label
+    filter runs BEFORE the rank so the top-5 are true negatives, and
+    the per-anchor top-k executes as WindowGroupLimit — per-partition
+    heaps before the exchange, so the shuffle carries ~n_anchors x 5
+    rows, never the scored corpus. Ordering on the ROUNDED similarity +
+    vec_id keeps tie-breaks hash-stable across engines.
+
+    At 100 TB the brute pass is the per-epoch offline-mining baseline
+    (one narrow corpus scan per anchor batch, embarrassingly parallel);
+    the served/iterative variant prunes candidates with the IVF/PQ
+    machinery (emb_ivfpq_batch_topk) and re-ranks the shortlist against
+    the label constraint — same contract, sub-linear scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.where(F.col("vec_id") % 97 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    scored = (
+        emb.crossJoin(q)
+        .where(F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(simfn.cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("hn_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("hn_rank") <= 5)
+        .select("query_id", "vec_id", "cosine_sim", "hn_rank")
+    )
