@@ -273,7 +273,14 @@ def main() -> None:
             # frame both engines.
             from pyspark.sql import Window as _W
 
-            tok = amp.select(
+            # one exchange on doc_id BEFORE the explode serves the tf
+            # aggregate AND the per-doc window (r13 partitioning-reuse,
+            # same plan as the registry text_tfidf); explicit partition
+            # count so AQE byte-coalescing cannot starve the ~50x
+            # fan-out below the small exchange (r6 SCALE.md finding)
+            tok = amp.repartition(
+                spark.sparkContext.defaultParallelism * 2, _F.col("doc_id")
+            ).select(
                 "doc_id", _F.explode(_F.split("text", " ")).alias("term")
             ).where(_F.length("term") > 0)
             tf = tok.groupBy("doc_id", "term").agg(
@@ -365,7 +372,10 @@ def main() -> None:
         try:
             amp_m = spark.read.parquet(os.path.join(tf_dir, "documents"))
             n100 = amp_m.count()
-            tok100 = amp_m.select(
+            # one doc_id exchange before the explode — see the sf1eq row
+            tok100 = amp_m.repartition(
+                spark.sparkContext.defaultParallelism * 2, _F.col("doc_id")
+            ).select(
                 "doc_id", _F.explode(_F.split("text", " ")).alias("term")
             ).where(_F.length("term") > 0)
             tf100 = tok100.groupBy("doc_id", "term").agg(

@@ -2061,9 +2061,28 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same exact small-int ratio). Score is rounded to 6dp before
     ranking, so the order — and therefore the top-3 cut — is
     engine-independent (ties break on the term string, binary collation
-    both sides)."""
+    both sides).
+
+    Partitioning-reuse (r13): ONE hash exchange on doc_id, placed BEFORE
+    the explode, serves the whole chain — HashPartitioning(doc_id)
+    satisfies ClusteredDistribution(doc_id, term) for the tf aggregate
+    (same-key rows are colocated), the broadcast joins preserve it, and
+    the per-doc rank window requires exactly it. Without the explicit
+    repartition Catalyst inserts TWO wide exchanges of the token-scale
+    frames (the exploded stream into the tf groupBy, then the tf rows
+    into the window); shuffling the compact un-exploded documents once
+    is strictly less data. The partition COUNT is explicit (2x default
+    parallelism) because this exchange carries the compact pre-explode
+    rows and everything downstream fans out ~50x: AQE's byte-based
+    coalescing (the r6 SCALE.md finding) would merge the small exchange
+    to 1-2 partitions and run the whole explode+agg+sort epilogue on
+    1-2 cores — measured at the 100x bench shape: 40-85 s
+    byte-coalesced vs 10-12 s with the explicit count. The df aggregate
+    still exchanges, but its map-side partials collapse to the
+    vocabulary size per partition — trivially small."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
+    npart = spark.sparkContext.defaultParallelism * 2
+    tok = d.repartition(npart, F.col("doc_id")).select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).where(F.length("term") > 0)
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
