@@ -199,6 +199,18 @@ def candidate_pairs_from_buckets(
     the difference between a bounded join and a runaway one. Dropped
     buckets are knowable: callers can count them with the same groupBy.
     """
+    # Coalesce-proof fan-out (r13, the r6 AQE finding): band rows are
+    # COMPACT (id + two hash columns), so AQE byte-coalescing merges this
+    # exchange to a few partitions — and the pair self-join below fans
+    # out quadratically per bucket on those few cores. An explicit
+    # partition count is exempt from coalescing; the bucket-size window
+    # AND both self-join sides all require exactly this clustering, so
+    # this stays the single shuffle of the candidate step.
+    bucketed = bucketed.repartition(
+        bucketed.sparkSession.sparkContext.defaultParallelism * 2,
+        "band_idx",
+        "band_hash",
+    )
     sized = bucketed.withColumn(
         "_bucket_n",
         F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash")),
@@ -359,6 +371,15 @@ def minhash_md5_pairs(
     ).where(F.size("_shingles") > 0)
     band_frames = minhash_md5_bands(
         docs, id_col, text_col, shingle_n, num_hashes, bands
+    )
+    # coalesce-proof fan-out below the compact band exchange — same
+    # guard (and same measured starvation) as candidate_pairs_from_buckets:
+    # one pinned shuffle serves BOTH self-join sides (dup-heavy 10x bench
+    # shape: 35.9 s cold byte-coalesced → 10.0 s pinned, same pairs)
+    band_frames = band_frames.repartition(
+        band_frames.sparkSession.sparkContext.defaultParallelism * 2,
+        "band_idx",
+        "band_hash",
     )
     a = band_frames.select(
         "band_idx", "band_hash", F.col(id_col).alias("id_a")
@@ -534,6 +555,14 @@ def simhash_pairs(
             )
         ).alias("_band"),
     ).select(id_col, "_sim", F.col("_band.band_idx"), F.col("_band.band_hash"))
+    # coalesce-proof fan-out below the compact band exchange — same r13
+    # guard as candidate_pairs_from_buckets: pin the count on the ONE
+    # shuffle both self-join sides reuse
+    banded = banded.repartition(
+        banded.sparkSession.sparkContext.defaultParallelism * 2,
+        "band_idx",
+        "band_hash",
+    )
     a = banded.select(
         "band_idx", "band_hash", F.col(id_col).alias("id_a"), F.col("_sim").alias("_sim_a")
     )
@@ -915,6 +944,14 @@ def lsh_neardup_pairs(
     # twice (measured 2× the dominant stage). The checkpointed frame is
     # (id, table, sig) triples — tiny at any corpus scale.
     sized = sized.localCheckpoint(eager=True)
+    # Coalesce-proof fan-out (r13, the r6 AQE finding): the checkpointed
+    # triples are tiny, so the bucket join's exchanges byte-coalesce to a
+    # few partitions and the ball explode + per-bucket pair fan-out run
+    # on a few cores. Pin the partition count on both join sides — these
+    # exchanges existed anyway (the checkpoint hides the window's
+    # partitioning from Catalyst); only the count is forced.
+    _np = sized.sparkSession.sparkContext.defaultParallelism * 2
+    sized = sized.repartition(_np, "t", "sig")
     # probe side: the Hamming-≤1 ball of each signature (1 + num_planes
     # variants) — joining variant == exact sig realizes |sig_a ^ sig_b| ≤ 1
     variants = sized.select(
@@ -931,7 +968,8 @@ def lsh_neardup_pairs(
         ).alias("sig"),
     )
     cand = (
-        variants.join(
+        variants.repartition(_np, "t", "sig")
+        .join(
             sized.select(F.col(id_col).alias("id_b"), "t", "sig"), ["t", "sig"]
         )
         .where(F.col("id_a") < F.col("id_b"))

@@ -116,6 +116,16 @@ def _collapsed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = reps_min.select(
         F.col("_rep").alias("doc_id"), F.col("_text").alias("text")
     )
+    # Coalesce-proof fan-out (r13, the r6 AQE finding recurring): the
+    # collapse groupBy's exchange carries COMPACT rows (distinct texts),
+    # so AQE byte-coalescing merges it to 1-2 partitions — and the ~50x
+    # shingle explode + pair-join map side below then runs on 1-2 cores
+    # (measured at sf0.1: edges 6-10 s starved vs 2.7-3.4 s with the
+    # explicit spread; identical edge set). A user-specified partition
+    # count is exempt from coalescing.
+    reps = reps.repartition(
+        reps.sparkSession.sparkContext.defaultParallelism * 2
+    )
     sh = reps.select(
         "doc_id", simfn.word_shingles("text", 3).alias("shingles")
     )
@@ -190,6 +200,11 @@ def _emb_components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         reps = reps_min.select(
             F.col("_rep").alias("vec_id"), "embedding"
         )
+        # coalesce-proof fan-out below the compact collapse exchange —
+        # same guard (and same measured starvation mode) as
+        # _collapsed_edges above: the LSH signature/band explode would
+        # otherwise run on the 1-2 AQE-coalesced partitions
+        reps = reps.repartition(spark.sparkContext.defaultParallelism * 2)
         rep_pairs = simfn.lsh_neardup_pairs(reps, min_cosine=0.35).select(
             "id_a", "id_b"
         )

@@ -774,3 +774,35 @@ def test_quality_bins_approx_no_global_row_sort(spark):
     # contrast: the exact ntile twin DOES range-shuffle the corpus
     exact = _plan(spark, "docs_quality_bins")
     assert "rangepartitioning" in exact.lower()
+
+
+def test_fanout_exchanges_pin_partition_count(spark):
+    """r13 guard: every banded/collapsed near-dup plan (and text_tfidf)
+    must carry at least one USER-PINNED exchange (REPARTITION_BY_NUM)
+    feeding its fan-out stage. These plans' wide exchanges carry COMPACT
+    rows (band triples, distinct texts, un-exploded docs) below which
+    the work multiplies (shingle/ball/pair explode), so AQE's byte-based
+    coalescing would merge them to 1-2 partitions and run the fan-out on
+    1-2 cores — measured 40-85 s vs 10-12 s on the 100x tfidf shape and
+    6-10 s vs 2.7-3.4 s on the sf0.1 curation edge pass (SCALE.md r13).
+    A user-specified partition count is exempt from coalescing, which is
+    exactly why the pin is load-bearing and must not be refactored away."""
+    for name in (
+        "text_tfidf",
+        "dedup_minhash_lsh",
+        "dedup_minhash_md5",
+        "dedup_simhash",
+        "emb_neardup_lsh",
+    ):
+        assert "REPARTITION_BY_NUM" in _plan(spark, name), name
+    # the components path memoizes a checkpointed closure, so its final
+    # plan is an RDD scan — assert on the edge construction directly
+    from extract_permits_spark.plans._registry import _collapsed_edges
+
+    edges_plan = (
+        _collapsed_edges(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "REPARTITION_BY_NUM" in edges_plan, "_collapsed_edges"
