@@ -52,6 +52,7 @@ _CHECK_FIRST = [
     # --- changed/new this round ---
     "docs_zorder_layout",
     "sample_hard_negatives",
+    "rag_mmr_rerank",
     "docs_quality_bins_approx",
     "emb_neardup_components",
     "emb_cross_decontaminate",
@@ -99,7 +100,6 @@ _CHECK_FIRST = [
     "ann_matryoshka_mrr",
     "docs_span_dup_rate",
     "docs_span_mask",
-    "q11_important_stock",
     "docs_corpus_report",
     "llm_corpus_curation",
 ]
@@ -109,10 +109,10 @@ _CHECK_FIRST = [
 # so the r12 cohort at the head (including the round's 16 changed/new
 # entries) is still driver-unwitnessed and must get its first driver row
 # in r13. Entries changed in r13 jump the queue as usual (r13 additions:
-# docs_zorder_layout and sample_hard_negatives at head, displacing
-# q20_potential_promotion and q12_late_ship_priority to the r14 queue).
-# The deferred rotation for r14+: q20_potential_promotion and
-# q12_late_ship_priority plus the 18 r8-cohort
+# docs_zorder_layout, sample_hard_negatives, and rag_mmr_rerank at head,
+# displacing q20_potential_promotion, q12_late_ship_priority, and
+# q11_important_stock to the r14 queue). The deferred rotation for r14+:
+# those three displaced entries plus the 18 r8-cohort
 # entries displaced from this window
 # (stream_corpus_ingest, q21_waiting_supplier, q18_large_volume,
 # basket_brand_pairs, permit_pipeline_upload, q1_pricing_summary,

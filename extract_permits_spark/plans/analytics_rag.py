@@ -2079,3 +2079,174 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hn_rank") <= 5)
         .select("query_id", "vec_id", "cosine_sim", "hn_rank")
     )
+
+
+def _mmr_oracle_sql(k: int = 10, shortlist: int = 20, lam: str = "0.5") -> str:
+    """Unrolled k-step greedy MMR as chained CTEs (no recursive CTE with
+    list state — each step is a one-row CTE referencing the union of the
+    previous picks, so the SQL is plain and engine-portable). Generated
+    once at import; pure f-string of constants."""
+    dot = (
+        "list_sum(list_transform(range(1, 65),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))"
+    )
+    nrm_e = (
+        "sqrt(list_sum(list_transform(range(1, 65),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
+    )
+    nrm_q = "sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))"
+    pdot = (
+        "list_sum(list_transform(range(1, 65),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    pna = (
+        "sqrt(list_sum(list_transform(range(1, 65),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+    )
+    pnb = (
+        "sqrt(list_sum(list_transform(range(1, 65),"
+        " i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))"
+    )
+    parts = [f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    cand AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding,
+             round({dot} / ({nrm_e} * {nrm_q}), 6) AS rel
+      FROM embeddings e, q
+      ORDER BY rel DESC, e.vec_id LIMIT {shortlist}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({pdot} / ({pna} * {pnb}), 6) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    sel_1 AS MATERIALIZED (
+      SELECT 1 AS rank, vec_id, rel, round({lam} * rel, 6) AS mmr_score
+      FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    )"""]
+    for i in range(2, k + 1):
+        picked = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel_{j}" for j in range(1, i)
+        )
+        parts.append(f""",
+    picked_{i} AS ({picked}),
+    sel_{i} AS MATERIALIZED (
+      SELECT {i} AS rank, c.vec_id, c.rel,
+             round({lam} * c.rel - (1 - {lam}) * (
+               SELECT MAX(p.sim) FROM pairs p
+               WHERE p.id_a = c.vec_id
+                 AND p.id_b IN (SELECT vec_id FROM picked_{i})
+             ), 6) AS mmr_score
+      FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM picked_{i})
+      ORDER BY mmr_score DESC, c.vec_id LIMIT 1
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM sel_{j}" for j in range(1, k + 1))
+    parts.append(f"\n    SELECT CAST(rank AS INT) AS rank, vec_id, rel, mmr_score"
+                 f" FROM ({union}) ORDER BY rank")
+    return "".join(parts)
+
+
+@register("rag_mmr_rerank", _mmr_oracle_sql())
+def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein '98) —
+    the diversity-aware final stage of a retrieval stack: from the exact
+    cosine top-20 shortlist, greedily pick 10 results maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked (λ=0.5), so
+    near-duplicate passages don't crowd the context window. Complements
+    rag_context_assembly's Jaccard prune: MMR trades relevance against
+    redundancy continuously instead of hard-dropping above a threshold.
+
+    Determinism contract (the hard part of orcling a greedy float loop):
+    relevance comes 6dp-rounded from the same cosine fold every ANN
+    entry uses; pairwise sims and each step's MMR score are rounded to
+    6dp with HALF_UP (decimal.Decimal on the exact double — matching
+    Spark's F.round and DuckDB's round()); every dot/norm accumulates
+    LEFT-TO-RIGHT in float64 exactly like DuckDB's
+    list_sum(list_transform(...)) fold (numpy's pairwise-SIMD sum order
+    would drift in the last bits); ties break on vec_id. The oracle
+    replays the identical greedy as 10 unrolled one-row CTEs.
+
+    Scale shape: corpus-scale work is ONE narrow scan (the top-20 via
+    TakeOrderedAndProject); the greedy loop is inherently sequential in
+    k but bounded by the shortlist — k·|C| ≤ 200 score updates over 20
+    64-dim vectors — and runs as ONE Arrow batch in applyInPandas on an
+    executor (groupBy on a constant key is a single bounded task, the
+    llm_tokenize_pack per-shard pattern; never a driver collect)."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qfull = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    shortlist = simfn.brute_force_topk(emb, qfull, k=20).select(
+        "vec_id", F.col("cosine_sim").alias("rel")
+    )
+    cand = emb.join(F.broadcast(shortlist), "vec_id").select(
+        "vec_id", "rel", "embedding"
+    )
+
+    out_schema = "rank int, vec_id bigint, rel double, mmr_score double"
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def r6(x: float) -> float:
+            return float(
+                Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            )
+
+        def dot_seq(a, b) -> float:
+            acc = 0.0
+            for i in range(len(a)):
+                acc += float(a[i]) * float(b[i])
+            return acc
+
+        rows = sorted(
+            pdf.itertuples(index=False), key=lambda t: (-t.rel, t.vec_id)
+        )
+        vecs = {t.vec_id: [float(v) for v in t.embedding] for t in rows}
+        rel = {t.vec_id: float(t.rel) for t in rows}
+        nrm = {i: dot_seq(v, v) ** 0.5 for i, v in vecs.items()}
+        sim: dict[tuple[int, int], float] = {}
+        for a in vecs:
+            for b in vecs:
+                if a != b:
+                    sim[(a, b)] = r6(
+                        dot_seq(vecs[a], vecs[b]) / (nrm[a] * nrm[b])
+                    )
+        lam = 0.5
+        picked: list[int] = []
+        out = []
+        # rank 1 selects on (rel DESC, vec_id) — NOT on the rounded
+        # λ·rel score, which can collapse 6dp-distinct rels (0.5x maps
+        # two adjacent 6dp values onto one 6dp bucket) where the oracle's
+        # sel_1 ORDER BY rel still distinguishes them
+        first = rows[0].vec_id
+        picked.append(first)
+        out.append((1, first, rel[first], r6(lam * rel[first])))
+        for rank in range(2, 11):
+            best = None
+            for t in rows:
+                i = t.vec_id
+                if i in picked:
+                    continue
+                pen = max(sim[(i, j)] for j in picked)
+                score = r6(lam * rel[i] - (1 - lam) * pen)
+                key = (-score, i)
+                if best is None or key < best[0]:
+                    best = (key, i, score)
+            picked.append(best[1])
+            out.append((rank, best[1], rel[best[1]], best[2]))
+        return pd.DataFrame(
+            out, columns=["rank", "vec_id", "rel", "mmr_score"]
+        )
+
+    return (
+        cand.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(lambda _, pdf: _greedy(pdf), schema=out_schema)
+        .orderBy("rank")
+    )
