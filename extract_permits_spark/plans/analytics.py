@@ -50,6 +50,7 @@ _CHECK_FIRST = [
     # witnessed CORRECTNESS_r07), then the first 36 of the 47-entry r8
     # cohort in driver order. ~3.5-round cadence.
     # --- changed/new this round ---
+    "dedup_containment",
     "docs_zorder_layout",
     "sample_hard_negatives",
     "rag_mmr_rerank",
@@ -101,7 +102,6 @@ _CHECK_FIRST = [
     "docs_span_dup_rate",
     "docs_span_mask",
     "docs_corpus_report",
-    "llm_corpus_curation",
 ]
 
 # r13 NOTE: the window above is carried over VERBATIM from r12 — round 12
@@ -111,7 +111,10 @@ _CHECK_FIRST = [
 # in r13. Entries changed in r13 jump the queue as usual (r13 additions:
 # docs_zorder_layout, sample_hard_negatives, and rag_mmr_rerank at head,
 # displacing q20_potential_promotion, q12_late_ship_priority, and
-# q11_important_stock to the r14 queue). The deferred rotation for r14+:
+# q11_important_stock to the r14 queue; the round-12 restart session adds
+# dedup_containment at head, displacing llm_corpus_curation — well
+# covered: driver-green r10/r11, paired-benchmarked every sitting).
+# The deferred rotation for r14+: llm_corpus_curation plus
 # those three displaced entries plus the 18 r8-cohort
 # entries displaced from this window
 # (stream_corpus_ingest, q21_waiting_supplier, q18_large_volume,

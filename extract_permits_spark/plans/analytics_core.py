@@ -1245,6 +1245,79 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_cached(spark, sf_dir)
 
 
+@register(
+    "dedup_containment",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) - 2, 0) + 1),
+               i -> array_to_string(list_slice(
+                      string_split_regex(trim(lower(COALESCE(text,''))), '\\s+'), i, i + 2), ' ')
+             )) AS shingles
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) >= 3
+    )
+    , ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS sh FROM sh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN a.sz <= b.sz THEN a.doc_id ELSE b.doc_id END AS contained_id,
+           round(CAST(COUNT(*) AS DOUBLE) / least(a.sz, b.sz), 6) AS containment,
+           round(CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)), 6) AS jaccard
+    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+    HAVING CAST(COUNT(*) AS DOUBLE) / least(a.sz, b.sz) >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: n-gram containment ``C = |A∩B| / min(|A|,|B|)``
+    — the fraction of the SMALLER doc's shingles present in the larger.
+    Catches quote-expansions, boilerplate-wrapped reposts, and
+    excerpt-of-a-long-page pairs that symmetric Jaccard misses at any
+    practical threshold (a 10-shingle doc fully inside a 500-shingle doc
+    has J ≈ 0.02 but C = 1.0); the standard companion pass to Jaccard
+    dedup in crawl curation.
+
+    Same count-based inverted-index shape as ``dedup_ngram_jaccard``
+    (shingles are distinct per doc, so the shared-shingle join grouped by
+    pair IS ``|A∩B|``) — only the normalizer and threshold differ, plus
+    ``contained_id`` naming which member is the (candidate-to-drop)
+    contained doc. Not derivable from the jaccard entry's output: its
+    J ≥ 0.2 filter discards exactly the asymmetric pairs this entry
+    exists for (pinned by tests/test_similarity.py with a constructed
+    excerpt-in-page corpus). Scale shape is the family's: explode sits on
+    the scan (source parallelism, no pin per SCALE.md), map-side-distinct
+    shingles, one shuffle on shingle text, AQE skew-split on hot
+    shingles."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", simfn.word_shingles("text", 3).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("sh")
+    )
+    shared = (
+        ex.alias("a")
+        .join(ex.alias("b"), ["sh"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sz").alias("_sza"),
+            F.col("b.sz").alias("_szb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    cont = F.col("_shared") / F.least("_sza", "_szb")
+    jac = F.col("_shared") / (F.col("_sza") + F.col("_szb") - F.col("_shared"))
+    return shared.where(cont >= 0.8).select(
+        "id_a",
+        "id_b",
+        F.when(F.col("_sza") <= F.col("_szb"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("contained_id"),
+        F.round(cont, 6).alias("containment"),
+        F.round(jac, 6).alias("jaccard"),
+    )
 
 
 # ---------------------------------------------------------------------------

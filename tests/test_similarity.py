@@ -273,3 +273,36 @@ def test_symspell_keys_spark_matches_python(spark):
     }
     for s in samples:
         assert got[s] == _symspell_keys_py(s), s
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark, tmp_path):
+    """dedup_containment's reason to exist: an excerpt fully inside a long
+    page has containment 1.0 but Jaccard ~0.14 — below the jaccard
+    entry's 0.2 threshold, so the pair is invisible to dedup_ngram_jaccard
+    and MUST be surfaced (with the excerpt as contained_id) here."""
+    from extract_permits_spark.plans import analytics
+
+    big = " ".join(f"w{i}" for i in range(60))          # 58 shingles
+    excerpt = " ".join(f"w{i}" for i in range(20, 30))  # 8 shingles, all in big
+    other = " ".join(f"z{i}" for i in range(30))        # disjoint
+    docs = spark.createDataFrame(
+        [(1, big), (2, excerpt), (3, other)], "doc_id long, text string"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf_dir = str(tmp_path)
+
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in analytics.queries()["dedup_containment"](spark, sf_dir).collect()
+    }
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r["contained_id"] == 2
+    assert r["containment"] == 1.0
+    assert r["jaccard"] < 0.2  # the excerpt pair is sub-threshold for Jaccard
+
+    jac_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in analytics._jaccard_pairs_uncached(spark, sf_dir).collect()
+    }
+    assert (1, 2) not in jac_pairs  # not derivable from the jaccard entry
