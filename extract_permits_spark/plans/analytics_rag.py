@@ -2255,3 +2255,243 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(lambda _, pdf: _greedy(pdf), schema=out_schema)
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM perplexity filter + late-interaction MaxSim retrieval (r13)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LAMBDA = "0.75"  # interpolation weight, spelled once for both engines
+
+
+@register(
+    "docs_bigram_xent",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(COALESCE(text,''))),
+                                            '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    uni AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cu
+      FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word
+    ),
+    tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+    bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM w, unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    c2 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+    ),
+    cp AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS cp FROM c2 GROUP BY w1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-sum(ln({_BIGRAM_LAMBDA} * (CAST(c2 AS DOUBLE) / cp)
+                         + (1 - {_BIGRAM_LAMBDA}) * (CAST(cu AS DOUBLE) / n)))
+                 / count(*), 6) AS xent
+    FROM bg
+    JOIN c2 USING (w1, w2)
+    JOIN cp USING (w1)
+    JOIN uni ON bg.w2 = uni.word
+    CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def docs_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an interpolated corpus BIGRAM
+    model — the KenLM-filter shape (CCNet trains an n-gram LM on a clean
+    corpus and culls documents by perplexity; docs_unigram_xent is the
+    order-1 degenerate of this). p(w2|w1) = λ·c(w1,w2)/c(w1·) +
+    (1−λ)·c(w2)/N with λ=0.75 — Jelinek-Mercer interpolation, so unseen
+    continuations back off to the unigram floor and the log never sees a
+    zero (every scored bigram exists in the model here because the model
+    IS this corpus; the interpolated form is what ships when the model
+    corpus differs from the scored corpus).
+
+    Determinism: all four statistics (c2, prefix, unigram, N) are exact
+    integers aggregated corpus-wide; the only floats are the two
+    divisions + ln per bigram and the per-document mean, rounded once at
+    6dp — the docs_unigram_xent contract, one model order up.
+
+    Scale shape (100 TB): bigrams come from one arrays_zip of two
+    whole-array slices (narrow, no self-join on position); the bigram
+    model join keys on (w1,w2) — a shuffle join at web-scale model
+    sizes, never forced broadcast (AQE broadcasts it at fixture scale
+    where the model is tiny); prefix/unigram sides are vocabulary-sized.
+    Cardinality-dominant work is two passes over the token stream —
+    the same class as docs_unigram_xent plus one extra model groupBy."""
+    from extract_permits_spark.functions.similarity import tokens
+
+    lam = float(_BIGRAM_LAMBDA)
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", tokens(F.col("text")).alias("ws"))
+    uni = (
+        ws.select(F.explode("ws").alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    )
+    # uni feeds TWO branches (the total-count fold and the w2 join) and
+    # c2 below feeds TWO (the prefix aggregate and the model join);
+    # without a checkpoint Catalyst recomputes the corpus-scale token
+    # explode under each consumer (no cross-branch common-subtree
+    # elimination — the rag_context_assembly pattern, SCALE.md). Both
+    # frames are MODEL-scale (vocabulary / bigram-vocabulary), not
+    # corpus-scale: a distributed materialization bounded by vocab², the
+    # thing an LM-training pipeline persists anyway.
+    uni = uni.localCheckpoint(eager=False)
+    tot = uni.agg(F.sum("cu").cast("bigint").alias("n"))
+    bg = (
+        ws.where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(ws, 1, size(ws) - 1)").alias("w1"),
+                    F.expr("slice(ws, 2, size(ws) - 1)").alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    ).localCheckpoint(eager=False)
+    cp = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("cp"))
+    p = F.lit(lam) * (F.col("c2").cast("double") / F.col("cp")) + F.lit(
+        1 - lam
+    ) * (F.col("cu").cast("double") / F.col("n"))
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(cp, "w1")
+        .join(uni.withColumnRenamed("word", "w2"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(-F.sum(F.log(p)) / F.count(F.lit(1)), 6).alias("xent"),
+        )
+    )
+
+
+# Fixed query set for the late-interaction entry — constants of the spec
+# (like _RAG_QUERY_TEXT), drawn from the fixture corpus vocabulary.
+_COLBERT_QUERIES: list[tuple[int, str]] = [
+    (1, _RAG_QUERY_TEXT),  # "spark table join fast query vector"
+    (2, "stream window agg merge hash"),
+    (3, "slow filter customer data row"),
+]
+
+
+def _colbert_oracle_sql(k: int = 5) -> str:
+    qvals = ", ".join(
+        f"({q_id}, {pos}, '{w}')"
+        for q_id, text in _COLBERT_QUERIES
+        for pos, w in enumerate(text.split())
+    )
+    return f"""
+    WITH q(q_id, pos, word) AS (VALUES {qvals}),
+    qs AS (
+      SELECT q_id, pos,
+             ('0x' || substr(md5(word), 1, 15))::BIGINT AS qsig
+      FROM q
+    ),
+    dw AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(COALESCE(text,''))),
+                                                   '\\s+'), x -> x <> '')) AS word
+      FROM documents
+    ),
+    dt AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(word), 1, 15))::BIGINT AS dsig
+      FROM dw
+    ),
+    mh AS (
+      SELECT q_id, pos, doc_id,
+             MIN(bit_count(xor(qsig, dsig))) AS mh
+      FROM qs CROSS JOIN dt GROUP BY q_id, pos, doc_id
+    ),
+    sc AS (
+      SELECT q_id, doc_id,
+             round(CAST(sum(60 - 2 * mh) AS DOUBLE) / 60.0, 6) AS score
+      FROM mh GROUP BY q_id, doc_id
+    )
+    SELECT q_id, CAST(rank AS INTEGER) AS rank, doc_id, score FROM (
+      SELECT q_id, doc_id, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM sc
+    ) WHERE rank <= {k}
+    """
+
+
+@register("rag_colbert_maxsim", _colbert_oracle_sql())
+def rag_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT MaxSim, Khattab & Zaharia
+    SIGIR'20): score(q, d) = Σ_{t∈q} max_{t'∈d} sim(E(t), E(t')) — each
+    query token finds its best-matching document token, so multi-aspect
+    queries aren't collapsed into one pooled vector the way
+    ann_cosine_topk / rag_hash_retrieval pool them. Token embeddings are
+    the 60-bit md5 signature (the repo's cross-engine hash contract,
+    md5_long60), under which sim(a,b) = (60 − 2·hamming)/60 — the
+    signed-bit dot product, EXACT integers until one final division, so
+    max/argmax and the top-k tie-break (score DESC, doc_id ASC) are
+    bit-deterministic on both engines.
+
+    Scale shape (100 TB): the document side is the distinct
+    (doc_id, token-signature) stream — corpus-scale, deduped before any
+    join since MaxSim only needs each distinct token once; the query
+    side is bounded (|queries|×|tokens| = 16 rows here, ≤10^3 in any
+    serving batch) and BROADCAST, so the candidate step is a narrow
+    broadcast pass over the token stream — no data×data join. The
+    grouped min keys on (q_id, pos, doc_id) — cardinality ≤ query-tokens
+    × documents — with map-side partial min; per-query top-k compiles to
+    WindowGroupLimit (rank-filter pattern), never a global sort. The
+    production refinement (prune to an ANN shortlist first, MaxSim only
+    the shortlist — the actual ColBERT serving stack) composes from
+    ann_*_topk's candidate sets and this entry's scorer unchanged."""
+    from extract_permits_spark.functions.similarity import md5_long60, tokens
+
+    k = 5
+    qtok = spark.createDataFrame(
+        [
+            (q_id, pos, w)
+            for q_id, text in _COLBERT_QUERIES
+            for pos, w in enumerate(text.split())
+        ],
+        "q_id int, pos int, word string",
+    )
+    qs = qtok.select("q_id", "pos", md5_long60("word").alias("qsig"))
+    d = load_table(spark, sf_dir, "documents")
+    dt = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .select("doc_id", md5_long60("word").alias("dsig"))
+        .distinct()
+    )
+    mh = (
+        dt.crossJoin(F.broadcast(qs))
+        .groupBy("q_id", "pos", "doc_id")
+        .agg(
+            F.min(
+                F.bit_count(F.col("qsig").bitwiseXOR(F.col("dsig")))
+            ).alias("mh")
+        )
+    )
+    sc = mh.groupBy("q_id", "doc_id").agg(
+        F.round(
+            F.sum(F.lit(60) - F.lit(2) * F.col("mh")).cast("double") / 60.0, 6
+        ).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "doc_id", "score")
+    )

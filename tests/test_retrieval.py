@@ -193,3 +193,87 @@ def test_mmr_rerank_diversity_and_tie_break(spark, tmp_path):
     # The deliberate all-tie case pins the id tie-break chain itself.
     assert order[0] == 0
     assert order[1:] == [1, 2, 3, 4]
+
+
+def test_bigram_xent_interpolated_hand_values(spark, tmp_path):
+    """docs_bigram_xent on a 5-doc constructed corpus where the
+    Jelinek-Mercer arithmetic is checkable by hand: corpus words
+    a x3, b x2, c x1 (N=6); bigrams (a,b) x2, (a,c) x1, prefix a -> 3.
+    p(b|a) = .75*(2/3) + .25*(2/6); p(c|a) = .75*(1/3) + .25*(1/6).
+    Docs with fewer than two tokens produce no bigrams and are absent
+    from the output entirely (the oracle's len(ws) >= 2 guard)."""
+    import math
+    import os
+
+    from extract_permits_spark.plans.analytics_rag import docs_bigram_xent
+
+    rows = [
+        (1, "a b", "s"),
+        (2, "a c", "s"),
+        (3, "a b", "s"),
+        (4, "", "s"),  # empty -> no tokens -> excluded
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = {
+        r.doc_id: r for r in docs_bigram_xent(spark, str(tmp_path)).collect()
+    }
+    p_ab = 0.75 * (2 / 3) + 0.25 * (2 / 6)
+    p_ac = 0.75 * (1 / 3) + 0.25 * (1 / 6)
+    assert sorted(got) == [1, 2, 3]
+    assert got[1].n_bigrams == 1 and got[3].n_bigrams == 1
+    assert got[1].xent == got[3].xent == round(-math.log(p_ab), 6)
+    assert got[2].xent == round(-math.log(p_ac), 6)
+
+
+def test_colbert_maxsim_matches_pure_python_replay(spark, tmp_path):
+    """rag_colbert_maxsim vs an independent hashlib replay of the
+    MaxSim arithmetic on a constructed corpus, plus the semantic pins:
+    a doc containing every token of query 1 scores exactly 6.0 (each
+    query token finds an exact-signature match), an identical twin ties
+    it and the tie breaks on doc_id — the late-interaction property a
+    pooled-vector scorer can't express."""
+    import hashlib
+    import os
+
+    from extract_permits_spark.plans.analytics_rag import (
+        _COLBERT_QUERIES,
+        rag_colbert_maxsim,
+    )
+
+    docs = [
+        (10, "spark table join fast query vector", "s"),
+        (11, "spark table join fast query vector", "s"),  # identical twin
+        (12, "spark", "s"),
+        (13, "zzz yyy qqq", "s"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, source string").write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+
+    def sig(word: str) -> int:
+        return int(hashlib.md5(word.encode()).hexdigest()[:15], 16)
+
+    def score(qtext: str, dtext: str) -> float:
+        dsigs = {sig(w) for w in dtext.split()}
+        total = 0
+        for w in qtext.split():
+            mh = min(bin(sig(w) ^ ds).count("1") for ds in dsigs)
+            total += 60 - 2 * mh
+        return round(total / 60.0, 6)
+
+    expected = {}
+    for q_id, qtext in _COLBERT_QUERIES:
+        ranked = sorted(
+            ((score(qtext, dtext), doc_id) for doc_id, dtext, _ in docs),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (s, doc_id) in enumerate(ranked[:5], start=1):
+            expected[(q_id, rank)] = (doc_id, s)
+
+    got = rag_colbert_maxsim(spark, str(tmp_path)).collect()
+    assert {(r.q_id, r.rank): (r.doc_id, r.score) for r in got} == expected
+    by_q1 = {r.rank: r for r in got if r.q_id == 1}
+    assert by_q1[1].doc_id == 10 and by_q1[1].score == 6.0
+    assert by_q1[2].doc_id == 11 and by_q1[2].score == 6.0
