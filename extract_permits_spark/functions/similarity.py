@@ -1572,3 +1572,72 @@ def ivf_topk(
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def _sqdist_to(center: list[float]) -> Column:
+    """Squared L2 from column ``e`` (array<double>) to a broadcast center
+    literal, as a left-to-right codegen'd fold — the exact summation
+    order the DuckDB oracle's list_sum(list_transform(...)) uses, so the
+    doubles are bit-identical across engines."""
+    carr = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(F.col("e"), carr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kcenter_select(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> tuple[list[tuple[int, int]], list[list[float]]]:
+    """Greedy farthest-point k-center selection (Gonzalez 1985) — the
+    coreset / diverse-subset primitive a curation pipeline uses to pick
+    k maximally-spread exemplars from an embedding corpus (2-approx to
+    the optimal k-center cover).
+
+    Deterministic: seed = min id; each round picks the point maximizing
+    min squared-L2 distance to the selected set, ties broken by min id
+    (realized as one ``max(struct(dmin, -id))`` partial-aggregate — a
+    tree reduce, never a global sort).
+
+    Scale: k passes over the data, each a narrow broadcast-literal
+    distance map + one reduce; driver state is k ids + k·dim floats
+    (bounded — never the corpus). The running ``dmin`` column chains
+    ``least(...)`` per round, so pass i re-evaluates i cheap codegen'd
+    expressions rather than shuffling anything — the classic
+    k-scans-no-shuffle shape.
+
+    Returns (selection, centers): selection is [(sel_order, vec_id)],
+    centers the corresponding raw-double vectors.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    # bounded driver probe: the single seed row (min id)
+    seed = v.orderBy("_id").limit(1).first()
+    sel: list[tuple[int, int]] = [(0, int(seed["_id"]))]
+    centers: list[list[float]] = [[float(x) for x in seed["e"]]]
+    df = v.withColumn("dmin", F.lit(float("inf")))
+    for i in range(1, k):
+        df = df.withColumn("dmin", F.least(F.col("dmin"), _sqdist_to(centers[-1])))
+        picked = [s[1] for s in sel]
+        # one bounded reduce per round: the farthest row (dist, -id, e)
+        m = (
+            df.where(~F.col("_id").isin(*picked))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("dmin").alias("d"),
+                        (-F.col("_id")).alias("nid"),
+                        F.col("e").alias("e"),
+                    )
+                ).alias("m")
+            )
+            .first()["m"]
+        )
+        sel.append((i, int(-m["nid"])))
+        centers.append([float(x) for x in m["e"]])
+    return sel, centers

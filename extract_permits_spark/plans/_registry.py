@@ -58,6 +58,24 @@ def _dec(c, scale: int = 2):
 _COMPONENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
 _JACCARD_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
 _IVF_CENTROID_CACHE: dict[tuple[int, str], list[list[float]]] = {}
+_KCENTER_CACHE: dict[tuple[int, str], tuple] = {}
+
+
+def _kcenter_cached(
+    spark: SparkSession, emb: DataFrame, sf_dir: str, k: int = 8
+) -> tuple:
+    """Memoized greedy k-center selection (same rationale as the IVF
+    centroid cache: the correctness harness constructs each query twice,
+    and the driver-coordinated k-pass loop runs actions while building
+    its result). Cached value is (selection, centers) — k ids + k·dim
+    floats, bounded."""
+    key = (id(spark), sf_dir)
+    if key not in _KCENTER_CACHE:
+        _KCENTER_CACHE[key] = simfn.kcenter_select(
+            emb, "vec_id", "embedding", k=k
+        )
+    return _KCENTER_CACHE[key]
+
 
 
 def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:

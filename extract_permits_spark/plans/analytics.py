@@ -50,6 +50,8 @@ _CHECK_FIRST = [
     # witnessed CORRECTNESS_r07), then the first 36 of the 47-entry r8
     # cohort in driver order. ~3.5-round cadence.
     # --- changed/new this round ---
+    "mm_image_phash",
+    "emb_kcenter_coreset",
     "docs_bigram_xent",
     "rag_colbert_maxsim",
     "dedup_containment",
@@ -100,8 +102,6 @@ _CHECK_FIRST = [
     "ann_matryoshka_topk",
     "ann_matryoshka_rerank",
     "ann_matryoshka_recall",
-    "ann_matryoshka_mrr",
-    "docs_span_dup_rate",
 ]
 
 # r13 NOTE: the window above is carried over VERBATIM from r12 — round 12
@@ -115,9 +115,12 @@ _CHECK_FIRST = [
 # dedup_containment at head, displacing llm_corpus_curation — well
 # covered: driver-green r10/r11, paired-benchmarked every sitting —
 # and docs_bigram_xent + rag_colbert_maxsim (NEW) at head, displacing
-# docs_span_mask and docs_corpus_report to the r14 queue).
+# docs_span_mask and docs_corpus_report to the r14 queue; the second
+# restart session adds mm_image_phash + emb_kcenter_coreset (NEW) at
+# head, displacing ann_matryoshka_mrr and docs_span_dup_rate).
 # The deferred rotation for r14+: llm_corpus_curation,
-# docs_span_mask, docs_corpus_report, plus
+# docs_span_mask, docs_corpus_report, ann_matryoshka_mrr,
+# docs_span_dup_rate, plus
 # those three displaced entries plus the 18 r8-cohort
 # entries displaced from this window
 # (stream_corpus_ingest, q21_waiting_supplier, q18_large_volume,

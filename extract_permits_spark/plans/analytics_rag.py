@@ -2495,3 +2495,127 @@ def rag_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("q_id", "rank", "doc_id", "score")
     )
+
+
+@register(
+    "mm_image_phash",
+    """
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 4 = 1 THEN doc_id - 1 ELSE doc_id END AS b,
+             doc_id % 4 = 1 AS twin
+      FROM documents
+    ),
+    shp AS (
+      SELECT media_id, b, twin,
+             9 + (b % 4) * 5 AS w,
+             8 + (b % 3) * 6 AS h,
+             CASE WHEN b % 2 = 0 THEN 3 ELSE 4 END AS ch
+      FROM p
+    ),
+    grid AS (
+      SELECT media_id, gy.gy, gx.gx,
+             SUM( ( (b * b) % 251
+                  + (3 + b % 5) * (((2 * gx.gx + 1) * w) // 18)
+                  + (5 + b % 7) * (((2 * gy.gy + 1) * h) // 16)
+                  + (2 + b % 11) * (((((2 * gx.gx + 1) * w) // 18)
+                                     * ((((2 * gy.gy + 1) * h) // 16))) % 13)
+                  + 101 * c.c
+                  + CASE WHEN twin
+                              AND ((((2 * gx.gx + 1) * w) // 18)
+                                   + (((2 * gy.gy + 1) * h) // 16)) % 11 = 0
+                         THEN 3 ELSE 0 END
+                  ) % 256 ) AS s
+      FROM shp,
+           generate_series(0, 8) AS gx(gx),
+           generate_series(0, 7) AS gy(gy),
+           generate_series(0, 3) AS c(c)
+      WHERE c.c < ch
+      GROUP BY media_id, gy.gy, gx.gx
+    ),
+    bits AS (
+      SELECT l.media_id, (l.gy * 8 + l.gx) AS k,
+             CASE WHEN r.s > l.s THEN 1 ELSE 0 END AS bit
+      FROM grid l
+      JOIN grid r ON r.media_id = l.media_id AND r.gy = l.gy AND r.gx = l.gx + 1
+      WHERE l.gx < 8
+    ),
+    h AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+                           ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY media_id
+    )
+    SELECT a.media_id AS id_a, bb.media_id AS id_b,
+           CAST(bit_count(xor(a.hi, bb.hi))
+                + bit_count(xor(a.lo, bb.lo)) AS BIGINT) AS hamming
+    FROM h a JOIN h bb ON a.media_id < bb.media_id
+    WHERE bit_count(xor(a.hi, bb.hi)) + bit_count(xor(a.lo, bb.lo)) <= 7
+    """,
+)
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup — the multimodal dedup rail: one
+    real PNG per document (every 4th a +3-perturbed twin of its
+    predecessor), decoded with the pure-stdlib codec inside Arrow-batched
+    mapInPandas, dHashed on an exact-integer 9x8 grid, then paired by a
+    banded Hamming self-join (8 bands of 8 bits — pigeonhole-complete at
+    radius 7, plan-tested equi-join, never all-pairs).
+
+    The oracle replays hash AND pairing closed-form from the shared pixel
+    formula — it never sees a PNG byte — so a hash match proves the whole
+    encode -> deflate -> inflate -> unfilter -> sample -> pack -> band ->
+    join chain end-to-end. At 100 TB this is image dedup over a scrape:
+    narrow decode+hash per partition (the only Python), one equi-join on
+    (band, value), candidate verify by two xor/bit_counts. Ref: the
+    reference has no multimodal surface (SURVEY §2.11); north-star
+    capability alongside mm_image_stats."""
+    d = load_table(spark, sf_dir, "documents")
+    media = mmfn.synthetic_phash_media(d)
+    hashes = mmfn.phash64(media)
+    return mmfn.phash_pairs(hashes, max_hamming=7)
+
+
+@register("emb_kcenter_coreset", _ann_sql.kcenter_sql(dim=64, k=8))
+def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-point k-center coreset (Gonzalez 1985) + full
+    nearest-center assignment — the diverse-exemplar selection a curation
+    pipeline runs to summarize an embedding corpus (coreset for clustering
+    / active-learning seed picks; 2-approx max-min cover).
+
+    Selection: similarity.kcenter_select — k passes, each a narrow
+    broadcast-literal distance map + one max(struct) tree reduce; driver
+    state is k ids + k·dim doubles (bounded). Assignment: one codegen'd
+    argmin over the k broadcast centers via array_sort(struct(d, id))[0]
+    — no join, no shuffle, no UDF. The DuckDB twin unrolls the identical
+    greedy (same left-to-right double folds, same LEAST chains, same
+    tie-breaks), so every pick and every assignment hash-matches.
+
+    At 100 TB: k linear scans (each whole-stage codegen) and a broadcast
+    of k vectors — the same shape as the IVF fit but with a max-reduce
+    instead of a mean, and provably no hot reducer anywhere."""
+    from extract_permits_spark.plans._registry import _kcenter_cached
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sel, centers = _kcenter_cached(spark, emb, sf_dir, k=8)
+    center_ids = [cid for _, cid in sel]
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                simfn._sqdist_to(c).alias("d"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for (_, cid), c in zip(sel, centers)
+        ]
+    )
+    best = F.array_sort(scored).getItem(0)
+    return v.select(
+        "vec_id",
+        best["cid"].alias("center_id"),
+        F.round(best["d"], 6).alias("dist_sq"),
+        F.col("vec_id").isin(*center_ids).alias("is_center"),
+    )

@@ -898,3 +898,65 @@ def ivfpq_codes_sql(
     FROM pq_afinal a JOIN afinal k ON a.vec_id = k.vec_id
     GROUP BY a.vec_id, k.cid
     """
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (twin of similarity.kcenter_select)
+# ---------------------------------------------------------------------------
+
+
+def kcenter_sql(dim: int = 64, k: int = 8) -> str:
+    """Unrolled greedy farthest-point selection + nearest-center
+    assignment — the oracle twin of emb_kcenter_coreset. Each step i is a
+    chained CTE: n{i} picks the unselected row maximizing the running
+    LEAST-chain of squared-L2 distances (ties by min vec_id), exactly the
+    Spark side's max(struct(dmin, -id)) reduce; distances are the same
+    left-to-right double folds (_sqdist), so the greedy picks are
+    bit-identical. Same unrolled-rounds pattern as _kmeans_ctes."""
+    parts = [
+        _v_cte(dim),
+        "s0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1)",
+        f"d0 AS MATERIALIZED (SELECT v.vec_id, v.e,"
+        f" {_sqdist('v.e', 's0.e', dim)} AS dmin FROM v, s0)",
+    ]
+    sel_union = "SELECT vec_id FROM s0"
+    for i in range(1, k):
+        parts.append(
+            f"n{i} AS (SELECT vec_id FROM d{i - 1}"
+            f" WHERE vec_id NOT IN ({sel_union})"
+            " ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED"
+            f" (SELECT v.vec_id, v.e FROM v JOIN n{i} USING (vec_id))"
+        )
+        if i < k - 1:
+            # MATERIALIZED is load-bearing: d{i} and s{i} are each
+            # referenced twice, and inlining the chain re-evaluates
+            # d{i-1} exponentially (~200 s at k=8; <2 s materialized)
+            parts.append(
+                f"d{i} AS MATERIALIZED (SELECT d.vec_id, d.e,"
+                f" LEAST(d.dmin, {_sqdist('d.e', f's{i}.e', dim)}) AS dmin"
+                f" FROM d{i - 1} d, s{i})"
+            )
+        sel_union += f" UNION ALL SELECT vec_id FROM s{i}"
+    centers = " UNION ALL ".join(
+        f"SELECT vec_id, e FROM s{i}" for i in range(k)
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    centers AS ({centers}),
+    assign AS (
+      SELECT v.vec_id, c.vec_id AS center_id, {_sqdist('v.e', 'c.e', dim)} AS d,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_sqdist('v.e', 'c.e', dim)}, c.vec_id
+             ) AS rn
+      FROM v, centers c
+    )
+    SELECT a.vec_id, a.center_id,
+           ROUND(a.d, 6) AS dist_sq,
+           a.vec_id = a.center_id AS is_center
+    FROM assign a WHERE rn = 1
+    """

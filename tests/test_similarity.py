@@ -306,3 +306,57 @@ def test_containment_catches_excerpt_jaccard_misses(spark, tmp_path):
         for r in analytics._jaccard_pairs_uncached(spark, sf_dir).collect()
     }
     assert (1, 2) not in jac_pairs  # not derivable from the jaccard entry
+
+
+def test_kcenter_select_greedy_picks_and_bounded_state(spark):
+    """Greedy farthest-point selection on a constructed corpus: the pick
+    order is the exact Gonzalez sequence (seed = min id, then argmax of
+    min-distance with min-id tie-break), verified against a Python
+    replay; centers come back as plain floats (bounded driver state)."""
+    import itertools
+
+    from extract_permits_spark.functions.similarity import kcenter_select
+
+    # 1-D embeddings make the greedy order hand-checkable
+    pts = {0: 0.0, 1: 10.0, 2: 5.0, 3: 5.0, 4: 100.0, 5: 99.0}
+    rows = [(i, [v, 0.0]) for i, v in pts.items()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sel, centers = kcenter_select(df, k=4)
+    # replay: seed 0 -> farthest 4 (100) -> then 1 (d=min(100,8100)... )
+    chosen = [0]
+    dmin = {i: float("inf") for i in pts}
+    for _ in range(3):
+        for i in pts:
+            d = (pts[i] - pts[chosen[-1]]) ** 2
+            dmin[i] = min(dmin[i], d)
+        nxt = max(
+            (i for i in pts if i not in chosen),
+            key=lambda i: (dmin[i], -i),
+        )
+        chosen.append(nxt)
+    assert [cid for _, cid in sel] == chosen
+    assert all(len(c) == 2 and isinstance(c[0], float) for c in centers)
+    # tie-break pin: ids 2 and 3 are identical points — if one is ever
+    # picked it must be 2 (min id). With k=4 the sequence is 0,4,1,2|5...
+    if 3 in chosen:
+        assert 2 in chosen and chosen.index(2) < chosen.index(3)
+
+
+def test_kcenter_assignment_plan_is_narrow(spark):
+    """emb_kcenter_coreset's assignment stage is a single codegen'd
+    projection over broadcast center literals — no join, no Exchange
+    after the (cached) selection loop."""
+    from extract_permits_spark.plans import analytics as A
+
+    df = A.queries()["emb_kcenter_coreset"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    rows = df.collect()
+    centers = [r for r in rows if r["is_center"]]
+    assert len(centers) == 8
+    # every center assigns to itself at distance 0
+    assert all(r["center_id"] == r["vec_id"] and r["dist_sq"] == 0.0 for r in centers)
+    # every vector is assigned to some selected center
+    cids = {r["vec_id"] for r in centers}
+    assert all(r["center_id"] in cids for r in rows)

