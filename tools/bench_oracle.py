@@ -67,10 +67,13 @@ def main() -> None:
     # emb_ivfpq_topk: the Spark side amortizes the k-means + PQ fits
     # through its index caches (the production contract) while the oracle
     # replays both fits per query — asymmetric as a timed pair.
+    # mm_image_phash: same codec-vs-closed-form asymmetry as
+    # mm_image_stats (the Spark side inflates/unfilters real PNGs).
     skip_timing = {
         "dedup_minhash_lsh",
         "dedup_simhash",
         "mm_image_stats",
+        "mm_image_phash",
         "emb_ivfpq_topk",
         "emb_ivfpq_batch_topk",
     }
