@@ -52,6 +52,8 @@ _CHECK_FIRST = [
     # --- changed/new this round ---
     "mm_image_phash",
     "emb_kcenter_coreset",
+    "graph_lpa_communities",
+    "diag_skew_report",
     "docs_bigram_xent",
     "rag_colbert_maxsim",
     "dedup_containment",
@@ -99,9 +101,7 @@ _CHECK_FIRST = [
     "mm_image_stats",
     "mm_audio_stats",
     "mm_frame_sample",
-    "ann_matryoshka_topk",
     "ann_matryoshka_rerank",
-    "ann_matryoshka_recall",
 ]
 
 # r13 NOTE: the window above is carried over VERBATIM from r12 — round 12
@@ -117,10 +117,12 @@ _CHECK_FIRST = [
 # and docs_bigram_xent + rag_colbert_maxsim (NEW) at head, displacing
 # docs_span_mask and docs_corpus_report to the r14 queue; the second
 # restart session adds mm_image_phash + emb_kcenter_coreset (NEW) at
-# head, displacing ann_matryoshka_mrr and docs_span_dup_rate).
+# head, displacing ann_matryoshka_mrr and docs_span_dup_rate, then
+# graph_lpa_communities + diag_skew_report (NEW), displacing
+# ann_matryoshka_topk and ann_matryoshka_recall).
 # The deferred rotation for r14+: llm_corpus_curation,
 # docs_span_mask, docs_corpus_report, ann_matryoshka_mrr,
-# docs_span_dup_rate, plus
+# docs_span_dup_rate, ann_matryoshka_topk, ann_matryoshka_recall, plus
 # those three displaced entries plus the 18 r8-cohort
 # entries displaced from this window
 # (stream_corpus_ingest, q21_waiting_supplier, q18_large_volume,

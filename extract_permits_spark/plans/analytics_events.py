@@ -313,6 +313,81 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("doc_id"), F.col("rank").alias("rank_fp"))
 
 
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle_sql() -> str:
+    """Unrolled synchronous label propagation: R fixed rounds as chained
+    CTEs over the shared near-dup edge list (same _PR_EDGES_SQL CTEs as
+    pagerank). Integer counts + min-label tie-break make every round
+    deterministic and engine-independent — no floats anywhere."""
+    cte = [f"WITH {_PR_EDGES_SQL},"]
+    cte.append("l0 AS (SELECT node, node AS lbl FROM deg)")
+    for r in range(1, _LPA_ROUNDS + 1):
+        cte.append(
+            f""",
+    c{r} AS (
+      SELECT e.dst AS node, l.lbl, count(*) AS c
+      FROM edges e JOIN l{r - 1} l ON e.src = l.node
+      GROUP BY e.dst, l.lbl
+    ),
+    l{r} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        FROM c{r}
+      ) WHERE rn = 1
+    )"""
+        )
+    cte.append(
+        f"""
+    SELECT node AS doc_id, lbl AS community FROM l{_LPA_ROUNDS}"""
+    )
+    return "".join(cte)
+
+
+@register("graph_lpa_communities", _lpa_oracle_sql())
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007, arXiv:0709.2938) over the near-dup graph — where connected
+    components answers "which docs are transitively linked at all", LPA
+    splits dense components into internally-dense communities (the
+    boilerplate families inside a big crawl blob).
+
+    Fully deterministic variant: every node starts as its own label; each
+    of the 4 synchronous rounds re-labels a node with the most frequent
+    label among its neighbors, ties broken by MIN label — realized as one
+    equi-join labels→edges on src, one (dst, lbl) count, and one
+    max(struct(count, -label)) hash aggregate per round. No rank window,
+    no sort, no floats; the oracle unrolls the identical rounds. Reuses
+    the memoized pair scan like pagerank, so lineage stays flat.
+
+    At 100 TB: the Pregel-as-joins shape again — both per-round shuffles
+    hash-partition on the node key and combine map-side; rounds are fixed
+    (bounded plan depth), state is the label frame (one long per node)."""
+    pairs = _jaccard_pairs_cached(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    nodes = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).select("node").localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = cnt.groupBy("node").agg(
+            F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m")
+        )
+        labels = best.select("node", (-F.col("m.nl")).alias("lbl"))
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("community")
+    )
+
+
 @register(
     "stream_stream_join",
     """
@@ -2136,3 +2211,69 @@ _HASH_EMBED_SQL_BODY = """
 """
 
 _RAG_QUERY_TEXT = "spark table join fast query vector"
+
+
+@register(
+    "diag_skew_report",
+    """
+    WITH c AS (
+      SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1
+    ),
+    st AS (
+      SELECT count(*) AS n_keys, sum(n) AS total,
+             avg(n) AS mean_n, quantile_cont(n, 0.99) AS p99, max(n) AS mx
+      FROM c
+    ),
+    t AS (
+      SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rnk
+      FROM c ORDER BY n DESC, key LIMIT 10
+    )
+    SELECT t.rnk, t.key, t.n AS n_rows,
+           round(CAST(t.n AS DOUBLE) / st.total, 6) AS share,
+           st.n_keys,
+           round(st.mean_n, 6) AS mean_rows,
+           round(st.p99, 6) AS p99_rows,
+           round(st.mx / st.mean_n, 6) AS max_over_mean
+    FROM t, st
+    """,
+)
+def diag_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — the profiling pass a 100 TB operator runs
+    BEFORE picking a join strategy (salt? AQE skew hints? broadcast?):
+    per-key row counts for a candidate shuffle key (l_suppkey here), the
+    top-10 heavy hitters with their corpus share, and the distribution
+    stats (mean, exact p99, max/mean skew factor) that decide the
+    remedy. Everything derives from the one per-key count aggregate —
+    map-side combined, key-cardinality-sized thereafter; the global
+    stats row joins back on a constant key as a broadcast hash join
+    (never a nested-loop product), and the only window runs over the
+    already-limited 10-row head."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    st = c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total"),
+        F.avg("n").alias("mean_n"),
+        F.expr("percentile(n, 0.99)").alias("p99"),
+        F.max("n").alias("mx"),
+    ).withColumn("_k", F.lit(1))
+    top = c.orderBy(F.desc("n"), "key").limit(10)
+    w = Window.orderBy(F.desc("n"), "key")
+    top = top.withColumn("rnk", F.row_number().over(w).cast("long")).withColumn(
+        "_k", F.lit(1)
+    )
+    return (
+        top.join(F.broadcast(st), "_k")
+        .select(
+            "rnk",
+            "key",
+            F.col("n").alias("n_rows"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+            "n_keys",
+            F.round("mean_n", 6).alias("mean_rows"),
+            F.round("p99", 6).alias("p99_rows"),
+            F.round(F.col("mx") / F.col("mean_n"), 6).alias("max_over_mean"),
+        )
+    )

@@ -101,3 +101,55 @@ def test_collapsed_edges_components_equal_full_pair_graph(spark, tmp_path):
     # and the collapse actually collapses: far fewer edges than the
     # full graph (every twin pair materializes there)
     assert coll3.count() < full3.count()
+
+
+def test_lpa_communities_splits_bridged_cliques(spark):
+    """Two 4-cliques joined by a single bridge edge: components says one
+    blob, LPA's 4 synchronous min-tie-break rounds must keep two
+    communities (each clique converges to its min member's label).
+    Verified against a Python replay of the exact update rule."""
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.plans.analytics_events import _LPA_ROUNDS
+
+    cl1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    bridge = [(3, 10)]
+    pairs = spark.createDataFrame(cl1 + cl2 + bridge, "id_a long, id_b long")
+
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = cnt.groupBy("node").agg(
+            F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m")
+        )
+        labels = best.select("node", (-F.col("m.nl")).alias("lbl"))
+    got = {r["node"]: r["lbl"] for r in labels.collect()}
+
+    # python replay of the same synchronous rule
+    adj: dict[int, list[int]] = {}
+    for a, b in cl1 + cl2 + bridge:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {v: v for v in adj}
+    for _ in range(_LPA_ROUNDS):
+        new = {}
+        for v, ns in adj.items():
+            freq: dict[int, int] = {}
+            for u in ns:
+                freq[lab[u]] = freq.get(lab[u], 0) + 1
+            new[v] = max(freq.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        lab = new
+    assert got == lab
+    # and the two cliques keep distinct communities
+    assert {got[v] for v in range(4)} != {got[v] for v in range(10, 14)}
