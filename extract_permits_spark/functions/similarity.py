@@ -1641,3 +1641,90 @@ def kcenter_select(
         sel.append((i, int(-m["nid"])))
         centers.append([float(x) for x in m["e"]])
     return sel, centers
+
+
+def pca_power_fit(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 8,
+    scale: int = 10**6,
+) -> tuple[list[float], float, int]:
+    """First principal component by power iteration over the EXACT
+    integer scatter matrix — the cross-engine-deterministic way to
+    oracle an iterative float algorithm (same recipe as kmeans_fit:
+    exact integer corpus aggregates, then a bounded driver-side float
+    recurrence with floor-half-up rounding each round).
+
+    1. Quantize each coordinate to round(x·10⁶) (one narrow map — the
+       float32→double product is exact, the round is HALF_UP on both
+       engines).
+    2. One corpus pass computes Σq_i (d values) and Σq_i·q_j (d² values)
+       as exact integer sums — associative, so map-side combine and any
+       merge order give bit-identical results. The shuffle carries d²
+       keys (4096 at d=64), not rows: this is the Gram-matrix shape
+       that scales to any corpus size.
+    3. Driver builds the scatter matrix M = n·Σqq − Σq·Σqᵀ in exact
+       Python ints (n·cov, positive-semidefinite, scale-free for the
+       iteration), converts to doubles, and runs ``iters`` power steps:
+       w = M·v as left-to-right folds, v ← floor-half-up(w/‖w‖, 9 dp).
+       Driver state is d² doubles — bounded, never the corpus.
+    4. Sign convention: flip so v[0] ≥ 0.
+
+    Returns (v, proj_const, n) where proj_const = Σ μ_i·v_i is the
+    centering offset so a projection pass is the narrow codegen'd
+    ``dot(e, v) − proj_const``. The DuckDB twin (plans/ann_sql.py:
+    pca_power_sql) replays every step with the identical operation
+    order, so all doubles match bit-for-bit.
+    """
+    import math
+
+    e = F.col(vec_col).cast("array<double>")
+    q = F.transform(e, lambda x: F.round(x * scale).cast("long"))
+    base = vectors.select(q.alias("q"))
+    e1 = base.select(F.posexplode("q").alias("i", "qi"), F.col("q"))
+    sq_rows = (
+        e1.groupBy("i")
+        .agg(
+            F.sum(F.col("qi").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()  # d rows — bounded driver state
+    )
+    sqq_rows = (
+        e1.select("i", "qi", F.posexplode("q").alias("j", "qj"))
+        .groupBy("i", "j")
+        .agg(F.sum((F.col("qi") * F.col("qj")).cast("decimal(38,0)")).alias("s"))
+        .collect()  # d² rows — bounded driver state
+    )
+    dim = len(sq_rows)
+    n = int(sq_rows[0]["cnt"])
+    sq = [0] * dim
+    for r in sq_rows:
+        sq[int(r["i"])] = int(r["s"])
+    mint = [[0] * dim for _ in range(dim)]
+    for r in sqq_rows:
+        i, j = int(r["i"]), int(r["j"])
+        mint[i][j] = n * int(r["s"]) - sq[i] * sq[j]
+    md = [[float(x) for x in row] for row in mint]
+    v = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(iters):
+        w = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc = acc + md[i][j] * v[j]
+            w.append(acc)
+        nacc = 0.0
+        for x in w:
+            nacc = nacc + x * x
+        norm = math.sqrt(nacc)
+        if norm == 0.0:
+            raise ValueError("power iteration collapsed: M @ v is zero")
+        v = [_py_round_half_up(x / norm, 9) for x in w]
+    if v[0] < 0:
+        v = [-x for x in v]
+    const = 0.0
+    for i in range(dim):
+        const = const + (float(sq[i]) / (n * scale)) * v[i]
+    return v, const, n

@@ -59,6 +59,20 @@ _COMPONENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
 _JACCARD_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
 _IVF_CENTROID_CACHE: dict[tuple[int, str], list[list[float]]] = {}
 _KCENTER_CACHE: dict[tuple[int, str], tuple] = {}
+_PCA_CACHE: dict[tuple[int, str], tuple] = {}
+
+
+def _pca_cached(
+    spark: SparkSession, emb: DataFrame, sf_dir: str
+) -> tuple:
+    """Memoized power-iteration PCA fit (same rationale as the IVF and
+    k-center caches). Cached value is (v, proj_const, n) — d floats +
+    two scalars, bounded."""
+    key = (id(spark), sf_dir)
+    if key not in _PCA_CACHE:
+        _PCA_CACHE[key] = simfn.pca_power_fit(emb, "vec_id", "embedding")
+    return _PCA_CACHE[key]
+
 
 
 def _kcenter_cached(

@@ -54,6 +54,7 @@ _CHECK_FIRST = [
     "emb_kcenter_coreset",
     "graph_lpa_communities",
     "diag_skew_report",
+    "emb_pca_project",
     "docs_bigram_xent",
     "rag_colbert_maxsim",
     "dedup_containment",
@@ -101,7 +102,6 @@ _CHECK_FIRST = [
     "mm_image_stats",
     "mm_audio_stats",
     "mm_frame_sample",
-    "ann_matryoshka_rerank",
 ]
 
 # r13 NOTE: the window above is carried over VERBATIM from r12 — round 12
@@ -119,10 +119,12 @@ _CHECK_FIRST = [
 # restart session adds mm_image_phash + emb_kcenter_coreset (NEW) at
 # head, displacing ann_matryoshka_mrr and docs_span_dup_rate, then
 # graph_lpa_communities + diag_skew_report (NEW), displacing
-# ann_matryoshka_topk and ann_matryoshka_recall).
+# ann_matryoshka_topk and ann_matryoshka_recall, then emb_pca_project
+# (NEW), displacing ann_matryoshka_rerank).
 # The deferred rotation for r14+: llm_corpus_curation,
 # docs_span_mask, docs_corpus_report, ann_matryoshka_mrr,
-# docs_span_dup_rate, ann_matryoshka_topk, ann_matryoshka_recall, plus
+# docs_span_dup_rate, ann_matryoshka_topk, ann_matryoshka_recall,
+# ann_matryoshka_rerank, plus
 # those three displaced entries plus the 18 r8-cohort
 # entries displaced from this window
 # (stream_corpus_ingest, q21_waiting_supplier, q18_large_volume,

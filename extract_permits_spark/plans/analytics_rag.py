@@ -2619,3 +2619,33 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(best["d"], 6).alias("dist_sq"),
         F.col("vec_id").isin(*center_ids).alias("is_center"),
     )
+
+
+@register("emb_pca_project", _ann_sql.pca_power_sql(dim=64, iters=8))
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principal-component projection by power iteration — the
+    dimensionality-reduction / drift-axis primitive (corpus visualization,
+    embedding-space health checks, whitening's first step).
+
+    The fit (similarity.pca_power_fit) is ONE corpus pass producing exact
+    integer sums Σq and Σq·qᵀ — a d²-key map-side-combined aggregate, the
+    Gram-matrix shape that is corpus-size-independent after the combine —
+    then a bounded driver recurrence (d² doubles, 8 power steps, 9-dp
+    floor-half-up rounding each step, the kmeans-oracle recipe). The
+    projection is this narrow codegen'd pass: dot(e, v) − centering
+    constant, no shuffle, no UDF. The DuckDB twin unrolls the identical
+    quantize → HUGEINT sums → scatter matrix → power steps → projection
+    chain, so the pc1 scores hash-match exactly — an honest oracle for an
+    iterative float algorithm."""
+    from extract_permits_spark.plans._registry import _pca_cached
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v, const, _n = _pca_cached(spark, emb, sf_dir)
+    e = F.col("embedding").cast("array<double>")
+    varr = F.array(*[F.lit(float(x)) for x in v])
+    dot = F.aggregate(
+        F.zip_with(e, varr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return emb.select(
+        "vec_id", F.round(dot - F.lit(float(const)), 6).alias("pc1")
+    )

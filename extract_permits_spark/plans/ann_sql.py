@@ -960,3 +960,73 @@ def kcenter_sql(dim: int = 64, k: int = 8) -> str:
            a.vec_id = a.center_id AS is_center
     FROM assign a WHERE rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration PCA (twin of similarity.pca_power_fit)
+# ---------------------------------------------------------------------------
+
+
+def pca_power_sql(dim: int = 64, iters: int = 8, scale: int = 10**6) -> str:
+    """Unrolled power iteration over the exact integer scatter matrix —
+    the oracle twin of emb_pca_project. Every float op replays the Spark
+    side's order exactly: quantize (round half-away), HUGEINT sums
+    (exact, associative), M = n·Σqq − Σq·Σqᵀ cast to DOUBLE, then
+    ``iters`` rounds of left-to-right fold M·v, floor-half-up 9-dp
+    normalize — the kmeans-oracle recipe applied to an eigenvector
+    recurrence. Sign convention and the centering constant replay too,
+    so the projected pc1 scores hash-match bit-for-bit."""
+    d1 = dim + 1
+    gs = f"generate_series(1, {dim})"
+    parts = [
+        _v_cte(dim),
+        f"q AS (SELECT vec_id, list_transform(e, x -> "
+        f"CAST(round(x * {scale}.0) AS BIGINT)) AS ql FROM v)",
+        "nn AS (SELECT COUNT(*) AS n FROM q)",
+        f"sq AS (SELECT i.i, SUM(CAST(ql[i.i] AS HUGEINT)) AS s "
+        f"FROM q, {gs} AS i(i) GROUP BY i.i)",
+        f"sqq AS (SELECT i.i, j.j, SUM(CAST(ql[i.i] * ql[j.j] AS HUGEINT)) AS s "
+        f"FROM q, {gs} AS i(i), {gs} AS j(j) GROUP BY i.i, j.j)",
+        "m AS (SELECT qq.i, qq.j, "
+        "CAST(nn.n * qq.s - s1.s * s2.s AS DOUBLE) AS md "
+        "FROM sqq qq JOIN sq s1 ON qq.i = s1.i JOIN sq s2 ON qq.j = s2.i "
+        "CROSS JOIN nn)",
+        "mrow AS MATERIALIZED (SELECT i, list(md ORDER BY j) AS mr "
+        "FROM m GROUP BY i)",
+        f"v0 AS (SELECT list_transform(range(1, {d1}), x -> "
+        f"1.0 / sqrt({dim}.0)) AS vv)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT i, "
+            f"list_sum(list_transform(range(1, {d1}), j -> mr[j] * vv[j])) AS wv "
+            f"FROM mrow, v{t - 1})"
+        )
+        parts.append(
+            f"wl{t} AS (SELECT list(wv ORDER BY i) AS wl FROM w{t})"
+        )
+        parts.append(
+            f"v{t} AS MATERIALIZED (SELECT list_transform(wl, x -> "
+            f"floor(x / sqrt(list_sum(list_transform(wl, y -> y * y))) "
+            f"* 1000000000.0 + 0.5) / 1000000000.0) AS vv FROM wl{t})"
+        )
+    parts.append(
+        f"vf AS (SELECT CASE WHEN vv[1] < 0 THEN "
+        f"list_transform(vv, x -> -x) ELSE vv END AS vv FROM v{iters})"
+    )
+    parts.append(
+        "sqrow AS (SELECT list(CAST(s AS DOUBLE) ORDER BY i) AS sa FROM sq)"
+    )
+    parts.append(
+        f"cst AS (SELECT list_sum(list_transform(range(1, {d1}), i -> "
+        f"sa[i] / (nn.n * {scale}.0) * vv[i])) AS c "
+        f"FROM sqrow, vf, nn)"
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT v.vec_id,
+           round(list_sum(list_transform(range(1, {d1}), i -> e[i] * vv[i]))
+                 - cst.c, 6) AS pc1
+    FROM v, vf, cst
+    """

@@ -360,3 +360,24 @@ def test_kcenter_assignment_plan_is_narrow(spark):
     # every vector is assigned to some selected center
     cids = {r["vec_id"] for r in centers}
     assert all(r["center_id"] in cids for r in rows)
+
+
+def test_pca_power_fit_recovers_dominant_axis(spark):
+    """Constructed corpus with variance overwhelmingly along dimension 2:
+    the fitted component must point there (|v[2]| ~ 1, others small),
+    with the sign convention v[0] >= 0 applied, and projections must
+    separate the two clusters."""
+    from extract_permits_spark.functions.similarity import pca_power_fit
+
+    rows = []
+    for i in range(40):
+        spread = 10.0 if i % 2 == 0 else -10.0
+        rows.append((i, [0.01 * (i % 3), 0.02, spread + 0.001 * i, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v, const, n = pca_power_fit(df, iters=8)
+    assert n == 40 and len(v) == 4
+    assert abs(v[2]) > 0.999
+    assert v[0] >= 0
+    # determinism: a second fit returns the identical floats
+    v2, const2, _ = pca_power_fit(df, iters=8)
+    assert v2 == v and const2 == const
