@@ -1439,6 +1439,110 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_link_prediction",
+    """
+    WITH pr AS (
+      SELECT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e0 AS (
+      SELECT pa AS id_a, pb AS id_b FROM pr
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM e0
+      UNION ALL SELECT id_b, id_a FROM e0
+    ),
+    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+    wedge AS (
+      SELECT e1.dst AS a, e2.dst AS b
+      FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    ),
+    common AS (SELECT a, b, count(*) AS c FROM wedge GROUP BY a, b),
+    cand AS (
+      SELECT a, b, c FROM common
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e0 WHERE e0.id_a = common.a AND e0.id_b = common.b
+      )
+    )
+    SELECT cand.a AS id_a, cand.b AS id_b,
+           CAST(cand.c AS BIGINT) AS n_common,
+           round(CAST(cand.c AS DOUBLE) / (da.deg + db.deg - cand.c), 6)
+             AS jaccard
+    FROM cand
+    JOIN deg da ON da.node = cand.a
+    JOIN deg db ON db.node = cand.b
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 25
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-Jaccard link prediction (Liben-Nowell & Kleinberg 2003)
+    over the co-purchase graph — parts are linked when co-ordered in ≥ 2
+    orders; score every NON-edge sharing a common neighbor by
+    |N(a)∩N(b)| / |N(a)∪N(b)|. (The near-dup graph is useless here: its
+    Jaccard-threshold components are transitively closed cliques with no
+    open wedges — co-occurrence graphs are where link prediction lives.)
+
+    Shape: one self-join on the order key (pair generation, map-side
+    combinable count), one wedge self-join on the shared-neighbor key
+    (same class as graph_triangles — orient by degree at real scale to
+    bound wedge fan-out), an anti-join against the edge list, and a
+    double division of exact integers. Top-25 by (score, id_a, id_b) —
+    deterministic; the oracle replays the identical construction."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e0 = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("id_a"), F.col("pb").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("id_a", "id_b")
+    )
+    edges = e0.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(e0.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e1 = edges.select(F.col("src").alias("u"), F.col("dst").alias("a"))
+    e2 = edges.select(F.col("src").alias("u"), F.col("dst").alias("b"))
+    common = (
+        e1.join(e2, "u")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cand = common.join(
+        e0,
+        (common.a == e0.id_a) & (common.b == e0.id_b),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("id_a"),
+            F.col("b").alias("id_b"),
+            F.col("c").cast("long").alias("n_common"),
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("dega") + F.col("degb") - F.col("c")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(25)
+    )
+
+
+@register(
     "j7b_asof_forward",
     """
     SELECT p.event_id AS purchase_id, p.user_id,
