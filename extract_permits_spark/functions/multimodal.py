@@ -653,3 +653,98 @@ def phash_pairs(
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup — the WAV twin of the phash rail: decode ->
+# 65-frame energy profile -> 64-bit difference fingerprint -> the SAME
+# banded Hamming join (phash_pairs works on any (media_id, hi, lo)).
+# Exact integer energies, closed-form oracle.
+# ---------------------------------------------------------------------------
+
+
+def _audiofp_base(media_id: int) -> int:
+    """Twin indirection, same convention as _phash_base: every
+    ``media_id % 4 == 1`` clip is a +40-on-sparse-lattice perturbation of
+    ``media_id - 1`` (twin fingerprints measured ≤ 1 Hamming bit over the
+    full codec chain; unrelated clips ~31)."""
+    return media_id - 1 if media_id % 4 == 1 else media_id
+
+
+def _audiofp_n(media_id: int) -> int:
+    b = _audiofp_base(media_id)
+    return 960 + (b % 5) * 320
+
+
+def _audiofp_samples(media_id: int) -> bytes:
+    """Mono int16 PCM, sample i = ((b² mod 1009)·13 + (7 + b%13)·31·i +
+    (3 + b%5)·(i² mod 97)) mod 65536 − 32768 — offset, slope, and a
+    nonlinear term all vary with the base id so unrelated clips'
+    fingerprints are far apart; twins add +40 where i % 17 == 0.
+    Closed-form — the oracle recomputes it in SQL."""
+    import numpy as np
+
+    b = _audiofp_base(media_id)
+    n = _audiofp_n(media_id)
+    i = np.arange(n, dtype=np.int64)
+    x = (b * b % 1009) * 13 + (7 + b % 13) * i * 31 + (3 + b % 5) * ((i * i) % 97)
+    if media_id % 4 == 1:
+        x = x + 40 * ((i % 17 == 0).astype(np.int64))
+    return (x % 65536 - 32768).astype("<i2").tobytes()
+
+
+def synthetic_audiofp_media(docs: DataFrame) -> DataFrame:
+    """One real mono PCM WAV per document for the fingerprint rail."""
+    from extract_permits_spark.functions.wav_codec import encode_wav
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            ids = b["media_id"].astype("int64")
+            payloads = [
+                encode_wav(8000, 1, _audiofp_samples(int(m))) for m in ids
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    flat = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select(F.col("doc_id").alias("media_id")).mapInPandas(run, flat)
+
+
+def audiofp64(media: DataFrame) -> DataFrame:
+    """Decode each WAV payload and emit a 64-bit energy-difference
+    fingerprint as (media_id, hi, lo): samples map to 65 frames by
+    f = (i·65)//n, frame energy = exact Σ|sample| (integer), bit k =
+    E[k+1] > E[k]. All integer arithmetic — bit-identical across
+    engines. Narrow Arrow-batched mapInPandas, like phash64."""
+    from extract_permits_spark.functions.wav_codec import decode_wav
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        import numpy as np
+
+        for b in batches:
+            rows = []
+            for m, payload in zip(b["media_id"], b["payload"]):
+                _rate, ch, n_frames, pcm = decode_wav(bytes(payload))
+                s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                n = n_frames * ch
+                f = (np.arange(n, dtype=np.int64) * 65) // n
+                en = np.bincount(
+                    f, weights=np.abs(s), minlength=65
+                ).astype(np.int64)
+                bits = en[1:] > en[:-1]
+                word = 0
+                for k in range(64):
+                    if bits[k]:
+                        word |= 1 << k
+                rows.append((int(m), word >> 32, word & 0xFFFFFFFF))
+            yield pd.DataFrame(rows, columns=["media_id", "hi", "lo"])
+
+    return media.select("media_id", "payload").mapInPandas(run, PHASH_SCHEMA)

