@@ -593,6 +593,29 @@ def phash64(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, PHASH_SCHEMA)
 
 
+def hamming_band_rows(hashes: DataFrame) -> DataFrame:
+    """Explode 64-bit (hi, lo) hashes into 8 (t, v) 8-bit band rows with
+    the hash carried — the LSH decomposition shared by the batch pair
+    join (phash_pairs) and the streaming ingest probe (stream image
+    dedup): Hamming ≤ 7 over 64 bits forces ≥ 1 exact band match."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.shiftright(F.col("lo") if t < 4 else F.col("hi"), 8 * (t % 4))
+                .bitwiseAND(F.lit(255))
+                .alias("v"),
+            )
+            for t in range(8)
+        ]
+    )
+    return hashes.select(
+        "media_id", "hi", "lo", F.explode(bands).alias("band")
+    ).select(
+        "media_id", "hi", "lo", F.col("band.t").alias("t"), F.col("band.v").alias("v")
+    )
+
+
 def phash_pairs(
     hashes: DataFrame,
     max_hamming: int = 7,
@@ -609,20 +632,7 @@ def phash_pairs(
     shared by more than that many images is degenerate content; every
     fixture bucket is far smaller, so the oracle's pairwise replay is
     identical there."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                F.shiftright(F.col("lo") if t < 4 else F.col("hi"), 8 * (t % 4))
-                .bitwiseAND(F.lit(255))
-                .alias("v"),
-            )
-            for t in range(8)
-        ]
-    )
-    exploded = hashes.select(
-        "media_id", "hi", "lo", F.explode(bands).alias("band")
-    ).select("media_id", "hi", "lo", F.col("band.t").alias("t"), F.col("band.v").alias("v"))
+    exploded = hamming_band_rows(hashes)
     counts = exploded.groupBy("t", "v").agg(F.count(F.lit(1)).alias("_n"))
     capped = exploded.join(
         counts.where(F.col("_n") <= max_bucket_size), ["t", "v"]

@@ -2497,10 +2497,11 @@ def rag_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "mm_image_phash",
-    """
-    WITH p AS (
+# Shared closed-form dHash replay (pixel formula -> 9x8 grid -> 64-bit
+# hash as hi/lo) — the single source of truth for BOTH phash oracles
+# (batch pair join + streaming ingest probe). Mirrors
+# functions/multimodal.py:_phash_pixels/dhash64 — change all together.
+_PHASH_HASH_CTES = """p AS (
       SELECT doc_id AS media_id,
              CASE WHEN doc_id % 4 = 1 THEN doc_id - 1 ELSE doc_id END AS b,
              doc_id % 4 = 1 AS twin
@@ -2547,7 +2548,13 @@ def rag_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
                            ELSE 0 END) AS BIGINT) AS lo
       FROM bits GROUP BY media_id
-    )
+    )"""
+
+
+@register(
+    "mm_image_phash",
+    f"""
+    WITH {_PHASH_HASH_CTES}
     SELECT a.media_id AS id_a, bb.media_id AS id_b,
            CAST(bit_count(xor(a.hi, bb.hi))
                 + bit_count(xor(a.lo, bb.lo)) AS BIGINT) AS hamming
@@ -2713,3 +2720,75 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mmfn.synthetic_audiofp_media(d)
     hashes = mmfn.audiofp64(media)
     return mmfn.phash_pairs(hashes, max_hamming=7)
+
+
+@register(
+    "stream_phash_ingest",
+    f"""
+    WITH {_PHASH_HASH_CTES},
+    hits AS (
+      SELECT n.media_id
+      FROM h n JOIN h s
+        ON n.media_id % 2 = 1 AND s.media_id % 2 = 0
+       AND bit_count(xor(n.hi, s.hi)) + bit_count(xor(n.lo, s.lo)) <= 7
+      GROUP BY n.media_id
+    )
+    SELECT d.doc_id AS media_id,
+           (hits.media_id IS NOT NULL) AS is_neardup
+    FROM documents d LEFT JOIN hits ON hits.media_id = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    """,
+)
+def stream_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static image near-dup on ingest: odd-id images arrive as
+    (media_id, payload) parquet through a file stream in multiple
+    micro-batches; each payload is decoded + dHashed inside foreachBatch
+    and flagged iff some even-id STATIC image lies within Hamming radius
+    7 (band-join candidates, exact verify — streaming/phash_ingest.py).
+    The odd side contains every perturbed twin (media_id % 4 == 1), whose
+    base (% 4 == 0) sits in the static corpus, plus the % 4 == 3 images
+    with no twin — so the output mixes true and false.
+
+    The oracle replays BOTH sides' full decode-equivalent hash pipeline
+    closed-form and the cross pairwise condition in one batch query —
+    proving the per-micro-batch incremental decision equals the
+    full-corpus batch conclusion (stream ≡ batch), on binary payloads.
+    Same idempotent-sink contract as the text-side ingest rails."""
+    import os
+    import shutil
+    import tempfile
+
+    from extract_permits_spark.streaming.phash_ingest import (
+        run_phash_ingest_available_now,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    media = mmfn.synthetic_phash_media(d)
+    static_media = media.where(F.col("media_id") % 2 == 0)
+    new_media = media.where(F.col("media_id") % 2 == 1)
+
+    work = tempfile.mkdtemp(prefix="stream_phash_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    for part, cond in (("f0", 0), ("f1", 1)):
+        sub = os.path.join(src, part)
+        new_media.where(
+            ((F.col("media_id") - 1) / 2).cast("long") % 2 == cond
+        ).coalesce(1).write.parquet(sub)
+        for fn in os.listdir(sub):
+            if fn.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(sub, fn), os.path.join(src, f"{part}.parquet")
+                )
+        shutil.rmtree(sub, ignore_errors=True)
+
+    out = os.path.join(work, "out")
+    q, static_bands = run_phash_ingest_available_now(
+        spark, src, static_media, os.path.join(work, "ckpt"), out_path=out
+    )
+    q.awaitTermination(300)
+    static_bands.unpersist()
+    # project off the idempotency partition key — the oracle is the batch
+    # contract, which has no notion of micro-batches
+    return spark.read.parquet(out).select("media_id", "is_neardup")

@@ -803,3 +803,42 @@ def test_cdc_apply_swap_crash_windows_recover(spark, tmp_path):
     apply_cdc_batch(spark, b1, 1, str(b))
     assert snap(b) == want
     assert not any(p.name.startswith(("_old_", "_scratch_")) for p in b.iterdir())
+
+
+def test_phash_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """apply_phash_batch replayed with the same batch_id must replace its
+    own partition, not append — the at-least-once contract every ingest
+    sink in this engine pins."""
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.functions.multimodal import (
+        hamming_band_rows,
+        phash64,
+        synthetic_phash_media,
+    )
+    from extract_permits_spark.sources.readers import load_table
+    from extract_permits_spark.streaming.phash_ingest import apply_phash_batch
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").where(
+        F.col("doc_id") < 30
+    )
+    media = synthetic_phash_media(docs)
+    static_bands = hamming_band_rows(
+        phash64(media.where(F.col("media_id") % 2 == 0))
+    ).persist()
+    batch = media.where(F.col("media_id") % 2 == 1)
+    out = str(tmp_path / "out")
+    apply_phash_batch(batch, 3, static_bands, out)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    )
+    apply_phash_batch(batch, 3, static_bands, out)  # replay
+    second = sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    )
+    static_bands.unpersist()
+    assert first == second
+    # twins (media_id % 4 == 1) must be flagged: base is in the static set
+    flagged = {r["media_id"] for r in spark.read.parquet(out).collect()
+               if r["is_neardup"]}
+    assert {m for m in range(30) if m % 4 == 1} <= flagged
