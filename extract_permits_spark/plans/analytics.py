@@ -58,6 +58,7 @@ _CHECK_FIRST = [
     "graph_link_prediction",
     "mm_audio_fingerprint",
     "stream_phash_ingest",
+    "dedup_minhash_recall",
     "docs_bigram_xent",
     "rag_colbert_maxsim",
     "dedup_containment",
@@ -101,7 +102,6 @@ _CHECK_FIRST = [
     "docs_unigram_xent",
     "docs_quality_score",
     "ann_batch_topk",
-    "x8_schema_evolution_union",
 ]
 
 # r13 NOTE: the window above is carried over VERBATIM from r12 — round 12
@@ -123,12 +123,13 @@ _CHECK_FIRST = [
 # (NEW), displacing ann_matryoshka_rerank, then graph_link_prediction
 # (NEW), displacing mm_frame_sample, then mm_audio_fingerprint (NEW),
 # displacing mm_audio_stats, then stream_phash_ingest (NEW), displacing
-# mm_image_stats).
+# mm_image_stats, then dedup_minhash_recall (NEW), displacing
+# x8_schema_evolution_union).
 # The deferred rotation for r14+: llm_corpus_curation,
 # docs_span_mask, docs_corpus_report, ann_matryoshka_mrr,
 # docs_span_dup_rate, ann_matryoshka_topk, ann_matryoshka_recall,
 # ann_matryoshka_rerank, mm_frame_sample, mm_audio_stats,
-# mm_image_stats, plus
+# mm_image_stats, x8_schema_evolution_union, plus
 # those three displaced entries plus the 18 r8-cohort
 # entries displaced from this window
 # (stream_corpus_ingest, q21_waiting_supplier, q18_large_volume,

@@ -2025,6 +2025,77 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_recall",
+    f"""
+    WITH toks AS ({_MH_SHINGLE_SQL}),
+    sh AS (SELECT doc_id, unnest(shingles) AS sh FROM toks),
+    sigs AS (SELECT doc_id, {_MH_SIG_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_MH_BAND_ROWS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_idx, band_hash)
+      WHERE a.doc_id < b.doc_id
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS g FROM toks),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+      HAVING CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)) >= 0.2
+    ),
+    n_truth AS (SELECT COUNT(*) AS nt FROM truth),
+    n_hit AS (
+      SELECT COUNT(*) AS nh FROM truth t
+      WHERE EXISTS (
+        SELECT 1 FROM cand c WHERE c.id_a = t.id_a AND c.id_b = t.id_b
+      )
+    )
+    SELECT CAST(0.2 AS DOUBLE) AS jaccard_threshold,
+           CAST(nt AS BIGINT) AS n_truth,
+           CAST(nh AS BIGINT) AS n_detected,
+           COALESCE(CAST(nh AS DOUBLE) / nullif(nt, 0), 1.0) AS recall
+    FROM n_truth, n_hit
+    """,
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the banded MinHash candidate stage against
+    exact n-gram-Jaccard ground truth (threshold 0.2) — unlike the
+    SimHash rail, MinHash banding is probabilistic, so this is a real
+    measured number, not a guaranteed 1.0: the eval a curation run uses
+    to size bands/rows before trusting the detector at scale. Ground
+    truth comes from the shared-shingle inverted-index join (never
+    all-pairs); both the banding and the truth replay deterministically
+    (md5 hash family), so the recall scalar itself is oracle-checkable."""
+    d = load_table(spark, sf_dir, "documents")
+    bands = simfn.minhash_md5_bands(d)
+    a = bands.select(
+        "band_idx", "band_hash", F.col("doc_id").alias("id_a")
+    )
+    b = bands.select(
+        "band_idx", "band_hash", F.col("doc_id").alias("id_b")
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    truth = _jaccard_pairs_cached(spark, sf_dir).select("id_a", "id_b")
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("nt"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("nh"))
+    return n_truth.crossJoin(n_hit).select(
+        F.lit(0.2).alias("jaccard_threshold"),
+        F.col("nt").cast("long").alias("n_truth"),
+        F.col("nh").cast("long").alias("n_detected"),
+        F.coalesce(
+            F.col("nh").cast("double") / F.nullif(F.col("nt"), F.lit(0)),
+            F.lit(1.0),
+        ).alias("recall"),
+    )
+
+
+@register(
     "docs_source_overlap_matrix",
     f"""
     WITH toks AS ({_MH_SHINGLE_SQL}),
