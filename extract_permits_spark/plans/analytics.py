@@ -40,15 +40,14 @@ from extract_permits_spark.sources.readers import load_table  # noqa: F401
 # round; _CHECK_FIRST controls that window and is rotated each round so
 # every entry earns a driver row (see the r9 NOTE below the list).
 _CHECK_FIRST = [
-    # r12 window (16 changed/new + 5 stale + 29 oldest = 50): the entries
-    # whose plans changed this round (docs_quality_bins_approx is NEW —
-    # sort-free histogram binning; both semantic-decon gates gained the
-    # hot-bucket salt; text_tfidf folded its corpus count into the plan;
-    # rag_context_assembly carries its shortlist bound as an explicit
-    # limit; the four distributed_rank consumers inherit the 2^33
-    # counter-overflow guard), then the 5 r7-cohort stragglers (last
-    # witnessed CORRECTNESS_r07), then the first 36 of the 47-entry r8
-    # cohort in driver order. ~3.5-round cadence.
+    # Current window (see the rotation NOTE below the list): the round's
+    # 9 NEW entries first (phash/audio-fp multimodal dedup rails +
+    # streaming ingest, k-center coreset, power-iteration PCA, LPA
+    # communities, link prediction, skew audit, minhash recall eval),
+    # then the carried never-driver-witnessed cohort (the r12/r13
+    # changed/new entries — no driver correctness run has happened since
+    # they landed), then the r7 stragglers and the oldest r8 cohort to
+    # fill 50.
     # --- changed/new this round ---
     "mm_image_phash",
     "emb_kcenter_coreset",
