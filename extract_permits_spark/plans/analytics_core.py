@@ -2801,3 +2801,56 @@ def docs_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("_r.*")
     )
+
+
+@register(
+    "text_fertility",
+    """
+    WITH t AS (
+      SELECT lang, source,
+             CASE WHEN trim(COALESCE(text,'')) = '' THEN 0
+                  ELSE len(string_split_regex(trim(COALESCE(text,'')), '\\s+'))
+             END AS n_tokens,
+             length(COALESCE(text,'')) AS n_chars
+      FROM documents
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           round(CAST(SUM(n_chars) AS DOUBLE) / nullif(SUM(n_tokens), 0), 6)
+             AS chars_per_token,
+           round(CAST(SUM(n_tokens) AS DOUBLE) / nullif(SUM(n_chars), 0), 6)
+             AS tokens_per_char
+    FROM t GROUP BY lang, source
+    """,
+)
+def text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by (lang, source) — chars-per-token and its
+    inverse, the standard eval for how well a tokenizer fits each slice
+    of a multilingual corpus (high chars/token = compressing well; a
+    slice that tokenizes poorly costs budget). Exact integer sums + one
+    double division at the edge — one map-side-combined aggregation
+    keyed by the tiny (lang, source) grid; uses the same whitespace
+    tokenizer contract as text_tokens so the two entries stay mutually
+    consistent."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "source",
+        textfn.token_count("text").cast("long").alias("n_tokens"),
+        textfn.char_count("text").cast("long").alias("n_chars"),
+    )
+    return t.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.nullif(F.sum("n_tokens"), F.lit(0)),
+            6,
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.nullif(F.sum("n_chars"), F.lit(0)),
+            6,
+        ).alias("tokens_per_char"),
+    )
