@@ -1615,7 +1615,11 @@ def kcenter_select(
     """
     v = vectors.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("e")
-    )
+    ).localCheckpoint(eager=True)
+    # ^ one materialization: every one of the k passes re-executes its
+    # lineage, and without the checkpoint each reduce re-reads + re-casts
+    # the source (k parquet scans). At cluster scale prefer .persist() —
+    # same effect, spillable.
     # bounded driver probe: the single seed row (min id)
     seed = v.orderBy("_id").limit(1).first()
     sel: list[tuple[int, int]] = [(0, int(seed["_id"]))]
