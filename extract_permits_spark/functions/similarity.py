@@ -1681,8 +1681,18 @@ def pca_power_fit(
     pca_power_sql) replays every step with the identical operation
     order, so all doubles match bit-for-bit.
     """
-    import math
+    sq, n, md = _pca_scatter(vectors, id_col, vec_col, scale)
+    v = _pca_power_iterate(md, iters)
+    return v, _pca_proj_const(sq, n, scale, v), n
 
+
+def _pca_scatter(
+    vectors: DataFrame, id_col: str, vec_col: str, scale: int
+) -> tuple[list[int], int, list[list[float]]]:
+    """One corpus pass -> (Σq per dim, n, scatter matrix M as doubles).
+    Exact integer sums; M = n·Σqq − Σq·Σqᵀ built in arbitrary-precision
+    Python ints, converted to doubles once (round-to-nearest — same as
+    the oracle's HUGEINT→DOUBLE cast)."""
     e = F.col(vec_col).cast("array<double>")
     q = F.transform(e, lambda x: F.round(x * scale).cast("long"))
     base = vectors.select(q.alias("q"))
@@ -1711,14 +1721,30 @@ def pca_power_fit(
         i, j = int(r["i"]), int(r["j"])
         mint[i][j] = n * int(r["s"]) - sq[i] * sq[j]
     md = [[float(x) for x in row] for row in mint]
+    return sq, n, md
+
+
+def _pca_mat_vec(md: list[list[float]], v: list[float]) -> list[float]:
+    """M·v as left-to-right folds — the exact op order the SQL twin's
+    list_sum(list_transform(...)) uses."""
+    out = []
+    for row in md:
+        acc = 0.0
+        for j in range(len(v)):
+            acc = acc + row[j] * v[j]
+        out.append(acc)
+    return out
+
+
+def _pca_power_iterate(md: list[list[float]], iters: int) -> list[float]:
+    """``iters`` power steps with floor-half-up 9-dp rounding per step
+    and the v[0] ≥ 0 sign convention."""
+    import math
+
+    dim = len(md)
     v = [1.0 / math.sqrt(dim)] * dim
     for _ in range(iters):
-        w = []
-        for i in range(dim):
-            acc = 0.0
-            for j in range(dim):
-                acc = acc + md[i][j] * v[j]
-            w.append(acc)
+        w = _pca_mat_vec(md, v)
         nacc = 0.0
         for x in w:
             nacc = nacc + x * x
@@ -1728,7 +1754,48 @@ def pca_power_fit(
         v = [_py_round_half_up(x / norm, 9) for x in w]
     if v[0] < 0:
         v = [-x for x in v]
+    return v
+
+
+def _pca_proj_const(
+    sq: list[int], n: int, scale: int, v: list[float]
+) -> float:
     const = 0.0
-    for i in range(dim):
+    for i in range(len(v)):
         const = const + (float(sq[i]) / (n * scale)) * v[i]
-    return v, const, n
+    return const
+
+
+def pca_power_fit2(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 8,
+    scale: int = 10**6,
+) -> tuple[list[float], float, list[float], float, int]:
+    """Top-2 principal components: fit PC1 by power iteration, DEFLATE
+    the scatter matrix (M₂ = M − λ₁·v₁v₁ᵀ with λ₁ = v₁ᵀMv₁ — Hotelling
+    deflation, all in driver doubles with pinned op order), and power-
+    iterate again. One corpus pass total; everything after the scatter
+    aggregate is bounded driver state, and the SQL twin replays λ₁, the
+    deflation, and the second recurrence with the identical fold orders.
+
+    Returns (v1, const1, v2, const2, n)."""
+    sq, n, md = _pca_scatter(vectors, id_col, vec_col, scale)
+    v1 = _pca_power_iterate(md, iters)
+    mv = _pca_mat_vec(md, v1)
+    lam = 0.0
+    for i in range(len(v1)):
+        lam = lam + v1[i] * mv[i]
+    m2 = [
+        [md[i][j] - (lam * v1[i]) * v1[j] for j in range(len(v1))]
+        for i in range(len(v1))
+    ]
+    v2 = _pca_power_iterate(m2, iters)
+    return (
+        v1,
+        _pca_proj_const(sq, n, scale, v1),
+        v2,
+        _pca_proj_const(sq, n, scale, v2),
+        n,
+    )

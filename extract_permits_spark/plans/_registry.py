@@ -60,6 +60,19 @@ _JACCARD_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
 _IVF_CENTROID_CACHE: dict[tuple[int, str], list[list[float]]] = {}
 _KCENTER_CACHE: dict[tuple[int, str], tuple] = {}
 _PCA_CACHE: dict[tuple[int, str], tuple] = {}
+_PCA2_CACHE: dict[tuple[int, str], tuple] = {}
+
+
+def _pca2_cached(
+    spark: SparkSession, emb: DataFrame, sf_dir: str
+) -> tuple:
+    """Memoized top-2 PCA fit (one scatter pass + two bounded driver
+    recurrences). Cached value is (v1, c1, v2, c2, n)."""
+    key = (id(spark), sf_dir)
+    if key not in _PCA2_CACHE:
+        _PCA2_CACHE[key] = simfn.pca_power_fit2(emb, "vec_id", "embedding")
+    return _PCA2_CACHE[key]
+
 
 
 def _pca_cached(

@@ -2792,3 +2792,34 @@ def stream_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # project off the idempotency partition key — the oracle is the batch
     # contract, which has no notion of micro-batches
     return spark.read.parquet(out).select("media_id", "is_neardup")
+
+
+@register("emb_pca_top2", _ann_sql.pca_power2_sql(dim=64, iters=8))
+def emb_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal-component projection — the corpus-visualization /
+    embedding-drift plane. PC1 as in emb_pca_project; PC2 by Hotelling
+    deflation of the same scatter matrix (λ₁ = v₁ᵀMv₁, M₂ = M − λ₁v₁v₁ᵀ,
+    second power recurrence) — the deflation runs entirely in bounded
+    driver doubles with pinned op order, so the corpus still pays exactly
+    ONE pass (the shared integer scatter aggregate) and the projection is
+    one narrow codegen'd map emitting both coordinates. The DuckDB twin
+    replays both chains, the deflation, and both centered projections
+    bit-exactly."""
+    from extract_permits_spark.plans._registry import _pca2_cached
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v1, c1, v2, c2, _n = _pca2_cached(spark, emb, sf_dir)
+    e = F.col("embedding").cast("array<double>")
+
+    def proj(vec: list[float], const: float):
+        varr = F.array(*[F.lit(float(x)) for x in vec])
+        dot = F.aggregate(
+            F.zip_with(e, varr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(dot - F.lit(float(const)), 6)
+
+    return emb.select(
+        "vec_id", proj(v1, c1).alias("pc1"), proj(v2, c2).alias("pc2")
+    )

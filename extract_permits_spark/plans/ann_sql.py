@@ -1030,3 +1030,90 @@ def pca_power_sql(dim: int = 64, iters: int = 8, scale: int = 10**6) -> str:
                  - cst.c, 6) AS pc1
     FROM v, vf, cst
     """
+
+
+def _power_chain_ctes(mat_cte: str, pfx: str, dim: int, iters: int) -> list[str]:
+    """Power-iteration CTE chain over a (i, mr) matrix CTE — shared by
+    both components of the top-2 PCA oracle. Emits {pfx}v0..{pfx}v{iters}
+    and the sign-fixed {pfx}f, with the same fold orders / floor-half-up
+    9-dp rounding as similarity._pca_power_iterate."""
+    d1 = dim + 1
+    parts = [
+        f"{pfx}v0 AS (SELECT list_transform(range(1, {d1}), x -> "
+        f"1.0 / sqrt({dim}.0)) AS vv)"
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"{pfx}w{t} AS MATERIALIZED (SELECT i, "
+            f"list_sum(list_transform(range(1, {d1}), j -> mr[j] * vv[j])) AS wv "
+            f"FROM {mat_cte}, {pfx}v{t - 1})"
+        )
+        parts.append(
+            f"{pfx}wl{t} AS (SELECT list(wv ORDER BY i) AS wl FROM {pfx}w{t})"
+        )
+        parts.append(
+            f"{pfx}v{t} AS MATERIALIZED (SELECT list_transform(wl, x -> "
+            f"floor(x / sqrt(list_sum(list_transform(wl, y -> y * y))) "
+            f"* 1000000000.0 + 0.5) / 1000000000.0) AS vv FROM {pfx}wl{t})"
+        )
+    parts.append(
+        f"{pfx}f AS (SELECT CASE WHEN vv[1] < 0 THEN "
+        f"list_transform(vv, x -> -x) ELSE vv END AS vv FROM {pfx}v{iters})"
+    )
+    return parts
+
+
+def pca_power2_sql(dim: int = 64, iters: int = 8, scale: int = 10**6) -> str:
+    """Top-2 PCA oracle — twin of similarity.pca_power_fit2: the PC1
+    chain, then Hotelling deflation (λ₁ = v₁ᵀMv₁, M₂ = M − λ₁·v₁v₁ᵀ with
+    the exact driver-side op order: mr[j] − (λ·v[i])·v[j]), then the PC2
+    chain, then both centered projections."""
+    d1 = dim + 1
+    gs = f"generate_series(1, {dim})"
+    parts = [
+        _v_cte(dim),
+        f"q AS (SELECT vec_id, list_transform(e, x -> "
+        f"CAST(round(x * {scale}.0) AS BIGINT)) AS ql FROM v)",
+        "nn AS (SELECT COUNT(*) AS n FROM q)",
+        f"sq AS (SELECT i.i, SUM(CAST(ql[i.i] AS HUGEINT)) AS s "
+        f"FROM q, {gs} AS i(i) GROUP BY i.i)",
+        f"sqq AS (SELECT i.i, j.j, SUM(CAST(ql[i.i] * ql[j.j] AS HUGEINT)) AS s "
+        f"FROM q, {gs} AS i(i), {gs} AS j(j) GROUP BY i.i, j.j)",
+        "m AS (SELECT qq.i, qq.j, "
+        "CAST(nn.n * qq.s - s1.s * s2.s AS DOUBLE) AS md "
+        "FROM sqq qq JOIN sq s1 ON qq.i = s1.i JOIN sq s2 ON qq.j = s2.i "
+        "CROSS JOIN nn)",
+        "mrow AS MATERIALIZED (SELECT i, list(md ORDER BY j) AS mr "
+        "FROM m GROUP BY i)",
+    ]
+    parts += _power_chain_ctes("mrow", "a", dim, iters)
+    parts += [
+        f"mv AS MATERIALIZED (SELECT i, "
+        f"list_sum(list_transform(range(1, {d1}), j -> mr[j] * vv[j])) AS wv "
+        f"FROM mrow, af)",
+        "mvl AS (SELECT list(wv ORDER BY i) AS mva FROM mv)",
+        f"lam AS (SELECT list_sum(list_transform(range(1, {d1}), i -> "
+        f"vv[i] * mva[i])) AS l FROM mvl, af)",
+        f"m2row AS MATERIALIZED (SELECT mrow.i, "
+        f"list_transform(range(1, {d1}), j -> "
+        f"mr[j] - (lam.l * vv[mrow.i]) * vv[j]) AS mr "
+        f"FROM mrow, af, lam)",
+    ]
+    parts += _power_chain_ctes("m2row", "b", dim, iters)
+    parts += [
+        "sqrow AS (SELECT list(CAST(s AS DOUBLE) ORDER BY i) AS sa FROM sq)",
+        f"c1 AS (SELECT list_sum(list_transform(range(1, {d1}), i -> "
+        f"sa[i] / (nn.n * {scale}.0) * vv[i])) AS c FROM sqrow, af, nn)",
+        f"c2 AS (SELECT list_sum(list_transform(range(1, {d1}), i -> "
+        f"sa[i] / (nn.n * {scale}.0) * vv[i])) AS c FROM sqrow, bf, nn)",
+    ]
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT v.vec_id,
+           round(list_sum(list_transform(range(1, {d1}), i -> e[i] * af.vv[i]))
+                 - c1.c, 6) AS pc1,
+           round(list_sum(list_transform(range(1, {d1}), i -> e[i] * bf.vv[i]))
+                 - c2.c, 6) AS pc2
+    FROM v, af, bf, c1, c2
+    """

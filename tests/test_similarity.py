@@ -381,3 +381,24 @@ def test_pca_power_fit_recovers_dominant_axis(spark):
     # determinism: a second fit returns the identical floats
     v2, const2, _ = pca_power_fit(df, iters=8)
     assert v2 == v and const2 == const
+
+
+def test_pca_power_fit2_recovers_both_axes(spark):
+    """Variance along dim 2 (large) and dim 0 (smaller): PC1 must point
+    at dim 2, PC2 — after deflation — at dim 0, and the components must
+    be near-orthogonal."""
+    from extract_permits_spark.functions.similarity import pca_power_fit2
+
+    rows = []
+    for i in range(40):
+        big = 10.0 if i % 2 == 0 else -10.0
+        small = 3.0 if i % 4 < 2 else -3.0
+        rows.append((i, [small + 0.001 * i, 0.02, big, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v1, c1, v2, c2, n = pca_power_fit2(df, iters=8)
+    assert n == 40
+    assert abs(v1[2]) > 0.999
+    assert abs(v2[0]) > 0.999
+    dot = sum(a * b for a, b in zip(v1, v2))
+    assert abs(dot) < 1e-3
+    assert v1[0] >= 0 and v2[0] >= 0
