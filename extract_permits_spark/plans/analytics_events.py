@@ -2381,3 +2381,68 @@ def diag_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mx") / F.col("mean_n"), 6).alias("max_over_mean"),
         )
     )
+
+
+@register(
+    "ev_decayed_counts",
+    """
+    WITH a AS (
+      SELECT event_type,
+             date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') // 7 AS wk,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS s
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             list(struct_pack(wk := wk, s := CAST(s AS DOUBLE))
+                  ORDER BY wk) AS arr
+      FROM a GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           round(list_sum(list_transform(arr,
+                 x -> x.s / CAST(1 << x.wk AS DOUBLE))), 6) AS decayed_value
+    FROM b
+    """,
+)
+def ev_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed value per event type (half-life one
+    week against a fixed reference date) — the trending-score shape.
+
+    Float determinism recipe: never sum weighted doubles in shuffle
+    order. Stage 1 pre-aggregates EXACT decimal value sums per
+    (type, age-week) — associative, map-side combined; stage 2 folds the
+    handful of week buckets IN WEEK ORDER (sort_array + one aggregate
+    lambda), with weights as exact dyadic rationals (1 / 2^wk via an
+    integer lookup — no libm pow, whose last-ulp behavior differs across
+    engines). The fold order and every double op match the oracle's
+    list_sum(list_transform(... ORDER BY wk)) exactly. At 100 TB the
+    fold input is (n_types × n_weeks) rows — nothing row-scale ever
+    carries a float."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = F.lit("2024-02-01").cast("date")
+    wk = F.floor(F.datediff(ref, F.col("ts").cast("date")) / 7).cast("long")
+    a = ev.groupBy(
+        "event_type", wk.alias("wk")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+    )
+    b = a.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("wk"), F.col("s").cast("double").alias("s")))
+        ).alias("arr"),
+    )
+    decayed = F.aggregate(
+        F.transform(F.col("arr"), lambda x: x["s"] / F.element_at(
+            F.array(*[F.lit(float(1 << k)) for k in range(8)]),
+            (x["wk"] + 1).cast("int"),
+        )),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return b.select(
+        "event_type", "n_events", F.round(decayed, 6).alias("decayed_value")
+    )
