@@ -758,3 +758,142 @@ def audiofp64(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "hi", "lo"])
 
     return media.select("media_id", "payload").mapInPandas(run, PHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video shot-boundary detection — the third computed multimodal rail:
+# per-frame PNG decode -> dHash -> consecutive-frame Hamming distance;
+# a cut is a distance above the radius. Scenes are far apart by
+# construction (base id jumps 37·scene), within-scene frames differ by
+# an alternating sparse perturbation (measured: in-scene ≤ 6 bits,
+# cuts ≥ 10 over 400 videos × 7 transitions).
+# ---------------------------------------------------------------------------
+
+VIDEO_W, VIDEO_H, VIDEO_CH = 16, 16, 3
+VIDEO_FRAMES = 8
+
+
+def _video_scene(media_id: int, frame_idx: int) -> int:
+    """Scene index: cuts at 2 + m%3 and 5 + m%2 (two cuts per video,
+    positions vary by id). Shared contract with the mm_video_shots
+    oracle."""
+    c1 = 2 + media_id % 3
+    c2 = 5 + media_id % 2
+    return 0 if frame_idx < c1 else (1 if frame_idx < c2 else 2)
+
+
+def _video_frame_pixels(media_id: int, frame_idx: int) -> bytes:
+    """Frame pixels: the phash gradient family with base
+    b = m·97 + scene·37 (scene changes scramble every residue) plus an
+    alternating +3 sparse perturbation within a scene (frame motion)."""
+    import numpy as np
+
+    s = _video_scene(media_id, frame_idx)
+    b = media_id * 97 + s * 37
+    y = (5 + b % 7) * np.arange(VIDEO_H, dtype=np.int64)[:, None, None]
+    x = (3 + b % 5) * np.arange(VIDEO_W, dtype=np.int64)[None, :, None]
+    c = 101 * np.arange(VIDEO_CH, dtype=np.int64)[None, None, :]
+    xs = np.arange(VIDEO_W, dtype=np.int64)[None, :, None]
+    ys = np.arange(VIDEO_H, dtype=np.int64)[:, None, None]
+    v = (b * b) % 251 + y + x + c + (2 + b % 11) * ((xs * ys) % 13)
+    v = v + 3 * (((xs + ys) % 11 == 0).astype(np.int64)) * (frame_idx % 2)
+    return (v % 256).astype(np.uint8).tobytes()
+
+
+def synthetic_video_frames(docs: DataFrame) -> DataFrame:
+    """8 real PNG frames per document — (media_id, frame_idx, payload).
+    The frame explode happens Spark-side (sequence + explode) so the
+    Python worker only encodes its own partition's frames."""
+    from extract_permits_spark.functions.png_codec import encode_png
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            payloads = [
+                encode_png(
+                    VIDEO_W, VIDEO_H, VIDEO_CH,
+                    _video_frame_pixels(int(m), int(f)),
+                )
+                for m, f in zip(b["media_id"], b["frame_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"].astype("int64"),
+                    "frame_idx": b["frame_idx"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    flat = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(VIDEO_FRAMES - 1))).alias(
+            "frame_idx"
+        ),
+    )
+    return base.mapInPandas(run, flat)
+
+
+VIDEOHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("hi", T.LongType()),
+        T.StructField("lo", T.LongType()),
+    ]
+)
+
+
+def videohash64(frames: DataFrame) -> DataFrame:
+    """Decode each frame PNG and emit its dHash keyed by
+    (media_id, frame_idx) — same narrow Arrow shape as phash64."""
+    from extract_permits_spark.functions.png_codec import decode_png
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for m, f, payload in zip(
+                b["media_id"], b["frame_idx"], b["payload"]
+            ):
+                w, h, ch, px = decode_png(bytes(payload))
+                hi, lo = dhash64(w, h, ch, px)
+                rows.append((int(m), int(f), hi, lo))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "hi", "lo"]
+            )
+
+    return frames.select("media_id", "frame_idx", "payload").mapInPandas(
+        run, VIDEOHASH_SCHEMA
+    )
+
+
+def video_shot_cuts(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """(media_id, frame_idx, hamming, is_cut) for every frame transition:
+    one bounded lag window per video (partitioned by media_id — 8 rows
+    per partition key, never global), cut iff consecutive-frame Hamming
+    exceeds the radius."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    prev_hi = F.lag("hi").over(w)
+    prev_lo = F.lag("lo").over(w)
+    hamming = (
+        F.bit_count(F.col("hi").bitwiseXOR(prev_hi))
+        + F.bit_count(F.col("lo").bitwiseXOR(prev_lo))
+    ).cast("long")
+    return (
+        hashes.select(
+            "media_id", "frame_idx", hamming.alias("hamming")
+        )
+        .where(F.col("hamming").isNotNull())
+        .withColumn("is_cut", F.col("hamming") > max_hamming)
+    )

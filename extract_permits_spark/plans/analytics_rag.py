@@ -2823,3 +2823,79 @@ def emb_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", proj(v1, c1).alias("pc1"), proj(v2, c2).alias("pc2")
     )
+
+
+@register(
+    "mm_video_shots",
+    """
+    WITH vids AS (
+      SELECT doc_id AS media_id, f.f AS f,
+             doc_id * 97
+             + (CASE WHEN f.f < 2 + doc_id % 3 THEN 0
+                     WHEN f.f < 5 + doc_id % 2 THEN 1
+                     ELSE 2 END) * 37 AS b
+      FROM documents, generate_series(0, 7) AS f(f)
+    ),
+    grid AS (
+      SELECT media_id, f, gy.gy, gx.gx,
+             SUM( ( (b * b) % 251
+                  + (3 + b % 5) * (((2 * gx.gx + 1) * 16) // 18)
+                  + (5 + b % 7) * (((2 * gy.gy + 1) * 16) // 16)
+                  + (2 + b % 11) * (((((2 * gx.gx + 1) * 16) // 18)
+                                     * ((((2 * gy.gy + 1) * 16) // 16))) % 13)
+                  + 101 * c.c
+                  + CASE WHEN ((((2 * gx.gx + 1) * 16) // 18)
+                               + (((2 * gy.gy + 1) * 16) // 16)) % 11 = 0
+                         THEN 3 * (f % 2) ELSE 0 END
+                  ) % 256 ) AS s
+      FROM vids,
+           generate_series(0, 8) AS gx(gx),
+           generate_series(0, 7) AS gy(gy),
+           generate_series(0, 2) AS c(c)
+      GROUP BY media_id, f, gy.gy, gx.gx
+    ),
+    bits AS (
+      SELECT l.media_id, l.f, (l.gy * 8 + l.gx) AS k,
+             CASE WHEN r.s > l.s THEN 1 ELSE 0 END AS bit
+      FROM grid l
+      JOIN grid r ON r.media_id = l.media_id AND r.f = l.f
+                 AND r.gy = l.gy AND r.gx = l.gx + 1
+      WHERE l.gx < 8
+    ),
+    h AS (
+      SELECT media_id, f,
+             CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+                           ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY media_id, f
+    )
+    SELECT r.media_id, r.f AS frame_idx,
+           CAST(bit_count(xor(l.hi, r.hi))
+                + bit_count(xor(l.lo, r.lo)) AS BIGINT) AS hamming,
+           bit_count(xor(l.hi, r.hi)) + bit_count(xor(l.lo, r.lo)) > 7
+             AS is_cut
+    FROM h l JOIN h r ON r.media_id = l.media_id AND r.f = l.f + 1
+    """,
+)
+def mm_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection — the video rail computed for real: 8
+    actual PNG frames per document (two planted cuts per video at
+    id-dependent positions; within-scene frames differ only by
+    alternating sparse motion), decoded + dHashed per frame inside
+    Arrow-batched mapInPandas, then ONE bounded lag window per video
+    (partitioned by media_id, 8 rows per key) marks a cut wherever
+    consecutive-frame Hamming distance exceeds radius 7 (measured:
+    in-scene ≤ 6 bits, cuts ≥ 10).
+
+    The oracle replays frame pixels → grids → hashes → transitions
+    closed-form, so a hash match proves the whole per-frame codec +
+    fingerprint + windowed-compare chain. At 100 TB this is the
+    shot-segmentation pass of a video-curation pipeline: frames explode
+    Spark-side, decode stays narrow, and the only stateful op is a
+    per-video 8-row window — deployment swaps the synthetic frames for
+    container-demuxed keyframes with the same plumbing."""
+    d = load_table(spark, sf_dir, "documents")
+    frames = mmfn.synthetic_video_frames(d)
+    hashes = mmfn.videohash64(frames)
+    return mmfn.video_shot_cuts(hashes, max_hamming=7)

@@ -722,3 +722,30 @@ def test_audiofp_twins_within_radius_through_codec_chain():
     assert max(twins) <= 7
     others = [ham(fp(a), fp(a + 2)) for a in range(0, 60, 4)]
     assert min(others) > 7
+
+
+def test_video_shot_cuts_find_exactly_the_planted_cuts(spark):
+    """Every video's detected cut set must equal its planted scene
+    boundaries (cuts at 2 + m%3 and 5 + m%2), through the real
+    encode -> decode -> hash -> lag-window chain."""
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.functions import multimodal as mmfn
+    from extract_permits_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").where(
+        F.col("doc_id") < 40
+    )
+    cuts = mmfn.video_shot_cuts(
+        mmfn.videohash64(mmfn.synthetic_video_frames(docs))
+    )
+    got = {
+        (r["media_id"], r["frame_idx"])
+        for r in cuts.collect()
+        if r["is_cut"]
+    }
+    want = set()
+    for m in range(40):
+        want.add((m, 2 + m % 3))
+        want.add((m, 5 + m % 2))
+    assert got == want
