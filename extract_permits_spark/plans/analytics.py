@@ -62,6 +62,7 @@ _CHECK_FIRST = [
     "emb_pca_top2",
     "ev_decayed_counts",
     "mm_video_shots",
+    "mm_image_dedup_clusters",
     "docs_bigram_xent",
     "rag_colbert_maxsim",
     "dedup_containment",
@@ -100,7 +101,6 @@ _CHECK_FIRST = [
     "docs_quality_prune",
     "ev_grouping_sets",
     "a12_winsorize",
-    "u4_except_all",
 ]
 
 # r13 NOTE: the window above is carried over VERBATIM from r12 — round 12
@@ -127,13 +127,15 @@ _CHECK_FIRST = [
 # ann_batch_topk, then emb_pca_top2 (NEW), displacing
 # docs_quality_score, then ev_decayed_counts (NEW), displacing
 # docs_unigram_xent, then mm_video_shots (NEW), displacing
-# vocab_bpe_encode).
+# vocab_bpe_encode, then mm_image_dedup_clusters (NEW), displacing
+# u4_except_all).
 # The deferred rotation for r14+: llm_corpus_curation,
 # docs_span_mask, docs_corpus_report, ann_matryoshka_mrr,
 # docs_span_dup_rate, ann_matryoshka_topk, ann_matryoshka_recall,
 # ann_matryoshka_rerank, mm_frame_sample, mm_audio_stats,
 # mm_image_stats, x8_schema_evolution_union, ann_batch_topk,
-# docs_quality_score, docs_unigram_xent, vocab_bpe_encode, plus
+# docs_quality_score, docs_unigram_xent, vocab_bpe_encode,
+# u4_except_all, plus
 # those three displaced entries plus the 18 r8-cohort
 # entries displaced from this window
 # (stream_corpus_ingest, q21_waiting_supplier, q18_large_volume,

@@ -2899,3 +2899,61 @@ def mm_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = mmfn.synthetic_video_frames(d)
     hashes = mmfn.videohash64(frames)
     return mmfn.video_shot_cuts(hashes, max_hamming=7)
+
+
+@register(
+    "mm_image_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_PHASH_HASH_CTES},
+    prs AS MATERIALIZED (
+      SELECT a.media_id AS u, bb.media_id AS v
+      FROM h a JOIN h bb ON a.media_id < bb.media_id
+      WHERE bit_count(xor(a.hi, bb.hi)) + bit_count(xor(a.lo, bb.lo)) <= 7
+    ),
+    sym AS MATERIALIZED (
+      SELECT u, v FROM prs
+      UNION
+      SELECT v AS u, u AS v FROM prs
+    ),
+    reach(id, comp) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+        SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id
+    ),
+    cmp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id AS media_id,
+           COALESCE(c.component, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN cmp c ON c.id = d.doc_id
+    """,
+)
+def mm_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup END-TO-END: decode → dHash → banded Hamming pairs →
+    min-label transitive closure → canonical survivor per cluster
+    (singletons self-cluster, so the output is a complete keep-list:
+    keep exactly the is_canonical rows). Marries the multimodal rail to
+    the same closure operator the text near-dup families use
+    (operators/graph.py:connected_components — neighbor-min + pointer
+    jumping, O(log d) driver-coordinated rounds, edge-list-sized state).
+    The oracle replays hashes closed-form and the closure as a recursive
+    min-label CTE — the same construction-proof pattern as
+    emb_neardup_components, now on binary payloads."""
+    from extract_permits_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    media = mmfn.synthetic_phash_media(d)
+    pairs = mmfn.phash_pairs(mmfn.phash64(media), max_hamming=7).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs)
+    ids = d.select(F.col("doc_id").alias("media_id"))
+    return (
+        ids.join(comp, ids.media_id == comp.id, "left")
+        .select(
+            "media_id",
+            F.coalesce(F.col("component"), F.col("media_id")).alias(
+                "cluster_id"
+            ),
+        )
+        .withColumn("is_canonical", F.col("media_id") == F.col("cluster_id"))
+    )
