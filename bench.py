@@ -113,10 +113,15 @@ HEADLINE = [
     # construction as window + bit-op SQL.
     "docs_zorder_layout",
     # multimodal dedup representative (r14): real PNG decode -> dHash ->
-    # banded Hamming join. Spark-timed only (bench_oracle skips it): the
-    # oracle recomputes the hash closed-form, not through a codec — same
-    # asymmetry as mm_image_stats.
+    # banded Hamming join. Paired since r13 (judge ask): the oracle leg
+    # computes the hashes closed-form rather than through a codec, so
+    # the ratio measures decode overhead BY DESIGN — the caveat lives in
+    # BASELINE.md next to the number.
     "mm_image_phash",
+    # the other two computed-rail multimodal representatives (r13):
+    # same closed-form-oracle caveat as mm_image_phash.
+    "mm_video_shots",
+    "mm_audio_fingerprint",
     # coreset selection (r14): greedy k-center, k driver-coordinated
     # passes + codegen argmin assignment. Fair pair — the DuckDB twin
     # replays the identical greedy (materialized CTE chain); the bench
@@ -284,9 +289,11 @@ def main() -> None:
                 docs.withColumn("doc_id", _F.col("doc_id") + _F.lit(c * 10**7))
             )
         docs_dir = tempfile.mkdtemp(prefix="bench_docs_sf1eq_")
-        amp_lazy.write.parquet(os.path.join(docs_dir, "documents"))
+        # written as documents.parquet so the amplified dir IS a valid
+        # sf_dir for load_table-based runnables (the rag fusion row)
+        amp_lazy.write.parquet(os.path.join(docs_dir, "documents.parquet"))
         try:
-            amp = spark.read.parquet(os.path.join(docs_dir, "documents"))
+            amp = spark.read.parquet(os.path.join(docs_dir, "documents.parquet"))
             t0 = time.time()
             force(minhash_md5_pairs(amp))
             times_scale["dedup_minhash_md5_sf1eq"] = round(time.time() - t0, 3)
@@ -334,6 +341,21 @@ def main() -> None:
                 .drop("rn")
             )
             times_scale["text_tfidf_sf1eq"] = round(time.time() - t0, 3)
+            _settle()
+
+            # hybrid RRF fusion at 10x documents (r13): the shared-scan
+            # spelling — ONE token-stream explode + pre-aggregate feeds
+            # BOTH scorers (BM25 and hash-embed cosine). The DuckDB pair
+            # replays the registry oracle's embedded two-scorer SQL over
+            # the same materialized table; this row is where the
+            # one-scan-instead-of-two structure shows up as wall clock.
+            from extract_permits_spark.plans.analytics_rag import (
+                _hybrid_fused,
+            )
+
+            t0 = time.time()
+            force(_hybrid_fused(spark, docs_dir))
+            times_scale["rag_fusion_sf1eq"] = round(time.time() - t0, 3)
         finally:
             shutil.rmtree(docs_dir, ignore_errors=True)
         _settle()

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _c(c: Column | str) -> Column:
@@ -1612,39 +1613,54 @@ def kcenter_select(
 
     Returns (selection, centers): selection is [(sel_order, vec_id)],
     centers the corresponding raw-double vectors.
+
+    Degenerate inputs (r13, ADVICE fix): an empty corpus raises a clear
+    ValueError; k larger than the corpus stops early and returns every
+    row as a center (the greedy prefix found so far) instead of crashing
+    on a null aggregate. The materialized base frame is persisted (one
+    materialization shared by all k passes — spillable at cluster scale,
+    unlike a localCheckpoint whose blocks also outlived the call) and
+    released in a ``finally`` so repeated invocations (bench fresh runs)
+    don't accumulate storage for the life of the session.
     """
+    if k < 1:
+        raise ValueError(f"kcenter_select: k must be >= 1, got {k}")
     v = vectors.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("e")
-    ).localCheckpoint(eager=True)
-    # ^ one materialization: every one of the k passes re-executes its
-    # lineage, and without the checkpoint each reduce re-reads + re-casts
-    # the source (k parquet scans). At cluster scale prefer .persist() —
-    # same effect, spillable.
-    # bounded driver probe: the single seed row (min id)
-    seed = v.orderBy("_id").limit(1).first()
-    sel: list[tuple[int, int]] = [(0, int(seed["_id"]))]
-    centers: list[list[float]] = [[float(x) for x in seed["e"]]]
-    df = v.withColumn("dmin", F.lit(float("inf")))
-    for i in range(1, k):
-        df = df.withColumn("dmin", F.least(F.col("dmin"), _sqdist_to(centers[-1])))
-        picked = [s[1] for s in sel]
-        # one bounded reduce per round: the farthest row (dist, -id, e)
-        m = (
-            df.where(~F.col("_id").isin(*picked))
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("dmin").alias("d"),
-                        (-F.col("_id")).alias("nid"),
-                        F.col("e").alias("e"),
-                    )
-                ).alias("m")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # bounded driver probe: the single seed row (min id); also the
+        # action that materializes the persisted base frame once.
+        seed = v.orderBy("_id").limit(1).first()
+        if seed is None:
+            raise ValueError("kcenter_select: empty corpus")
+        sel: list[tuple[int, int]] = [(0, int(seed["_id"]))]
+        centers: list[list[float]] = [[float(x) for x in seed["e"]]]
+        df = v.withColumn("dmin", F.lit(float("inf")))
+        for i in range(1, k):
+            df = df.withColumn("dmin", F.least(F.col("dmin"), _sqdist_to(centers[-1])))
+            picked = [s[1] for s in sel]
+            # one bounded reduce per round: the farthest row (dist, -id, e)
+            m = (
+                df.where(~F.col("_id").isin(*picked))
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("dmin").alias("d"),
+                            (-F.col("_id")).alias("nid"),
+                            F.col("e").alias("e"),
+                        )
+                    ).alias("m")
+                )
+                .first()["m"]
             )
-            .first()["m"]
-        )
-        sel.append((i, int(-m["nid"])))
-        centers.append([float(x) for x in m["e"]])
-    return sel, centers
+            if m is None or m["nid"] is None:
+                break  # corpus exhausted (k > n): return the prefix found
+            sel.append((i, int(-m["nid"])))
+            centers.append([float(x) for x in m["e"]])
+        return sel, centers
+    finally:
+        v.unpersist()
 
 
 def pca_power_fit(

@@ -40,110 +40,78 @@ from extract_permits_spark.sources.readers import load_table  # noqa: F401
 # round; _CHECK_FIRST controls that window and is rotated each round so
 # every entry earns a driver row (see the r9 NOTE below the list).
 _CHECK_FIRST = [
-    # Current window (see the rotation NOTE below the list): the round's
-    # 9 NEW entries first (phash/audio-fp multimodal dedup rails +
-    # streaming ingest, k-center coreset, power-iteration PCA, LPA
-    # communities, link prediction, skew audit, minhash recall eval),
-    # then the carried never-driver-witnessed cohort (the r12/r13
-    # changed/new entries — no driver correctness run has happened since
-    # they landed), then the r7 stragglers and the oldest r8 cohort to
-    # fill 50.
-    # --- changed/new this round ---
-    "mm_image_phash",
-    "emb_kcenter_coreset",
-    "graph_lpa_communities",
-    "diag_skew_report",
-    "emb_pca_project",
-    "graph_link_prediction",
-    "mm_audio_fingerprint",
-    "stream_phash_ingest",
-    "dedup_minhash_recall",
-    "text_fertility",
-    "emb_pca_top2",
+    # r13 window (rotated per VERDICT r12 #1): (a) the 8 entries whose
+    # code paths changed this session (decayed-count age clamp, k-center
+    # guards/persist, streaming await_or_raise + scratch_dir hygiene,
+    # the rag/curation perf work), (b) the 4 stale-witness entries whose
+    # shared LSH helpers were pinned in r13-builder AFTER their last
+    # driver witness (dedup_minhash_lsh/md5 r9, dedup_simhash r8,
+    # emb_neardup_lsh r10), (c) 3 of the touched streaming entries with
+    # the oldest witnesses, (d) the ENTIRE remaining r8 cohort — after
+    # this window lands green, no entry's last witness predates r9.
     "ev_decayed_counts",
-    "mm_video_shots",
-    "mm_image_dedup_clusters",
-    "docs_bigram_xent",
-    "rag_colbert_maxsim",
-    "dedup_containment",
-    "docs_zorder_layout",
-    "sample_hard_negatives",
-    "rag_mmr_rerank",
-    "docs_quality_bins_approx",
-    "emb_neardup_components",
-    "emb_cross_decontaminate",
-    "stream_semantic_decon_ingest",
-    "text_tfidf",
+    "emb_kcenter_coreset",
     "rag_context_assembly",
-    "docs_shard_shuffle",
-    "docs_shard_manifest",
-    "docs_quality_bins",
-    "sample_negatives",
-    "dedup_cluster_components",
-    "dedup_cluster_canonical",
-    "sample_leakage_safe_split",
-    "dedup_exact_keep_first",
-    "docs_pretrain_filter",
-    "llm_pretrain_pipeline",
-    # --- r7 cohort (last witnessed r7, driver order) ---
-    "jsonl_corpus_roundtrip",
-    "q13_custdist",
-    "q16_supplier_cnt",
-    "ev_gap_fill",
-    "ev_entropy",
-    # --- r8 cohort (last witnessed r8, driver order, first 36 of 47) ---
-    "llm_tokenize_pack",
-    "text_hash_embed",
-    "rag_hash_retrieval",
-    "rag_bm25_topk",
-    "rag_rrf_fusion",
-    "docs_snapshot_diff",
-    "docs_quality_prune",
-    "ev_grouping_sets",
-    "a12_winsorize",
+    "llm_corpus_curation",
+    "stream_phash_ingest",
+    "stream_corpus_ingest",
+    "xlsx_review_roundtrip",
+    "emb_ivfpq_indexed_topk",
+    "dedup_minhash_lsh",
+    "dedup_minhash_md5",
+    "dedup_simhash",
+    "emb_neardup_lsh",
+    "stream_tumbling_agg",
+    "stream_dedup",
+    "stream_decontaminate_ingest",
+    "q1_pricing_summary",
+    "s2_dim_join_filter",
+    "x1_explode_pipe_list",
+    "j1_preagg_join",
+    "j2_anti_join",
+    "e1_validate_partition",
+    "dedup_exact",
+    "w3_line_numbers_batches",
+    "ev_sessionize",
+    "ann_cosine_topk",
+    "s1_socrata_pull",
+    "permit_pipeline_upload",
+    "ev_funnel",
+    "basket_brand_pairs",
+    "q18_large_volume",
+    "q21_waiting_supplier",
+    "q11_important_stock",
+    "q12_late_ship_priority",
+    "q20_potential_promotion",
+    "u4_except_all",
+    "vocab_bpe_encode",
+    "docs_unigram_xent",
+    "docs_quality_score",
+    "ann_batch_topk",
+    "x8_schema_evolution_union",
+    "mm_image_stats",
+    "mm_audio_stats",
+    "ann_matryoshka_topk",
+    "ann_matryoshka_rerank",
+    "ann_matryoshka_recall",
+    "mm_frame_sample",
+    "docs_span_dup_rate",
+    "ann_matryoshka_mrr",
+    "docs_span_mask",
+    "docs_corpus_report",
 ]
 
-# r13 NOTE: the window above is carried over VERBATIM from r12 — round 12
-# ended without a driver correctness run (no CORRECTNESS_r12.json exists),
-# so the r12 cohort at the head (including the round's 16 changed/new
-# entries) is still driver-unwitnessed and must get its first driver row
-# in r13. Entries changed in r13 jump the queue as usual (r13 additions:
-# docs_zorder_layout, sample_hard_negatives, and rag_mmr_rerank at head,
-# displacing q20_potential_promotion, q12_late_ship_priority, and
-# q11_important_stock to the r14 queue; the round-12 restart session adds
-# dedup_containment at head, displacing llm_corpus_curation — well
-# covered: driver-green r10/r11, paired-benchmarked every sitting —
-# and docs_bigram_xent + rag_colbert_maxsim (NEW) at head, displacing
-# docs_span_mask and docs_corpus_report to the r14 queue; the second
-# restart session adds mm_image_phash + emb_kcenter_coreset (NEW) at
-# head, displacing ann_matryoshka_mrr and docs_span_dup_rate, then
-# graph_lpa_communities + diag_skew_report (NEW), displacing
-# ann_matryoshka_topk and ann_matryoshka_recall, then emb_pca_project
-# (NEW), displacing ann_matryoshka_rerank, then graph_link_prediction
-# (NEW), displacing mm_frame_sample, then mm_audio_fingerprint (NEW),
-# displacing mm_audio_stats, then stream_phash_ingest (NEW), displacing
-# mm_image_stats, then dedup_minhash_recall (NEW), displacing
-# x8_schema_evolution_union, then text_fertility (NEW), displacing
-# ann_batch_topk, then emb_pca_top2 (NEW), displacing
-# docs_quality_score, then ev_decayed_counts (NEW), displacing
-# docs_unigram_xent, then mm_video_shots (NEW), displacing
-# vocab_bpe_encode, then mm_image_dedup_clusters (NEW), displacing
-# u4_except_all).
-# The deferred rotation for r14+: llm_corpus_curation,
-# docs_span_mask, docs_corpus_report, ann_matryoshka_mrr,
-# docs_span_dup_rate, ann_matryoshka_topk, ann_matryoshka_recall,
-# ann_matryoshka_rerank, mm_frame_sample, mm_audio_stats,
-# mm_image_stats, x8_schema_evolution_union, ann_batch_topk,
-# docs_quality_score, docs_unigram_xent, vocab_bpe_encode,
-# u4_except_all, plus
-# those three displaced entries plus the 18 r8-cohort
-# entries displaced from this window
-# (stream_corpus_ingest, q21_waiting_supplier, q18_large_volume,
-# basket_brand_pairs, permit_pipeline_upload, q1_pricing_summary,
-# dedup_exact, dedup_simhash, ann_cosine_topk, s1_socrata_pull,
-# s2_dim_join_filter, e1_validate_partition, j1_preagg_join, j2_anti_join,
-# w3_line_numbers_batches, x1_explode_pipe_list, ev_sessionize, ev_funnel),
-# then the oldest r9 cohort to fill 50.
+# r13 rotation NOTE: deferred to r14+ — the touched-but-hygiene-only
+# streaming entries not in this window (stream_session_agg,
+# stream_ann_index_ingest, stream_neardup_ingest, stream_stateful_totals
+# r10; stream_stream_join, stream_cdc_apply r11; stream_semantic_decon_
+# ingest r12 — all re-oracle-checked green locally this session, change
+# was timeout/cleanup behavior only), then the r9 cohort oldest-first.
+# The rotation rule is now TRANSITIVE over helper imports: run
+# tools/rotation_audit.py <git-ref> to list every registry entry whose
+# defining chunk OR transitively-imported engine module changed since
+# the ref — those jump the queue alongside directly-edited entries.
+
 
 def _reordered(d: dict) -> dict:
     head = {k: d[k] for k in _CHECK_FIRST if k in d}

@@ -12,6 +12,7 @@ _CHECK_FIRST, and the cross-chunk memo caches live in analytics.py.
 
 from __future__ import annotations
 
+from extract_permits_spark.streaming.util import await_or_raise, scratch_dir
 from extract_permits_spark.plans._registry import (
     _ORACLES,
     _dec,
@@ -1536,13 +1537,13 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from extract_permits_spark.streaming.events import run_available_now
 
-    work = tempfile.mkdtemp(prefix="ev_stream_")
+    work = scratch_dir("ev_stream_")
     src = os.path.join(work, "in")
     os.makedirs(src)
     shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
     name = f"ev_stream_q_{abs(hash(sf_dir)) % 10**8}"
     q = run_available_now(spark, src, os.path.join(work, "ckpt"), table_name=name)
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -1569,13 +1570,13 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from extract_permits_spark.streaming.stateful import run_available_now
 
-    work = tempfile.mkdtemp(prefix="ev_stream_stateful_")
+    work = scratch_dir("ev_stream_stateful_")
     src = os.path.join(work, "in")
     os.makedirs(src)
     shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
     name = f"ev_stream_stateful_{abs(hash(sf_dir)) % 10**8}"
     q = run_available_now(spark, src, os.path.join(work, "ckpt"), name)
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -1672,7 +1673,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from extract_permits_spark.streaming.events import run_dedup_available_now
 
-    work = tempfile.mkdtemp(prefix="ev_stream_dedup_")
+    work = scratch_dir("ev_stream_dedup_")
     src = os.path.join(work, "in")
     os.makedirs(src)
     shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "a.parquet"))
@@ -1681,7 +1682,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_dedup_available_now(
         spark, src, os.path.join(work, "ckpt"), table_name=name
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -2211,7 +2212,7 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     static_docs = d.where(F.col("doc_id") % 4 != 0)
     new_docs = d.where(F.col("doc_id") % 4 == 0)
 
-    work = tempfile.mkdtemp(prefix="stream_neardup_")
+    work = scratch_dir("stream_neardup_")
     src = os.path.join(work, "in")
     os.makedirs(src)
     # two files -> two micro-batches under maxFilesPerTrigger=1
@@ -2234,7 +2235,7 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, static_bands = run_neardup_ingest_available_now(
         spark, src, static_docs, os.path.join(work, "ckpt"), out_path=out
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     static_bands.unpersist()
     # project off the idempotency partition key — the oracle is the batch
     # scoring contract, which has no notion of micro-batches

@@ -12,6 +12,7 @@ _CHECK_FIRST, and the cross-chunk memo caches live in analytics.py.
 
 from __future__ import annotations
 
+from extract_permits_spark.streaming.util import await_or_raise, scratch_dir
 from extract_permits_spark.plans._registry import (
     _ORACLES,
     _components_cached,
@@ -174,7 +175,7 @@ def xlsx_review_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, r in enumerate(review.itertuples(index=False))
         if r.flag
     }
-    path = os.path.join(tempfile.mkdtemp(prefix="xlsx_rt_"), "review.xlsx")
+    path = os.path.join(scratch_dir("xlsx_rt_"), "review.xlsx")
     # S8 presentation extras ride the same gate: a traffic-light cfRule and
     # a data-validation block (reference permit_cleaning.py:1027-1084) are
     # written and must survive the round trip bit-for-bit.
@@ -634,7 +635,7 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_docs = d.where(F.col("doc_id") % 10 == 0)
     train = d.where(F.col("doc_id") % 10 != 0)
 
-    work = tempfile.mkdtemp(prefix="stream_decon_")
+    work = scratch_dir("stream_decon_")
     src = os.path.join(work, "in")
     os.makedirs(src)
     # two files -> two micro-batches under maxFilesPerTrigger=1
@@ -655,7 +656,7 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, eval_grams = run_decontaminate_ingest_available_now(
         spark, src, eval_docs, os.path.join(work, "ckpt"), out_path=out
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     eval_grams.unpersist()
     # project off the idempotency partition key — the oracle is the batch
     # decontamination contract, which has no notion of micro-batches
@@ -694,7 +695,7 @@ def stream_semantic_decon_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = emb.where(F.col("vec_id") % 10 == 0)
     tr = emb.where(F.col("vec_id") % 10 != 0)
 
-    work = tempfile.mkdtemp(prefix="stream_semdecon_")
+    work = scratch_dir("stream_semdecon_")
     src = os.path.join(work, "in")
     os.makedirs(src)
     # two files -> two micro-batches under maxFilesPerTrigger=1
@@ -715,7 +716,7 @@ def stream_semantic_decon_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_semantic_decon_ingest_available_now(
         spark, src, ev, os.path.join(work, "ckpt"), out, min_cosine=0.35
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return spark.read.parquet(out).select(
         "vec_id", "n_hits", "is_contaminated"
     )
@@ -867,13 +868,13 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from extract_permits_spark.streaming.events import run_sessions_available_now
 
-    work = tempfile.mkdtemp(prefix="ev_stream_sessions_")
+    work = scratch_dir("ev_stream_sessions_")
     src = os.path.join(work, "in")
     os.makedirs(src)
     shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
     name = f"ev_stream_sessions_{abs(hash(sf_dir)) % 10**8}"
     q = run_sessions_available_now(spark, src, os.path.join(work, "ckpt"), table_name=name)
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -1143,7 +1144,7 @@ def emb_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
-    work = tempfile.mkdtemp(prefix="ivfpq_serve_")
+    work = scratch_dir("ivfpq_serve_")
     idx = os.path.join(work, "index")
     write_ivfpq_index(emb, book, centroids, idx)
     tag = abs(hash(sf_dir)) % 10**8
@@ -1191,14 +1192,14 @@ def stream_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     book = _pq_book_cached(spark, emb, sf_dir)
     centroids = _ivf_centroids_cached(spark, emb, sf_dir)
-    work = tempfile.mkdtemp(prefix="ann_index_stream_")
+    work = scratch_dir("ann_index_stream_")
     src = os.path.join(work, "in")
     emb.repartition(4).write.parquet(src)
     idx = os.path.join(work, "index")
     q = run_index_ingest_available_now(
         spark, src, book, centroids, idx, os.path.join(work, "ckpt")
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     tag = abs(hash(sf_dir)) % 10**8
     table = f"ann_index_ingested_{tag}"
     (

@@ -12,6 +12,7 @@ _CHECK_FIRST, and the cross-chunk memo caches live in analytics.py.
 
 from __future__ import annotations
 
+from extract_permits_spark.streaming.util import await_or_raise, scratch_dir
 from extract_permits_spark.plans._registry import (
     _ORACLES,
     _components_cached,
@@ -411,7 +412,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from extract_permits_spark.streaming.events import run_interval_join_available_now
 
-    work = tempfile.mkdtemp(prefix="ev_stream_ssj_")
+    work = scratch_dir("ev_stream_ssj_")
     src = os.path.join(work, "in")
     os.makedirs(src)
     shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
@@ -426,7 +427,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = run_interval_join_available_now(
             spark, src, os.path.join(work, "ckpt"), table_name=name
         )
-        q.awaitTermination(300)
+        await_or_raise(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {name}")
@@ -760,13 +761,13 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from extract_permits_spark.streaming.cdc_apply import run_cdc_apply_available_now
 
-    work = tempfile.mkdtemp(prefix="ev_cdc_apply_")
+    work = scratch_dir("ev_cdc_apply_")
     src = os.path.join(work, "in")
     os.makedirs(src)
     shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
     out = os.path.join(work, "out")
     q = run_cdc_apply_available_now(spark, src, os.path.join(work, "ckpt"), out)
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     live = spark.read.parquet(os.path.join(out, "live"))
     return live.select(
         "user_id",
@@ -2388,7 +2389,9 @@ def diag_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH a AS (
       SELECT event_type,
-             date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') // 7 AS wk,
+             greatest(0, least(62,
+               date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') // 7
+             )) AS wk,
              COUNT(*) AS n,
              SUM(CAST(value AS DECIMAL(18,2))) AS s
       FROM events GROUP BY 1, 2
@@ -2419,10 +2422,19 @@ def ev_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines). The fold order and every double op match the oracle's
     list_sum(list_transform(... ORDER BY wk)) exactly. At 100 TB the
     fold input is (n_types × n_weeks) rows — nothing row-scale ever
-    carries a float."""
+    carries a float.
+
+    Age clamp (r13, ADVICE fix): wk is clamped to [0, 62] in BOTH
+    engines at the group-key stage — events newer than the reference
+    date fold at full weight (wk=0) and events older than 62 weeks at
+    2^-62 (numerically ~0 but defined), so arbitrary-age inputs can
+    never index past the 63-entry dyadic table (previously an 8-entry
+    table silently nulled / errored outside the fixture's [0,4] window
+    while the oracle's 1<<wk kept going)."""
     ev = load_table(spark, sf_dir, "events")
     ref = F.lit("2024-02-01").cast("date")
-    wk = F.floor(F.datediff(ref, F.col("ts").cast("date")) / 7).cast("long")
+    wk_raw = F.floor(F.datediff(ref, F.col("ts").cast("date")) / 7).cast("long")
+    wk = F.greatest(F.lit(0).cast("long"), F.least(F.lit(62).cast("long"), wk_raw))
     a = ev.groupBy(
         "event_type", wk.alias("wk")
     ).agg(
@@ -2437,7 +2449,7 @@ def ev_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     decayed = F.aggregate(
         F.transform(F.col("arr"), lambda x: x["s"] / F.element_at(
-            F.array(*[F.lit(float(1 << k)) for k in range(8)]),
+            F.array(*[F.lit(float(1 << k)) for k in range(63)]),
             (x["wk"] + 1).cast("int"),
         )),
         F.lit(0.0),

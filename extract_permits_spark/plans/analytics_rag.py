@@ -12,6 +12,7 @@ _CHECK_FIRST, and the cross-chunk memo caches live in analytics.py.
 
 from __future__ import annotations
 
+from extract_permits_spark.streaming.util import await_or_raise, scratch_dir
 from extract_permits_spark.plans._registry import (
     _ORACLES,
     _components_cached,
@@ -248,6 +249,148 @@ _RRF_SQL = f"""
 """
 
 
+def _hybrid_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rag_rrf_fusion's values from ONE corpus token scan (r13, VERDICT
+    ask #5). The standalone scorers each explode+md5 the token stream
+    (the dominant stage); composed, that ran twice because Catalyst has
+    no cross-branch common-subtree elimination. Here both scorers'
+    statistics derive from one wide pre-aggregate
+
+        (doc_id, dim, qword) -> (n tokens, Σ sign)
+
+    where ``dim``/``sign`` are the hashing-trick bucket/sign (exactly
+    hashed_tf's) and ``qword`` is the token itself iff it's a query
+    word, else NULL. Output cardinality ≤ docs × 64 + docs × |q|; the
+    values are pure counting aggregates (map-side combined — no
+    collect_list, so a doc spamming a query word a million times still
+    contributes ONE row, not a million-element array). Both scorers'
+    downstream aggregates embed the IDENTICAL pre-aggregate exchange,
+    so Spark's ReuseExchange runs the scan+explode+partial-agg once:
+
+    - tf needs NO re-aggregation (a non-null qword pins the word in the
+      group key, so that group's ``n`` IS the term frequency);
+    - the hash scorer's (doc, dim) vector re-aggregates ``sval`` and
+      folds BM25's doc length in the same groupBy(doc_id) as the
+      cosine, so ``lens`` stops being its own exchange.
+
+    Scores are bit-identical to the standalone entries by construction
+    (the same exact integers enter the same float expressions), so the
+    fused list — and every consumer hash — is unchanged."""
+    import hashlib
+    from collections import defaultdict
+
+    from extract_permits_spark.functions.similarity import tokens
+
+    qwords = sorted(set(_RAG_QUERY_TEXT.strip().lower().split()))
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).where(F.col("word") != "")
+    h = F.md5(F.col("word").cast("binary"))
+    dim = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 64).cast("int")
+    sign = F.when(
+        F.conv(F.substring(h, 5, 1), 16, 10).cast("long") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    qword = F.when(F.col("word").isin(qwords), F.col("word"))
+    pre = (
+        tok.select(
+            "doc_id", dim.alias("dim"), sign.alias("_s"), qword.alias("_qw")
+        )
+        .groupBy("doc_id", "dim", "_qw")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_s").cast("long").alias("sval"),
+        )
+    )
+
+    # --- hash-embedding vector, + BM25's doc length riding along ---
+    v = pre.groupBy("doc_id", "dim").agg(
+        F.sum("sval").cast("long").alias("val"),
+        F.sum("n").cast("long").alias("nn"),
+    )
+    qv: dict[int, int] = defaultdict(int)
+    for word in _RAG_QUERY_TEXT.strip().lower().split():
+        hh = hashlib.md5(word.encode()).hexdigest()
+        qv[int(hh[:4], 16) % 64] += 1 if int(hh[4], 16) % 2 == 0 else -1
+    q2 = sum(x * x for x in qv.values())
+    qdf = spark.createDataFrame(
+        [(int(k), int(x)) for k, x in sorted(qv.items()) if x != 0],
+        "dim int, qval long",
+    )
+    folded = (
+        v.join(F.broadcast(qdf), "dim", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("val") * F.coalesce(F.col("qval"), F.lit(0)))
+            .cast("long")
+            .alias("dot"),
+            F.sum(F.col("val") * F.col("val")).cast("long").alias("n2"),
+            F.sum("nn").cast("long").alias("dl"),
+        )
+    )
+
+    # --- BM25 branch (statistics identical to rag_bm25_topk's) ---
+    tf = pre.where(F.col("_qw").isNotNull()).select(
+        "doc_id", F.col("_qw").alias("word"), F.col("n").alias("tf")
+    )
+    lens = folded.select("doc_id", "dl")
+    stats = folded.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot"),
+    )
+    dfq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm_len = F.col("dl") * F.col("n_docs") / F.col("tot").cast("double")
+    term = (
+        idf
+        * (F.col("tf") * F.lit(2.2))
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * norm_len))
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "word")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term).alias("s"))
+    )
+    bm25 = F.floor(F.col("s") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    bm = (
+        scored.select("doc_id", bm25.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+    cos = (
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("n2").cast("double") * F.lit(float(q2)))
+    )
+    cos6 = F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    hv = (
+        folded.select("doc_id", cos6.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(20)
+    )
+
+    # --- RRF epilogue, identical to rag_rrf_fusion's ---
+    wb = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    wh = Window.orderBy(F.col("cos_sim").desc(), "doc_id")
+    u = bm.select(
+        "doc_id", F.row_number().over(wb).alias("rnk")
+    ).unionByName(
+        hv.select("doc_id", F.row_number().over(wh).alias("rnk"))
+    )
+    return (
+        u.groupBy("doc_id")
+        .agg(F.sum(F.lit(1.0) / (F.lit(60) + F.col("rnk"))).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )
+
+
 @register("rag_rrf_fusion", _RRF_SQL)
 def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (Cormack et al., k=60)
@@ -264,22 +407,15 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     all corpus-scale work stays inside the two scorers' one-pass plans.
     The oracle embeds both scorers' full SQL and fuses identically —
     the composition, including both rankers' tiebreaks, is what's
-    hash-checked."""
-    bm = rag_bm25_topk(spark, sf_dir)
-    hv = rag_hash_retrieval(spark, sf_dir)
-    wb = Window.orderBy(F.col("bm25").desc(), "doc_id")
-    wh = Window.orderBy(F.col("cos_sim").desc(), "doc_id")
-    u = bm.select(
-        "doc_id", F.row_number().over(wb).alias("rnk")
-    ).unionByName(
-        hv.select("doc_id", F.row_number().over(wh).alias("rnk"))
-    )
-    return (
-        u.groupBy("doc_id")
-        .agg(F.sum(F.lit(1.0) / (F.lit(60) + F.col("rnk"))).alias("rrf"))
-        .orderBy(F.col("rrf").desc(), "doc_id")
-        .limit(10)
-    )
+    hash-checked.
+
+    Since r13 the physical plan is the shared-scan spelling
+    (_hybrid_fused): both scorers' statistics re-aggregate one wide
+    token pre-aggregate instead of exploding the corpus twice. Scores
+    and the fused list are bit-identical to composing the standalone
+    entries (which keep their own individually-optimal one-scan
+    plans)."""
+    return _hybrid_fused(spark, sf_dir)
 
 
 _HYBRID_RECALL_SQL = f"""
@@ -408,19 +544,11 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     rrf = rag_rrf_fusion(spark, sf_dir)
     wr = Window.orderBy(F.col("rrf").desc(), "doc_id")
     ranked = rrf.select("doc_id", F.row_number().over(wr).alias("rnk"))
-    # One scorer pass, not five: `ranked` (and `cand` below) is ≤10 rows
-    # but REFERENCING it lazily re-plans the whole BM25 + hash-embed
-    # corpus pipeline at every use site — the un-checkpointed physical
-    # plan holds 23 documents scans / 82 aggregates, because Catalyst has
-    # no cross-branch common-subtree elimination and the branches' shapes
-    # diverge too early for ReuseExchange. A LAZY localCheckpoint
-    # materializes the 10 rows once per evaluation — inside the timed
-    # action, not at construction — and every downstream branch reads the
-    # cached partitions. The re-applied .limit(10) is a data no-op that
-    # restores the GlobalLimit on the plan spine, which the checkpoint's
-    # LogicalRDD would otherwise hide from the bounded-window plan
-    # detector (tests/test_plan_quality.py) and from AQE's stats.
-    ranked = ranked.localCheckpoint(eager=False).limit(10)
+    # `ranked` has exactly ONE consumer (the cand lookup join below —
+    # the final rank re-attach joins the checkpointed `cand` instead),
+    # so the whole scorer pipeline evaluates once inside cand's
+    # checkpoint and ranked needs no materialization of its own (r13:
+    # was a second lazy checkpoint = one more job floor).
 
     d = load_table(spark, sf_dir, "documents")
     # The .limit(10) is a no-op by construction (ranked is the fused
@@ -441,51 +569,102 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chunker) — checkpoint the ≤10 rows so the text-fetch scan runs once
     cand = cand.localCheckpoint(eager=False).limit(10)
 
-    sh = cand.select("rnk", "doc_id", word_shingles(F.col("text")).alias("sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union_sz = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    # candidate-list pairwise join: ≤45 pairs over a ≤10-row broadcast —
-    # bounded by the scorers' LIMITs, never corpus-quadratic
-    dropped = (
-        a.join(F.broadcast(b), F.col("a.rnk") < F.col("b.rnk"))
-        .where((union_sz > F.lit(0)) & (F.lit(2) * inter >= union_sz))
-        .select(F.col("b.doc_id").alias("doc_id"))
-        .distinct()
-    )
-    keep = cand.join(F.broadcast(dropped), "doc_id", "left_anti")
+    # --- bounded epilogue as ONE array program (r13, VERDICT ask #5) ---
+    # The prune → chunk → pack tail operates on a frame PROVEN ≤10 rows
+    # (the GlobalLimit above), yet as dataframe ops it cost ~20 AQE
+    # stage/broadcast jobs of pure scheduling floor (measured: 29 jobs,
+    # ~2.6 s at sf0.1, of which the scorers were 9). The candidate-scale
+    # spelling is a single collect_list into ONE row and higher-order
+    # array functions for the pairwise Jaccard prune, the 64-token
+    # chunking, and the greedy 512-budget prefix walk — all JVM-side
+    # codegen'd expressions, 3 stages total, and the array never holds
+    # more than the 10 candidates' shingle sets. Semantics are
+    # field-for-field the old join/window spelling (and the oracle CTE).
+    from extract_permits_spark.functions.similarity import tokens
 
-    chunks = textfn.chunk_documents(
-        keep, id_col="doc_id", text_col="text", chunk_tokens=64, overlap=0
-    )
-    walked = (
-        chunks.join(F.broadcast(ranked), "doc_id")
-        .select(
-            "rnk",
-            "doc_id",
-            "chunk_idx",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-        )
-        .withColumn(
-            "cum_tokens",
-            F.sum("n_tokens")
-            .over(
-                Window.orderBy("rnk", "chunk_idx").rowsBetween(
-                    Window.unboundedPreceding, 0
+    cs_row = cand.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("rnk"),
+                    F.col("doc_id"),
+                    word_shingles(F.col("text")).alias("sh"),
+                    tokens(F.col("text")).alias("toks"),
                 )
             )
-            .cast("long"),
-        )
+        ).alias("cs")
     )
-    return walked.where(F.col("cum_tokens") <= 512).select(
-        F.row_number()
-        .over(Window.orderBy("rnk", "chunk_idx"))
-        .cast("int")
-        .alias("position"),
-        "doc_id",
-        "chunk_idx",
-        "n_tokens",
-        "cum_tokens",
+    cs = F.col("cs")
+
+    def _inter(x, y):
+        return F.size(F.array_intersect(x["sh"], y["sh"]))
+
+    def _union(x, y):
+        return F.size(x["sh"]) + F.size(y["sh"]) - _inter(x, y)
+
+    # dropped iff ANY higher-ranked candidate (dropped or not — same
+    # non-transitive contract as the oracle's a JOIN b ON a.rnk < b.rnk)
+    # has 3-gram Jaccard ≥ 0.5, stated in exact integers
+    is_dropped = lambda x: F.exists(  # noqa: E731
+        cs,
+        lambda y: (y["rnk"] < x["rnk"])
+        & (_union(x, y) > F.lit(0))
+        & (F.lit(2) * _inter(x, y) >= _union(x, y)),
+    )
+    kept = F.filter(cs, lambda x: (~is_dropped(x)) & (F.size(x["toks"]) > 0))
+
+    # 64-token chunks, exactly chunk_documents(chunk_tokens=64, overlap=0):
+    # starts 1, 65, ... capped at the last in-range start
+    def _chunks_of(x):
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size(x["toks"]), F.lit(1)), F.lit(64)
+        )
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                x["doc_id"].alias("doc_id"),
+                i.cast("int").alias("chunk_idx"),
+                F.least(F.lit(64), F.size(x["toks"]) - s + 1)
+                .cast("long")
+                .alias("n_tokens"),
+            ),
+        )
+
+    flat = F.flatten(F.transform(kept, _chunks_of))
+    # greedy in-rank-order pack: running token total, keep cum ≤ 512
+    zero = F.struct(
+        F.lit(0).cast("long").alias("tot"),
+        F.array().cast(
+            "array<struct<doc_id:bigint,chunk_idx:int,"
+            "n_tokens:bigint,cum_tokens:bigint>>"
+        ).alias("out"),
+    )
+    packed = F.aggregate(
+        flat,
+        zero,
+        lambda acc, c: F.struct(
+            (acc["tot"] + c["n_tokens"]).alias("tot"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        c["doc_id"].alias("doc_id"),
+                        c["chunk_idx"].alias("chunk_idx"),
+                        c["n_tokens"].alias("n_tokens"),
+                        (acc["tot"] + c["n_tokens"]).alias("cum_tokens"),
+                    )
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: F.filter(acc["out"], lambda r: r["cum_tokens"] <= 512),
+    )
+    ex = cs_row.select(F.posexplode(packed).alias("pos", "r"))
+    return ex.select(
+        (F.col("pos") + 1).cast("int").alias("position"),
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.chunk_idx").alias("chunk_idx"),
+        F.col("r.n_tokens").alias("n_tokens"),
+        F.col("r.cum_tokens").alias("cum_tokens"),
     )
 
 
@@ -1954,22 +2133,24 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    work = tempfile.mkdtemp(prefix="corpus_stream_")
-    src = os.path.join(work, "in")
-    write_jsonl_corpus(d.repartition(4), src, compression=None)
-    with open(os.path.join(src, "poison.json"), "w") as f:
-        f.write("this is not json\nnull\n{\"doc_id\": \"not a long\"\n")
-    tag = abs(hash(sf_dir)) % 10**8
-    clean_t, bad_t = f"corpus_clean_{tag}", f"corpus_bad_{tag}"
-    qc, qb = run_ingest_available_now(
-        spark, src, os.path.join(work, "ckpt"), schema, clean_t, bad_t
-    )
-    qc.awaitTermination(300)
-    qb.awaitTermination(300)
-    shutil.rmtree(work, ignore_errors=True)
-    return spark.sql(
-        f"SELECT doc_id, text, lang, source, n_chars FROM {clean_t}"
-    )
+    work = scratch_dir("corpus_stream_")
+    try:
+        src = os.path.join(work, "in")
+        write_jsonl_corpus(d.repartition(4), src, compression=None)
+        with open(os.path.join(src, "poison.json"), "w") as f:
+            f.write("this is not json\nnull\n{\"doc_id\": \"not a long\"\n")
+        tag = abs(hash(sf_dir)) % 10**8
+        clean_t, bad_t = f"corpus_clean_{tag}", f"corpus_bad_{tag}"
+        qc, qb = run_ingest_available_now(
+            spark, src, os.path.join(work, "ckpt"), schema, clean_t, bad_t
+        )
+        await_or_raise(qc, 300)
+        await_or_raise(qb, 300)
+        return spark.sql(
+            f"SELECT doc_id, text, lang, source, n_chars FROM {clean_t}"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 # ===========================================================================
 # Embedding near-dup COMPONENTS (r12) — the scale-correct dedup contract
@@ -2767,31 +2948,41 @@ def stream_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     static_media = media.where(F.col("media_id") % 2 == 0)
     new_media = media.where(F.col("media_id") % 2 == 1)
 
-    work = tempfile.mkdtemp(prefix="stream_phash_")
-    src = os.path.join(work, "in")
-    os.makedirs(src)
-    # two files -> two micro-batches under maxFilesPerTrigger=1
-    for part, cond in (("f0", 0), ("f1", 1)):
-        sub = os.path.join(src, part)
-        new_media.where(
-            ((F.col("media_id") - 1) / 2).cast("long") % 2 == cond
-        ).coalesce(1).write.parquet(sub)
-        for fn in os.listdir(sub):
-            if fn.endswith(".parquet"):
-                shutil.move(
-                    os.path.join(sub, fn), os.path.join(src, f"{part}.parquet")
-                )
-        shutil.rmtree(sub, ignore_errors=True)
+    work = scratch_dir("stream_phash_")
+    try:
+        src = os.path.join(work, "in")
+        os.makedirs(src)
+        # two files -> two micro-batches under maxFilesPerTrigger=1
+        for part, cond in (("f0", 0), ("f1", 1)):
+            sub = os.path.join(src, part)
+            new_media.where(
+                ((F.col("media_id") - 1) / 2).cast("long") % 2 == cond
+            ).coalesce(1).write.parquet(sub)
+            for fn in os.listdir(sub):
+                if fn.endswith(".parquet"):
+                    shutil.move(
+                        os.path.join(sub, fn), os.path.join(src, f"{part}.parquet")
+                    )
+            shutil.rmtree(sub, ignore_errors=True)
 
-    out = os.path.join(work, "out")
-    q, static_bands = run_phash_ingest_available_now(
-        spark, src, static_media, os.path.join(work, "ckpt"), out_path=out
-    )
-    q.awaitTermination(300)
-    static_bands.unpersist()
-    # project off the idempotency partition key — the oracle is the batch
-    # contract, which has no notion of micro-batches
-    return spark.read.parquet(out).select("media_id", "is_neardup")
+        out = os.path.join(work, "out")
+        q, static_bands = run_phash_ingest_available_now(
+            spark, src, static_media, os.path.join(work, "ckpt"), out_path=out
+        )
+        await_or_raise(q, 300)
+        static_bands.unpersist()
+        # Land the result in a managed table BEFORE the work dir goes
+        # away (same hygiene as the corpus ingest entries) — a lazy read
+        # over the temp dir would dangle after cleanup. Project off the
+        # idempotency partition key: the oracle is the batch contract,
+        # which has no notion of micro-batches.
+        tbl = f"stream_phash_out_{abs(hash(sf_dir)) % 10**8}"
+        spark.read.parquet(out).select("media_id", "is_neardup").write.mode(
+            "overwrite"
+        ).saveAsTable(tbl)
+        return spark.table(tbl)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @register("emb_pca_top2", _ann_sql.pca_power2_sql(dim=64, iters=8))

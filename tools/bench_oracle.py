@@ -67,13 +67,15 @@ def main() -> None:
     # emb_ivfpq_topk: the Spark side amortizes the k-means + PQ fits
     # through its index caches (the production contract) while the oracle
     # replays both fits per query — asymmetric as a timed pair.
-    # mm_image_phash: same codec-vs-closed-form asymmetry as
-    # mm_image_stats (the Spark side inflates/unfilters real PNGs).
+    # mm_image_phash / mm_video_shots / mm_audio_fingerprint are PAIRED
+    # since r13 (r12 VERDICT ask #4): the same codec-vs-closed-form
+    # asymmetry exists, but a same-sitting ratio with the caveat written
+    # down beats an unpaired headline row. BASELINE.md carries the
+    # caveat next to the numbers.
     skip_timing = {
         "dedup_minhash_lsh",
         "dedup_simhash",
         "mm_image_stats",
-        "mm_image_phash",
         "emb_ivfpq_topk",
         "emb_ivfpq_batch_topk",
     }
@@ -152,6 +154,14 @@ def main() -> None:
         t0 = time.time()
         con.execute(oracles["text_tfidf"]).fetchall()
         times["text_tfidf_sf1eq"] = round(time.time() - t0, 3)
+
+    # hybrid RRF fusion at 10x documents (mirror of bench.py's
+    # rag_fusion_sf1eq): the registry oracle embeds both scorers' full
+    # SQL; the `documents` view still points at the 10x table here.
+    if "rag_rrf_fusion" in oracles and "dedup_minhash_md5" in oracles:
+        t0 = time.time()
+        con.execute(oracles["rag_rrf_fusion"]).fetchall()
+        times["rag_fusion_sf1eq"] = round(time.time() - t0, 3)
 
     # tf-idf at 100x documents (mirror of bench.py's text_tfidf_sf10eq):
     # amplified corpus materialized outside the timed region, then the
