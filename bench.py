@@ -197,8 +197,9 @@ def main() -> None:
         # legitimate reuse for the correctness harness, but a bench
         # steady-state that skips the closure would not be comparable
         # to DuckDB's full-query replay.
-        analytics._JACCARD_PAIRS_CACHE.clear()
-        analytics._COMPONENTS_CACHE.clear()
+        from extract_permits_spark.plans import _registry as _reg2
+
+        _reg2.clear_frame_caches()  # frees checkpoint blocks too (r13)
         force(qs["llm_corpus_curation"](spark, sf_dir))
 
     runnables: list[tuple[str, object]] = [

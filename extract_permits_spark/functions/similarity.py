@@ -1663,6 +1663,73 @@ def kcenter_select(
         v.unpersist()
 
 
+def kcenter_select_batched(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    batch: int = 4,
+) -> tuple[list[tuple[int, int]], list[list[float]]]:
+    """Batched farthest-point k-center — the scale path when k grows
+    past ~100 and ``kcenter_select``'s k sequential driver passes become
+    the bottleneck (SCALE.md named this limitation; r12 VERDICT ask #9).
+
+    Per round, pick the ``batch`` UNSELECTED points farthest from the
+    current center set (by the running dmin, ties by min id) in ONE
+    top-b reduce, then fold all of them in before the next distance
+    update — ceil((k−1)/batch) passes instead of k−1. This is the
+    standard oversampled greedy (k-means‖-style batching applied to the
+    Gonzalez sweep): batch members are far from all PREVIOUS centers
+    but may be near each other, so the strict 2-approximation bound
+    loosens to a constant factor in practice — the documented trade for
+    k/b× fewer corpus scans. batch=1 degenerates to the exact greedy.
+
+    Determinism contract matches kcenter_select: seed = min id; top-b is
+    an (dmin DESC, id ASC) TakeOrdered (never a global sort); distance
+    updates are LEAST-chains over the batch (min of exact doubles —
+    order-insensitive), each inner fold the bit-pinned left-to-right
+    ``_sqdist_to``. Driver state: k ids + k·dim doubles. The DuckDB twin
+    (plans/ann_sql.py: kcenter_batch_sql) unrolls the identical rounds.
+    """
+    if k < 1 or batch < 1:
+        raise ValueError(f"kcenter_select_batched: k={k}, batch={batch} must be >= 1")
+    v = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("e")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        seed = v.orderBy("_id").limit(1).first()
+        if seed is None:
+            raise ValueError("kcenter_select_batched: empty corpus")
+        sel: list[tuple[int, int]] = [(0, int(seed["_id"]))]
+        centers: list[list[float]] = [[float(x) for x in seed["e"]]]
+        df = v.withColumn("dmin", F.lit(float("inf")))
+        new_centers = centers[:]
+        while len(sel) < k:
+            df = df.withColumn(
+                "dmin",
+                F.least(F.col("dmin"), *[_sqdist_to(c) for c in new_centers]),
+            )
+            picked = [s[1] for s in sel]
+            b = min(batch, k - len(sel))
+            rows = (
+                df.where(~F.col("_id").isin(*picked))
+                .orderBy(F.col("dmin").desc(), "_id")
+                .limit(b)
+                .select("_id", "e")
+                .collect()
+            )
+            if not rows:
+                break  # corpus exhausted (k > n): return the prefix found
+            new_centers = []
+            for r in rows:
+                sel.append((len(sel), int(r["_id"])))
+                new_centers.append([float(x) for x in r["e"]])
+            centers.extend(new_centers)
+        return sel, centers
+    finally:
+        v.unpersist()
+
+
 def pca_power_fit(
     vectors: DataFrame,
     id_col: str = "vec_id",

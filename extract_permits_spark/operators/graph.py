@@ -83,6 +83,14 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    # Stale-round checkpoint blocks are freed EXPLICITLY: clearCache()
+    # does not touch LogicalRDD blocks, so without this every round's
+    # label frame stayed on the heap for the life of the session — the
+    # r13-probed root cause of the curation row's full-GC tails (8 s
+    # settled runs spiking to 26 s as dead rounds accumulated).
+    from extract_permits_spark.session import free_local_checkpoint
+
+    prev = labels
     for _ in range(max_rounds):
         neighbor_min = (
             sym.join(labels, sym.v == labels.id)
@@ -114,8 +122,13 @@ def connected_components(
             obs, F.sum(F.col("_changed").cast("long")).alias("changed")
         ).localCheckpoint(eager=True)
         changed = obs.get["changed"] or 0
+        # this round's checkpoint has materialized — the previous
+        # round's blocks are now unreachable by construction
+        free_local_checkpoint(prev)
+        prev = proposed
         checkpointed = proposed.drop("_changed")
         if changed == 0:
+            free_local_checkpoint(sym)
             return checkpointed
         # pointer jump: follow the label one hop (component ids are vertex
         # ids, so the lookup is a self-join of the label table)

@@ -63,6 +63,25 @@ _PCA_CACHE: dict[tuple[int, str], tuple] = {}
 _PCA2_CACHE: dict[tuple[int, str], tuple] = {}
 
 
+def clear_frame_caches() -> None:
+    """Drop the memoized DATAFRAME caches and FREE their checkpoint
+    blocks (r13 GC-tail fix). ``dict.clear()`` alone left every cleared
+    generation's corpus-scale LogicalRDD blocks on the heap for the
+    life of the session — clearCache() doesn't touch them — so bench
+    fresh-runs accumulated dead blocks until full-GC tails (probed:
+    settled 8 s curation runs spiking to 26 s by the third batch).
+    Callers that want a fresh end-to-end run (bench, probes) use THIS,
+    not the raw dicts. Driver-value caches (centroids, PCA, k-center)
+    hold no executor storage and are cleared by their owners as needed.
+    """
+    from extract_permits_spark.session import free_local_checkpoint
+
+    for cache in (_COMPONENTS_CACHE, _JACCARD_PAIRS_CACHE, _EMB_COMPONENTS_CACHE):
+        for df in cache.values():
+            free_local_checkpoint(df)
+        cache.clear()
+
+
 def _pca2_cached(
     spark: SparkSession, emb: DataFrame, sf_dir: str
 ) -> tuple:
@@ -100,6 +119,19 @@ def _kcenter_cached(
     if key not in _KCENTER_CACHE:
         _KCENTER_CACHE[key] = simfn.kcenter_select(
             emb, "vec_id", "embedding", k=k
+        )
+    return _KCENTER_CACHE[key]
+
+
+def _kcenter_batched_cached(
+    spark: SparkSession, emb: DataFrame, sf_dir: str, k: int = 8, batch: int = 4
+) -> tuple:
+    """Memoized BATCHED k-center selection (emb_kcenter_batch's fit) —
+    same rationale and cache as the exact greedy, keyed separately."""
+    key = (id(spark), sf_dir, "batched", k, batch)
+    if key not in _KCENTER_CACHE:
+        _KCENTER_CACHE[key] = simfn.kcenter_select_batched(
+            emb, "vec_id", "embedding", k=k, batch=batch
         )
     return _KCENTER_CACHE[key]
 

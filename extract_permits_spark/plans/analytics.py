@@ -49,6 +49,7 @@ _CHECK_FIRST = [
     # emb_neardup_lsh r10), (c) 3 of the touched streaming entries with
     # the oldest witnesses, (d) the ENTIRE remaining r8 cohort — after
     # this window lands green, no entry's last witness predates r9.
+    "emb_kcenter_batch",  # NEW in r13 (batched farthest-point coreset)
     "ev_decayed_counts",
     "emb_kcenter_coreset",
     "rag_context_assembly",
@@ -98,7 +99,7 @@ _CHECK_FIRST = [
     "docs_span_dup_rate",
     "ann_matryoshka_mrr",
     "docs_span_mask",
-    "docs_corpus_report",
+    # docs_corpus_report displaced to r14 by the new emb_kcenter_batch
 ]
 
 # r13 rotation NOTE: deferred to r14+ — the touched-but-hygiene-only

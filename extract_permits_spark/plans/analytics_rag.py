@@ -2809,6 +2809,50 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_kcenter_batch", _ann_sql.kcenter_batch_sql(dim=64, k=8, batch=4))
+def emb_kcenter_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched farthest-point k-center + nearest-center assignment — the
+    scale path for coreset selection when k grows past ~100 and the
+    exact greedy's k sequential driver passes dominate (r12 VERDICT #9;
+    SCALE.md names the limitation on emb_kcenter_coreset).
+
+    Selection: similarity.kcenter_select_batched — ceil((k−1)/batch)
+    passes, each ONE top-b TakeOrdered reduce by (dmin DESC, id), then a
+    LEAST-chain distance fold over the whole batch. Oversampled greedy:
+    batch members are far from all previous centers but may be near
+    each other, so the 2-approx bound loosens to a constant factor —
+    the documented trade for batch× fewer corpus scans (the
+    approximate-family contracts table in COVERAGE.md states it).
+    Assignment: the same codegen'd argmin-over-broadcast-centers as
+    emb_kcenter_coreset. The DuckDB twin unrolls the identical rounds
+    (top-b by the same keys, MIN-of-doubles distance folds), so every
+    pick and assignment hash-matches."""
+    from extract_permits_spark.plans._registry import _kcenter_batched_cached
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sel, centers = _kcenter_batched_cached(spark, emb, sf_dir, k=8, batch=4)
+    center_ids = [cid for _, cid in sel]
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                simfn._sqdist_to(c).alias("d"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for (_, cid), c in zip(sel, centers)
+        ]
+    )
+    best = F.array_sort(scored).getItem(0)
+    return v.select(
+        "vec_id",
+        best["cid"].alias("center_id"),
+        F.round(best["d"], 6).alias("dist_sq"),
+        F.col("vec_id").isin(*center_ids).alias("is_center"),
+    )
+
+
 @register("emb_pca_project", _ann_sql.pca_power_sql(dim=64, iters=8))
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-principal-component projection by power iteration — the

@@ -962,6 +962,64 @@ def kcenter_sql(dim: int = 64, k: int = 8) -> str:
     """
 
 
+def kcenter_batch_sql(dim: int = 64, k: int = 8, batch: int = 4) -> str:
+    """Unrolled BATCHED farthest-point selection + nearest-center
+    assignment — the oracle twin of emb_kcenter_batch
+    (similarity.kcenter_select_batched). Each round's CTE picks the
+    round's top-b unselected rows by (dmin DESC, vec_id) in one ORDER BY
+    ... LIMIT b (exactly the Spark side's TakeOrdered), then the next
+    distance CTE folds LEAST(dmin, MIN over the batch) — MIN of exact
+    doubles, order-insensitive, matching the Spark LEAST-chain. Same
+    MATERIALIZED discipline as kcenter_sql (each d{r}/n{r} is referenced
+    twice; inlining re-evaluates the chain exponentially)."""
+    parts = [
+        _v_cte(dim),
+        "s0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1)",
+        f"d0 AS MATERIALIZED (SELECT v.vec_id, v.e,"
+        f" {_sqdist('v.e', 's0.e', dim)} AS dmin FROM v, s0)",
+    ]
+    sel_union = "SELECT vec_id FROM s0"
+    sizes = []
+    remaining = k - 1
+    while remaining > 0:
+        sizes.append(min(batch, remaining))
+        remaining -= sizes[-1]
+    for r, b in enumerate(sizes, start=1):
+        parts.append(
+            f"n{r} AS MATERIALIZED (SELECT vec_id, e FROM d{r - 1}"
+            f" WHERE vec_id NOT IN ({sel_union})"
+            f" ORDER BY dmin DESC, vec_id LIMIT {b})"
+        )
+        if r < len(sizes):
+            parts.append(
+                f"d{r} AS MATERIALIZED (SELECT d.vec_id, d.e,"
+                f" LEAST(d.dmin, MIN({_sqdist('d.e', 'n.e', dim)})) AS dmin"
+                f" FROM d{r - 1} d, n{r} n GROUP BY d.vec_id, d.e, d.dmin)"
+            )
+        sel_union += f" UNION ALL SELECT vec_id FROM n{r}"
+    centers = " UNION ALL ".join(
+        ["SELECT vec_id, e FROM s0"]
+        + [f"SELECT vec_id, e FROM n{r}" for r in range(1, len(sizes) + 1)]
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    centers AS ({centers}),
+    assign AS (
+      SELECT v.vec_id, c.vec_id AS center_id, {_sqdist('v.e', 'c.e', dim)} AS d,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_sqdist('v.e', 'c.e', dim)}, c.vec_id
+             ) AS rn
+      FROM v, centers c
+    )
+    SELECT a.vec_id, a.center_id,
+           ROUND(a.d, 6) AS dist_sq,
+           a.vec_id = a.center_id AS is_center
+    FROM assign a WHERE rn = 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # Power-iteration PCA (twin of similarity.pca_power_fit)
 # ---------------------------------------------------------------------------

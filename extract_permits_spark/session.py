@@ -61,3 +61,26 @@ def get_spark(app_name: str = "extract-permits-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .getOrCreate()
     )
+
+
+def free_local_checkpoint(df) -> None:
+    """Release the storage blocks of a localCheckpoint'ed DataFrame.
+
+    ``spark.catalog.clearCache()`` only clears cache-manager entries —
+    a LogicalRDD's blocks live until the JVM happens to GC the RDD
+    object (ContextCleaner reference tracking), which under heap
+    pressure is exactly when they're most harmful: iterative loops that
+    checkpoint per round accumulate dead rounds' blocks and the
+    shrinking heap turns into full-GC tails (r13 probe: the third
+    settled curation run spiked 8 s → 26 s with zero code change).
+    Verified on pyspark 4.1: analyzed() is a LogicalRDD for a
+    checkpointed frame and unpersisting its RDD drops the blocks.
+    Silently no-ops on non-checkpointed frames or API drift — this is
+    an allocator hint, never a correctness dependency.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass

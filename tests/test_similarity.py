@@ -342,6 +342,44 @@ def test_kcenter_select_greedy_picks_and_bounded_state(spark):
         assert 2 in chosen and chosen.index(2) < chosen.index(3)
 
 
+def test_kcenter_batched_matches_greedy_at_batch1_and_guards(spark):
+    """kcenter_select_batched: batch=1 degenerates to the exact Gonzalez
+    greedy (same picks, same centers); k > n stops early with every row
+    selected; empty corpus raises; batch>1 still returns k DISTINCT
+    ids whose first pick equals the greedy's first pick (the seed and
+    the round-1 farthest point are batch-independent)."""
+    import pytest
+
+    from extract_permits_spark.functions.similarity import (
+        kcenter_select,
+        kcenter_select_batched,
+    )
+
+    pts = {0: 0.0, 1: 10.0, 2: 5.0, 3: 5.0, 4: 100.0, 5: 99.0}
+    rows = [(i, [v, 0.0]) for i, v in pts.items()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    sel_g, cent_g = kcenter_select(df, k=4)
+    sel_b1, cent_b1 = kcenter_select_batched(df, k=4, batch=1)
+    assert sel_b1 == sel_g and cent_b1 == cent_g
+
+    sel_b2, cent_b2 = kcenter_select_batched(df, k=4, batch=2)
+    ids = [cid for _, cid in sel_b2]
+    assert len(ids) == 4 and len(set(ids)) == 4
+    assert ids[0] == sel_g[0][1]  # seed identical
+    assert ids[1] == sel_g[1][1]  # round-1 farthest identical
+
+    # k > n: early stop, all rows selected once
+    sel_all, _ = kcenter_select_batched(df, k=100, batch=3)
+    assert sorted(cid for _, cid in sel_all) == sorted(pts)
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        kcenter_select_batched(empty, k=2, batch=2)
+    with pytest.raises(ValueError):
+        kcenter_select(empty, k=2)
+
+
 def test_kcenter_assignment_plan_is_narrow(spark):
     """emb_kcenter_coreset's assignment stage is a single codegen'd
     projection over broadcast center literals — no join, no Exchange

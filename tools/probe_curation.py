@@ -60,13 +60,13 @@ def main() -> None:
         # one untimed warmup at the BASE sf (mirrors the bench regime,
         # where the headline set has long since JIT-warmed every plan
         # shape before the scale row runs)
-        analytics._JACCARD_PAIRS_CACHE.clear()
-        analytics._COMPONENTS_CACHE.clear()
+        from extract_permits_spark.plans import _registry as _reg
+
+        _reg.clear_frame_caches()
         force(qs["llm_corpus_curation"](spark, sf_dir))
 
         for _ in range(n_runs):
-            analytics._JACCARD_PAIRS_CACHE.clear()
-            analytics._COMPONENTS_CACHE.clear()
+            _reg.clear_frame_caches()
             settle()
             t0 = time.time()
             force(qs["llm_corpus_curation"](spark, cur_dir))
