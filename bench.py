@@ -344,18 +344,16 @@ def main() -> None:
             times_scale["text_tfidf_sf1eq"] = round(time.time() - t0, 3)
             _settle()
 
-            # hybrid RRF fusion at 10x documents (r13): the shared-scan
-            # spelling — ONE token-stream explode + pre-aggregate feeds
-            # BOTH scorers (BM25 and hash-embed cosine). The DuckDB pair
-            # replays the registry oracle's embedded two-scorer SQL over
-            # the same materialized table; this row is where the
-            # one-scan-instead-of-two structure shows up as wall clock.
-            from extract_permits_spark.plans.analytics_rag import (
-                _hybrid_fused,
-            )
-
+            # hybrid RRF fusion at 10x documents (r13): the two-subtree
+            # composition (BM25 scan + hash-embed scan + 20-row fusion
+            # epilogue). The DuckDB pair replays the registry oracle's
+            # embedded two-scorer SQL over the same materialized table.
+            # (A one-scan "shared pre-aggregate" spelling was probed and
+            # reverted — per-branch column pruning defeated
+            # ReuseExchange and the physical plan ran FIVE corpus
+            # explodes; see SCALE.md r13.)
             t0 = time.time()
-            force(_hybrid_fused(spark, docs_dir))
+            force(qs["rag_rrf_fusion"](spark, docs_dir))
             times_scale["rag_fusion_sf1eq"] = round(time.time() - t0, 3)
         finally:
             shutil.rmtree(docs_dir, ignore_errors=True)

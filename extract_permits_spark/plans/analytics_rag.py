@@ -249,148 +249,6 @@ _RRF_SQL = f"""
 """
 
 
-def _hybrid_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rag_rrf_fusion's values from ONE corpus token scan (r13, VERDICT
-    ask #5). The standalone scorers each explode+md5 the token stream
-    (the dominant stage); composed, that ran twice because Catalyst has
-    no cross-branch common-subtree elimination. Here both scorers'
-    statistics derive from one wide pre-aggregate
-
-        (doc_id, dim, qword) -> (n tokens, Σ sign)
-
-    where ``dim``/``sign`` are the hashing-trick bucket/sign (exactly
-    hashed_tf's) and ``qword`` is the token itself iff it's a query
-    word, else NULL. Output cardinality ≤ docs × 64 + docs × |q|; the
-    values are pure counting aggregates (map-side combined — no
-    collect_list, so a doc spamming a query word a million times still
-    contributes ONE row, not a million-element array). Both scorers'
-    downstream aggregates embed the IDENTICAL pre-aggregate exchange,
-    so Spark's ReuseExchange runs the scan+explode+partial-agg once:
-
-    - tf needs NO re-aggregation (a non-null qword pins the word in the
-      group key, so that group's ``n`` IS the term frequency);
-    - the hash scorer's (doc, dim) vector re-aggregates ``sval`` and
-      folds BM25's doc length in the same groupBy(doc_id) as the
-      cosine, so ``lens`` stops being its own exchange.
-
-    Scores are bit-identical to the standalone entries by construction
-    (the same exact integers enter the same float expressions), so the
-    fused list — and every consumer hash — is unchanged."""
-    import hashlib
-    from collections import defaultdict
-
-    from extract_permits_spark.functions.similarity import tokens
-
-    qwords = sorted(set(_RAG_QUERY_TEXT.strip().lower().split()))
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
-    ).where(F.col("word") != "")
-    h = F.md5(F.col("word").cast("binary"))
-    dim = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 64).cast("int")
-    sign = F.when(
-        F.conv(F.substring(h, 5, 1), 16, 10).cast("long") % 2 == 0, F.lit(1)
-    ).otherwise(F.lit(-1))
-    qword = F.when(F.col("word").isin(qwords), F.col("word"))
-    pre = (
-        tok.select(
-            "doc_id", dim.alias("dim"), sign.alias("_s"), qword.alias("_qw")
-        )
-        .groupBy("doc_id", "dim", "_qw")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("_s").cast("long").alias("sval"),
-        )
-    )
-
-    # --- hash-embedding vector, + BM25's doc length riding along ---
-    v = pre.groupBy("doc_id", "dim").agg(
-        F.sum("sval").cast("long").alias("val"),
-        F.sum("n").cast("long").alias("nn"),
-    )
-    qv: dict[int, int] = defaultdict(int)
-    for word in _RAG_QUERY_TEXT.strip().lower().split():
-        hh = hashlib.md5(word.encode()).hexdigest()
-        qv[int(hh[:4], 16) % 64] += 1 if int(hh[4], 16) % 2 == 0 else -1
-    q2 = sum(x * x for x in qv.values())
-    qdf = spark.createDataFrame(
-        [(int(k), int(x)) for k, x in sorted(qv.items()) if x != 0],
-        "dim int, qval long",
-    )
-    folded = (
-        v.join(F.broadcast(qdf), "dim", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("val") * F.coalesce(F.col("qval"), F.lit(0)))
-            .cast("long")
-            .alias("dot"),
-            F.sum(F.col("val") * F.col("val")).cast("long").alias("n2"),
-            F.sum("nn").cast("long").alias("dl"),
-        )
-    )
-
-    # --- BM25 branch (statistics identical to rag_bm25_topk's) ---
-    tf = pre.where(F.col("_qw").isNotNull()).select(
-        "doc_id", F.col("_qw").alias("word"), F.col("n").alias("tf")
-    )
-    lens = folded.select("doc_id", "dl")
-    stats = folded.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("tot"),
-    )
-    dfq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    idf = F.log(
-        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    norm_len = F.col("dl") * F.col("n_docs") / F.col("tot").cast("double")
-    term = (
-        idf
-        * (F.col("tf") * F.lit(2.2))
-        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * norm_len))
-    )
-    scored = (
-        tf.join(F.broadcast(dfq), "word")
-        .join(lens, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(term).alias("s"))
-    )
-    bm25 = F.floor(F.col("s") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-    bm = (
-        scored.select("doc_id", bm25.alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(20)
-    )
-
-    cos = (
-        F.col("dot").cast("double")
-        / F.sqrt(F.col("n2").cast("double") * F.lit(float(q2)))
-    )
-    cos6 = F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-    hv = (
-        folded.select("doc_id", cos6.alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), "doc_id")
-        .limit(20)
-    )
-
-    # --- RRF epilogue, identical to rag_rrf_fusion's ---
-    wb = Window.orderBy(F.col("bm25").desc(), "doc_id")
-    wh = Window.orderBy(F.col("cos_sim").desc(), "doc_id")
-    u = bm.select(
-        "doc_id", F.row_number().over(wb).alias("rnk")
-    ).unionByName(
-        hv.select("doc_id", F.row_number().over(wh).alias("rnk"))
-    )
-    return (
-        u.groupBy("doc_id")
-        .agg(F.sum(F.lit(1.0) / (F.lit(60) + F.col("rnk"))).alias("rrf"))
-        .orderBy(F.col("rrf").desc(), "doc_id")
-        .limit(10)
-    )
-
-
 @register("rag_rrf_fusion", _RRF_SQL)
 def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (Cormack et al., k=60)
@@ -409,13 +267,32 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the composition, including both rankers' tiebreaks, is what's
     hash-checked.
 
-    Since r13 the physical plan is the shared-scan spelling
-    (_hybrid_fused): both scorers' statistics re-aggregate one wide
-    token pre-aggregate instead of exploding the corpus twice. Scores
-    and the fused list are bit-identical to composing the standalone
-    entries (which keep their own individually-optimal one-scan
-    plans)."""
-    return _hybrid_fused(spark, sf_dir)
+    r13 postmortem (kept as a warning): a "shared-scan" spelling that
+    derived BOTH scorers from one wide (doc_id, dim, qword) token
+    pre-aggregate was built, verified hash-identical — and reverted.
+    Catalyst prunes each consumer's columns independently, so the five
+    downstream branches canonicalized to five DIFFERENT exchanges and
+    ReuseExchange never fired: the physical plan ran the corpus explode
+    FIVE times (plan-counted), strictly worse than this two-subtree
+    composition's two. Cross-branch subtree sharing is only real if you
+    materialize (checkpoint/persist) the shared frame — which at corpus
+    scale means owning its block lifecycle — or keep the branches
+    independent, as here. SCALE.md r13 records the full finding."""
+    bm = rag_bm25_topk(spark, sf_dir)
+    hv = rag_hash_retrieval(spark, sf_dir)
+    wb = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    wh = Window.orderBy(F.col("cos_sim").desc(), "doc_id")
+    u = bm.select(
+        "doc_id", F.row_number().over(wb).alias("rnk")
+    ).unionByName(
+        hv.select("doc_id", F.row_number().over(wh).alias("rnk"))
+    )
+    return (
+        u.groupBy("doc_id")
+        .agg(F.sum(F.lit(1.0) / (F.lit(60) + F.col("rnk"))).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )
 
 
 _HYBRID_RECALL_SQL = f"""
