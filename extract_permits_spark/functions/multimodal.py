@@ -155,6 +155,22 @@ def _synthetic_pixels(media_id: int, width: int, height: int, channels: int) -> 
     return ((media_id + y + x + c) % 256).astype(np.uint8).tobytes()
 
 
+def _spread_ids(ids: DataFrame) -> DataFrame:
+    """Round-robin the tiny id frame across the session's cores BEFORE
+    the heavy encode/decode mapInPandas stages (r13 finding: the sf
+    fixtures arrive as ONE parquet split, so the whole codec rail — the
+    dominant cost of every multimodal entry — ran on one core;
+    mm_video_shots measured 13.7 s where 32-way decode takes <1 s of
+    CPU). Shuffling here is cheap by construction: the frame holds only
+    ids (the binary payloads don't exist yet), and every downstream
+    stage inherits the parallelism narrowly. At deployment scale real
+    media arrives in many splits and this repartition is a no-op cost.
+    Row placement does not affect values (all per-row functions), so
+    hashes are unchanged."""
+    sc = ids.sparkSession.sparkContext
+    return ids.repartition(sc.defaultParallelism * 2)
+
+
 def synthetic_png_media(docs: DataFrame) -> DataFrame:
     """One real PNG per document row: deterministic pixels encoded with
     the stdlib codec (filter types cycle per row, so a decode downstream
@@ -194,7 +210,9 @@ def synthetic_png_media(docs: DataFrame) -> DataFrame:
             T.StructField("n_bytes", T.LongType()),
         ]
     )
-    out = docs.select(F.col("doc_id").alias("media_id")).mapInPandas(run, flat)
+    out = _spread_ids(
+        docs.select(F.col("doc_id").alias("media_id"))
+    ).mapInPandas(run, flat)
     return out.select(
         "media_id",
         "payload",
@@ -400,7 +418,9 @@ def synthetic_wav_media(docs: DataFrame) -> DataFrame:
             T.StructField("n_bytes", T.LongType()),
         ]
     )
-    return docs.select(F.col("doc_id").alias("media_id")).mapInPandas(run, flat)
+    return _spread_ids(
+        docs.select(F.col("doc_id").alias("media_id"))
+    ).mapInPandas(run, flat)
 
 
 def audio_stats(media: DataFrame) -> DataFrame:
@@ -544,7 +564,9 @@ def synthetic_phash_media(docs: DataFrame) -> DataFrame:
             T.StructField("payload", T.BinaryType()),
         ]
     )
-    return docs.select(F.col("doc_id").alias("media_id")).mapInPandas(run, flat)
+    return _spread_ids(
+        docs.select(F.col("doc_id").alias("media_id"))
+    ).mapInPandas(run, flat)
 
 
 def dhash64(width: int, height: int, channels: int, pixels: bytes) -> tuple[int, int]:
@@ -723,7 +745,9 @@ def synthetic_audiofp_media(docs: DataFrame) -> DataFrame:
             T.StructField("payload", T.BinaryType()),
         ]
     )
-    return docs.select(F.col("doc_id").alias("media_id")).mapInPandas(run, flat)
+    return _spread_ids(
+        docs.select(F.col("doc_id").alias("media_id"))
+    ).mapInPandas(run, flat)
 
 
 def audiofp64(media: DataFrame) -> DataFrame:
@@ -838,7 +862,7 @@ def synthetic_video_frames(docs: DataFrame) -> DataFrame:
             "frame_idx"
         ),
     )
-    return base.mapInPandas(run, flat)
+    return _spread_ids(base).mapInPandas(run, flat)
 
 
 VIDEOHASH_SCHEMA = T.StructType(

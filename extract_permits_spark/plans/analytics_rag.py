@@ -2876,9 +2876,14 @@ def stream_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two files -> two micro-batches under maxFilesPerTrigger=1
         for part, cond in (("f0", 0), ("f1", 1)):
             sub = os.path.join(src, part)
+            # repartition(1), NOT coalesce(1): coalesce collapses the
+            # whole post-spread encode stage into one task (measured
+            # 15.6 s vs 0.9 s on identical data — the r13 _spread_ids
+            # interaction); repartition keeps the encode parallel and
+            # shuffles only the 250 finished payloads to the one file.
             new_media.where(
                 ((F.col("media_id") - 1) / 2).cast("long") % 2 == cond
-            ).coalesce(1).write.parquet(sub)
+            ).repartition(1).write.parquet(sub)
             for fn in os.listdir(sub):
                 if fn.endswith(".parquet"):
                     shutil.move(

@@ -335,7 +335,13 @@ def test_image_stats_plan_is_narrow_arrow_batched(spark):
     stats = mmfn.image_stats(mmfn.synthetic_png_media(docs))
     plan = stats._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 2  # encode stage + decode stage
-    assert "Exchange" not in plan  # decode is embarrassingly parallel
+    # exactly ONE exchange: the deliberate r13 id-spread below the
+    # encode (ids only — it sits under the first MapInPandas, so no
+    # payload byte ever shuffles); the decode stays embarrassingly
+    # parallel above it
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
+    assert plan.index("Exchange") > plan.index("MapInPandas")
     rows = {r["media_id"]: r for r in stats.collect()}
     assert len(rows) == 20
     # spot-check one image against the closed-form pixel formula
@@ -379,7 +385,10 @@ def test_audio_stats_matches_formula(spark):
     )
     stats = mmfn.audio_stats(mmfn.synthetic_wav_media(docs))
     plan = stats._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("MapInPandas") == 2 and "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2
+    # one exchange only: the id-spread below the encode (see the image
+    # twin test for the r13 contract)
+    assert plan.count("Exchange") == 1 and "RoundRobinPartitioning" in plan
     rows = {r["media_id"]: r for r in stats.collect()}
     m = sorted(rows)[0]
     import struct
