@@ -215,6 +215,8 @@ def main() -> None:
     runnables.append(("llm_corpus_curation", run_curation_fresh))
     runnables.append(("permit_pipeline", run_pipeline_once))
 
+    from extract_permits_spark.session import free_scratch_checkpoints
+
     times: dict[str, float] = {}
     times_min: dict[str, float] = {}
     times_cold: dict[str, float] = {}
@@ -231,6 +233,11 @@ def main() -> None:
         samples.sort()
         times[name] = round(samples[len(samples) // 2], 3)
         times_min[name] = round(samples[0], 3)
+        # reclaim scratch localCheckpoint blocks OUTSIDE the timed runs
+        # (r13: clearCache never frees them; the minhash-family entries
+        # each leaked corpus-scale signature triples per run, taxing
+        # every later row's heap)
+        free_scratch_checkpoints()
 
     # scale row (NOT in the headline total, which stays comparable across
     # rounds): the flagship pipeline at an sf×10-equivalent input — the
@@ -253,7 +260,15 @@ def main() -> None:
             # the 6M-row pipeline) doesn't tax row N+1's measurement —
             # without this the minhash row has measured anywhere from
             # 13 s to 55 s on identical code depending on predecessor
-            # heap state.
+            # heap state. r13: also reclaim scratch localCheckpoint
+            # blocks (clearCache never touches them — every minhash-
+            # family run leaked its corpus-scale signature triples, and
+            # the 10x dedup row's leak taxed every row after it).
+            from extract_permits_spark.session import (
+                free_scratch_checkpoints,
+            )
+
+            free_scratch_checkpoints()
             spark.catalog.clearCache()
             try:
                 spark._jvm.System.gc()

@@ -945,6 +945,12 @@ def lsh_neardup_pairs(
     # twice (measured 2× the dominant stage). The checkpointed frame is
     # (id, table, sig) triples — tiny at any corpus scale.
     sized = sized.localCheckpoint(eager=True)
+    # the checkpoint's blocks outlive this call by design (the returned
+    # pair plan reads them lazily) — register them so bench/checker
+    # sessions reclaim the storage between evaluations (r13 GC finding)
+    from extract_permits_spark.session import register_scratch_checkpoint
+
+    register_scratch_checkpoint(sized)
     # Coalesce-proof fan-out (r13, the r6 AQE finding): the checkpointed
     # triples are tiny, so the bucket join's exchanges byte-coalesce to a
     # few partitions and the ball explode + per-bucket pair fan-out run

@@ -13,6 +13,10 @@ _CHECK_FIRST, and the cross-chunk memo caches live in analytics.py.
 from __future__ import annotations
 
 from extract_permits_spark.streaming.util import await_or_raise, scratch_dir
+from extract_permits_spark.session import (
+    free_local_checkpoint as _free_ckpt,
+    register_scratch_checkpoint as _register_scratch,
+)
 from extract_permits_spark.plans._registry import (
     _ORACLES,
     _components_cached,
@@ -286,6 +290,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     ).localCheckpoint(eager=True)
+    _register_scratch(deg)
     # node count is a bounded O(1) driver scalar; folding it into literal
     # integers keeps every iteration's plan join-shaped (a 1-row
     # crossJoin would plan as BroadcastNestedLoopJoin). Exact Python int
@@ -373,6 +378,7 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     ).select("node").localCheckpoint(eager=True)
+    _register_scratch(nodes)
     labels = nodes.select("node", F.col("node").alias("lbl"))
     for _ in range(_LPA_ROUNDS):
         cnt = (
@@ -914,6 +920,7 @@ def vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("repr"),
         "freq",
     ).localCheckpoint(eager=True)
+    _register_scratch(cur)
 
     syms = F.split(F.expr("trim(BOTH '<>' FROM repr)"), "><")
     n = F.size(syms)
@@ -944,9 +951,11 @@ def vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         inner = pat.replace("<", "").replace(">", "")
         a, b = pat[1:-1].split("><")
         rows.append((r, a, b, inner, cnt))
+        prev_cur = cur
         cur = cur.withColumn(
             "repr", F.replace(F.col("repr"), F.lit(pat), F.lit(f"<{inner}>"))
         ).localCheckpoint(eager=True)
+        _free_ckpt(prev_cur)
 
     schema = "round INT, pair_a STRING, pair_b STRING, merged STRING, cnt BIGINT"
     return spark.createDataFrame(rows, schema)

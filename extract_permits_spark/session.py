@@ -84,3 +84,26 @@ def free_local_checkpoint(df) -> None:
             plan.rdd().unpersist(False)
     except Exception:
         pass
+
+
+# Per-evaluation scratch checkpoints: frames a function materializes
+# (localCheckpoint) INSIDE a returned lazy plan, so the function itself
+# can never free them (the caller's action happens later, and a freed
+# localCheckpoint cannot recompute). Long-lived sessions that re-run
+# entries (bench, the oracle checker) free them at safe points instead.
+_SCRATCH_CKPTS: list = []
+
+
+def register_scratch_checkpoint(df) -> None:
+    """Record a checkpointed frame whose blocks should be reclaimed at
+    the caller's next safe point (after the consuming action finished).
+    See free_local_checkpoint for why explicit freeing matters."""
+    _SCRATCH_CKPTS.append(df)
+
+
+def free_scratch_checkpoints() -> None:
+    """Free every registered scratch checkpoint's blocks. ONLY call
+    between evaluations (a freed localCheckpoint cannot recompute, so a
+    still-pending lazy plan that references one would fail)."""
+    while _SCRATCH_CKPTS:
+        free_local_checkpoint(_SCRATCH_CKPTS.pop())

@@ -56,9 +56,15 @@ def main() -> int:
     qs, oracles = mod.queries(), mod.oracle_sql()
     failures = []
     executed = 0
+    from extract_permits_spark.session import free_scratch_checkpoints
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # previous entry's evaluations are complete — reclaim its scratch
+        # localCheckpoint blocks so the 216-entry session doesn't
+        # accumulate them (r13 GC finding; clearCache never frees these)
+        free_scratch_checkpoints()
         executed += 1
         t0 = time.time()
         try:
