@@ -128,6 +128,10 @@ HEADLINE = [
     # runnable clears the selection memo so every run pays the k passes,
     # like DuckDB does.
     "emb_kcenter_coreset",
+    # batched k-center (r13): the large-k scale path — 2 top-b passes
+    # instead of 7 argmax passes at k=8,b=4. Fair pair: the DuckDB twin
+    # unrolls the identical batched rounds; fresh-selection runnable.
+    "emb_kcenter_batch",
 ]
 
 
@@ -191,6 +195,14 @@ def main() -> None:
         _reg._KCENTER_CACHE.clear()
         force(qs["emb_kcenter_coreset"](spark, sf_dir))
 
+    def run_kcenter_batch_fresh() -> None:
+        # same fresh-selection contract for the batched variant (r13):
+        # ceil((k-1)/b) top-b passes instead of k-1 argmax passes
+        from extract_permits_spark.plans import _registry as _reg
+
+        _reg._KCENTER_CACHE.clear()
+        force(qs["emb_kcenter_batch"](spark, sf_dir))
+
     def run_curation_fresh() -> None:
         # end-to-end each run: the registry memoizes the shingle-pair
         # list and the components fixpoint per (session, fixture) —
@@ -207,11 +219,13 @@ def main() -> None:
         for name in HEADLINE
         if name in qs
         and name not in (
-            "dedup_simhash", "llm_corpus_curation", "emb_kcenter_coreset"
+            "dedup_simhash", "llm_corpus_curation", "emb_kcenter_coreset",
+            "emb_kcenter_batch",
         )
     ]
     runnables.append(("dedup_simhash", run_simhash_production))
     runnables.append(("emb_kcenter_coreset", run_kcenter_fresh))
+    runnables.append(("emb_kcenter_batch", run_kcenter_batch_fresh))
     runnables.append(("llm_corpus_curation", run_curation_fresh))
     runnables.append(("permit_pipeline", run_pipeline_once))
 

@@ -50,6 +50,12 @@ _CHECK_FIRST = [
     # the oldest witnesses, (d) the ENTIRE remaining r8 cohort — after
     # this window lands green, no entry's last witness predates r9.
     "emb_kcenter_batch",  # NEW in r13 (batched farthest-point coreset)
+    # plan-shape-touched this session (the multimodal id-spread adds a
+    # RoundRobin exchange below every codec rail; graph/BPE loops now
+    # free scratch checkpoints) — all re-oracle-checked green locally,
+    # queued for a driver witness per the changed-entries rule
+    "mm_video_shots", "mm_image_phash", "mm_audio_fingerprint",
+    "mm_image_dedup_clusters", "graph_pagerank", "graph_lpa_communities",
     "ev_decayed_counts",
     "emb_kcenter_coreset",
     "rag_context_assembly",
@@ -92,22 +98,28 @@ _CHECK_FIRST = [
     "x8_schema_evolution_union",
     "mm_image_stats",
     "mm_audio_stats",
-    "ann_matryoshka_topk",
-    "ann_matryoshka_rerank",
-    "ann_matryoshka_recall",
     "mm_frame_sample",
-    "docs_span_dup_rate",
-    "ann_matryoshka_mrr",
-    "docs_span_mask",
-    # docs_corpus_report displaced to r14 by the new emb_kcenter_batch
+    # displaced to r14 by this session's plan-touched cohort (all
+    # pytest-pinned meanwhile): ann_matryoshka_topk/_rerank/_recall/
+    # _mrr, docs_span_dup_rate, docs_span_mask, docs_corpus_report
 ]
 
-# r13 rotation NOTE: deferred to r14+ — the touched-but-hygiene-only
-# streaming entries not in this window (stream_session_agg,
-# stream_ann_index_ingest, stream_neardup_ingest, stream_stateful_totals
-# r10; stream_stream_join, stream_cdc_apply r11; stream_semantic_decon_
-# ingest r12 — all re-oracle-checked green locally this session, change
-# was timeout/cleanup behavior only), then the r9 cohort oldest-first.
+# r13 rotation NOTE: 50 slots cannot hold this round's full changed set
+# PLUS the entire r8 cohort; the window holds every entry whose VALUES
+# or PLAN SHAPE could have moved (rag rework, decayed-count clamp,
+# k-center guards, multimodal id-spread, graph/BPE scratch frees, the
+# helper-stale LSH four) and 31 of the 38 r8-witnessed entries. Deferred
+# to r14 FIRST, all re-oracle-checked green locally this session:
+# (a) r8-witnessed, displaced: ann_matryoshka_topk/_rerank/_recall/_mrr,
+#     docs_span_dup_rate, docs_span_mask, docs_corpus_report;
+# (b) hygiene-only streaming (timeout/cleanup behavior, values
+#     untouched): stream_session_agg, stream_ann_index_ingest,
+#     stream_neardup_ingest, stream_stateful_totals (r10),
+#     stream_stream_join, stream_cdc_apply (r11),
+#     stream_semantic_decon_ingest (r12);
+# (c) vocab_bpe_train / vocab_bpe_pairs (scratch-free only; the shared
+#     loop is witnessed via vocab_bpe_encode in this window);
+# then the r9 cohort oldest-first.
 # The rotation rule is now TRANSITIVE over helper imports: run
 # tools/rotation_audit.py <git-ref> to list every registry entry whose
 # defining chunk OR transitively-imported engine module changed since
