@@ -653,7 +653,19 @@ def phash_pairs(
     triage as candidate_pairs_from_buckets (similarity.py): a band value
     shared by more than that many images is degenerate content; every
     fixture bucket is far smaller, so the oracle's pairwise replay is
-    identical there."""
+    identical there.
+
+    The hash frame is materialized ONCE up front (r13): the banded
+    self-join references it structurally 4× (counts + cap join + both
+    join sides), and each un-materialized reference re-ran the whole
+    decode rail — measured 4.1 s of a 5.8 s row was codec recompute.
+    The checkpointed frame is (id, hi, lo) — tiny at any corpus scale —
+    and is registered for scratch reclamation like similarity's
+    signature triples."""
+    from extract_permits_spark.session import register_scratch_checkpoint
+
+    hashes = hashes.localCheckpoint(eager=True)
+    register_scratch_checkpoint(hashes)
     exploded = hamming_band_rows(hashes)
     counts = exploded.groupBy("t", "v").agg(F.count(F.lit(1)).alias("_n"))
     capped = exploded.join(

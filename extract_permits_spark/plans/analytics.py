@@ -50,6 +50,7 @@ _CHECK_FIRST = [
     # the oldest witnesses, (d) the ENTIRE remaining r8 cohort — after
     # this window lands green, no entry's last witness predates r9.
     "emb_kcenter_batch",  # NEW in r13 (batched farthest-point coreset)
+    "docs_hll_distinct",  # NEW in r13 (deterministic HLL sketch)
     # plan-shape-touched this session (the multimodal id-spread adds a
     # RoundRobin exchange below every codec rail; graph/BPE loops now
     # free scratch checkpoints) — all re-oracle-checked green locally,
@@ -98,7 +99,7 @@ _CHECK_FIRST = [
     "x8_schema_evolution_union",
     "mm_image_stats",
     "mm_audio_stats",
-    "mm_frame_sample",
+    # mm_frame_sample displaced to r14 by the new docs_hll_distinct
     # displaced to r14 by this session's plan-touched cohort (all
     # pytest-pinned meanwhile): ann_matryoshka_topk/_rerank/_recall/
     # _mrr, docs_span_dup_rate, docs_span_mask, docs_corpus_report

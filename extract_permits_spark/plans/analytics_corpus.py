@@ -2369,3 +2369,129 @@ def docs_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit_chars.alias("scan_chars_range"),
         (hit_src & hit_chars).alias("scan_both"),
     ).orderBy("file_id")
+
+
+# ===========================================================================
+# HyperLogLog distinct-count sketch (r13) — DETERMINISTIC construction,
+# so an approximate cardinality algorithm gets an exact oracle: both
+# engines derive register/rank from md5 (register = first 8 hex bits,
+# rank = leading zeros of the next 56 bits + 1), fold the 256 registers
+# in register order with exact dyadic weights, and apply the identical
+# small-range correction — every double op replays bit-for-bit
+# (verified: md5-hex arithmetic, minimal-length bin/conv, and ln agree
+# across engines). This is the sketch a 100 TB pipeline uses for
+# distinct-URL / distinct-doc counts: one groupBy(register) with
+# map-side combine — 256 rows of state regardless of corpus size, and
+# registers MERGE by max, so per-partition sketches union for free.
+# ===========================================================================
+
+
+@register(
+    "docs_hll_distinct",
+    """
+    WITH keyed AS (
+      SELECT md5(COALESCE(text, '')) AS h FROM documents
+    ),
+    ranked AS (
+      SELECT CAST(('0x' || substring(h, 1, 2)) AS INTEGER) AS reg,
+             CAST(('0x' || substring(h, 3, 14)) AS BIGINT) AS v
+      FROM keyed
+    ),
+    rho AS (
+      SELECT reg,
+             MAX(CASE WHEN v = 0 THEN 57
+                      ELSE 56 - length(bin(v)) + 1 END) AS r
+      FROM ranked GROUP BY reg
+    ),
+    regs AS (
+      SELECT gs.reg, COALESCE(rho.r, 0) AS m
+      FROM generate_series(0, 255) AS gs(reg)
+      LEFT JOIN rho ON rho.reg = gs.reg
+    ),
+    folded AS (
+      SELECT list_sum(list_transform(
+               list(struct_pack(reg := reg, m := m) ORDER BY reg),
+               x -> 1.0 / CAST(1::BIGINT << x.m AS DOUBLE))) AS s,
+             CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zeros
+      FROM regs
+    ),
+    est AS (
+      SELECT CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / s
+                       <= 640.0 AND zeros > 0
+                  THEN 256.0 * ln(256.0 / zeros)
+                  ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / s
+             END AS e
+      FROM folded
+    ),
+    exact AS (
+      SELECT CAST(COUNT(DISTINCT COALESCE(text, '')) AS BIGINT) AS n_exact
+      FROM documents
+    )
+    SELECT exact.n_exact,
+           round(est.e, 4) AS n_hll,
+           round((est.e - exact.n_exact) / exact.n_exact, 6) AS rel_err
+    FROM exact CROSS JOIN est
+    """,
+)
+def docs_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-document estimate (Flajolet et al. 2007,
+    m=256 registers) next to the exact count and its relative error —
+    the sketch a crawl pipeline runs instead of COUNT(DISTINCT) when
+    the distinct space itself no longer fits anywhere.
+
+    Determinism recipe (the approximate-family contract, COVERAGE.md):
+    register and rank come from md5 — identical bytes-in/hex-out on
+    both engines — the rank via MINIMAL-LENGTH binary (conv(…,10,2) ≡
+    DuckDB bin()), so no float touches the data path. The register fold
+    runs in register order with exact 2^-m dyadic weights (58-entry
+    lookup, the ev_decayed_counts pattern), and the one ln() in the
+    small-range branch evaluates on the same double in both engines
+    (libm parity verified; the 6-dp round absorbs a last-ulp wobble if
+    a platform ever disagrees).
+
+    Scale shape: ONE groupBy(reg) over the corpus — 256 groups,
+    map-side combined, so the shuffle carries ≤ 256·partitions tiny
+    rows and the sketch state is 256 longs no matter the corpus; the
+    exact COUNT(DISTINCT) rides along only as the eval baseline (at
+    real scale you'd drop it — it is the thing the sketch replaces)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    v = F.conv(F.substring(h, 3, 14), 16, 10).cast("long")
+    rank = F.when(v == 0, F.lit(57)).otherwise(
+        F.lit(56) - F.length(F.conv(v, 10, 2)) + F.lit(1)
+    )
+    rho = (
+        d.select(reg.alias("reg"), rank.alias("r"))
+        .groupBy("reg")
+        .agg(F.max("r").alias("r"))
+    )
+    all_regs = spark.range(256).select(F.col("id").cast("int").alias("reg"))
+    regs = all_regs.join(rho, "reg", "left").select(
+        "reg", F.coalesce(F.col("r"), F.lit(0)).alias("m")
+    )
+    pow_table = F.array(*[F.lit(float(1 << k)) for k in range(58)])
+    folded = regs.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col("reg"), F.col("m")))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.lit(1.0) / F.element_at(pow_table, (x["m"] + 1).cast("int")),
+        ).alias("s"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("zeros"),
+    )
+    alpha_m2 = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0)) * F.lit(65536.0)
+    raw = alpha_m2 / F.col("s")
+    est = F.when(
+        (raw <= F.lit(640.0)) & (F.col("zeros") > 0),
+        F.lit(256.0) * F.log(F.lit(256.0) / F.col("zeros")),
+    ).otherwise(raw)
+    exact = d.agg(
+        F.countDistinct(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_exact")
+    )
+    return exact.crossJoin(F.broadcast(folded.select(est.alias("e")))).select(
+        "n_exact",
+        F.round(F.col("e"), 4).alias("n_hll"),
+        F.round((F.col("e") - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
+    )

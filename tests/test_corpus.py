@@ -258,3 +258,44 @@ def test_span_mask_owner_survives_twin_fully_masked(spark, tmp_path):
     assert out[1] == (words, 16)
     assert out[2] == ("", 0)
     assert out[3] == ("short text", 2)
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The property that makes HLL a 100-TB sketch: per-shard register
+    vectors union by element-wise MAX. Build the (reg, rank) max over
+    two disjoint halves of the corpus, merge, and require exact equality
+    with the full-corpus registers — plus the estimate within the
+    theoretical band (sigma ~= 1.04/sqrt(256))."""
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.sources.readers import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    v = F.conv(F.substring(h, 3, 14), 16, 10).cast("long")
+    rank = F.when(v == 0, F.lit(57)).otherwise(
+        F.lit(56) - F.length(F.conv(v, 10, 2)) + F.lit(1)
+    )
+
+    def registers(df):
+        rows = (
+            df.select(reg.alias("reg"), rank.alias("r"))
+            .groupBy("reg")
+            .agg(F.max("r").alias("r"))
+            .collect()
+        )
+        return {row["reg"]: row["r"] for row in rows}
+
+    full = registers(d)
+    h1 = registers(d.where(F.col("doc_id") % 2 == 0))
+    h2 = registers(d.where(F.col("doc_id") % 2 == 1))
+    merged = {k: max(h1.get(k, 0), h2.get(k, 0)) for k in set(h1) | set(h2)}
+    assert merged == full
+
+    from extract_permits_spark.plans import analytics
+
+    row = analytics._QUERIES["docs_hll_distinct"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert abs(row["rel_err"]) < 3 * 1.04 / 16  # 3 sigma at m=256
