@@ -132,6 +132,10 @@ HEADLINE = [
     # instead of 7 argmax passes at k=8,b=4. Fair pair: the DuckDB twin
     # unrolls the identical batched rounds; fresh-selection runnable.
     "emb_kcenter_batch",
+    # deterministic HLL distinct sketch (r13): one 256-register groupBy
+    # with map-side combine. Fair pair: DuckDB replays the identical
+    # registers/fold/correction.
+    "docs_hll_distinct",
 ]
 
 

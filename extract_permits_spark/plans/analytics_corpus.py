@@ -2495,3 +2495,110 @@ def docs_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("e"), 4).alias("n_hll"),
         F.round((F.col("e") - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
     )
+
+
+# ===========================================================================
+# Count-Min heavy hitters (r13) — the token-frequency sketch for vocab /
+# stop-list building when the vocabulary no longer fits: d=4 md5-salted
+# rows x w=256 buckets of EXACT integer counts (no float anywhere), so
+# both engines replay the sketch bit-for-bit and the oracle checks the
+# VALUES of the estimates, not just bounds. The defining guarantee —
+# estimate >= true count, with excess bounded by collisions — is visible
+# in the output (cm_est vs exact per top token).
+# ===========================================================================
+
+
+@register(
+    "text_cm_heavy_hitters",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(COALESCE(text, ''))),
+                                       '\\s+')) AS word
+      FROM documents
+    ),
+    tok2 AS (SELECT word FROM tok WHERE word <> ''),
+    cm AS (
+      SELECT gs.i AS i,
+             CAST(('0x' || substring(md5(CAST(gs.i AS VARCHAR) || '|' || word),
+                                     1, 2)) AS INTEGER) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok2 CROSS JOIN generate_series(0, 3) AS gs(i)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM tok2 GROUP BY word
+      ORDER BY exact_cnt DESC, word LIMIT 10
+    )
+    SELECT e.word, e.exact_cnt,
+           MIN(cm.c) AS cm_est,
+           MIN(cm.c) >= e.exact_cnt AS never_underestimates
+    FROM exact e
+    JOIN cm ON cm.bucket = CAST(('0x' || substring(
+                 md5(CAST(cm.i AS VARCHAR) || '|' || e.word), 1, 2))
+               AS INTEGER)
+    GROUP BY e.word, e.exact_cnt
+    """,
+)
+def text_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005; d=4 rows, w=256
+    buckets) over the token stream, evaluated on the exact top-10
+    tokens: per token, cm_est = min over the 4 salted rows of its
+    bucket's count — ≥ the true count by construction (the output pins
+    the invariant as a column).
+
+    Scale shape: the sketch is ONE groupBy over (row, md5-bucket) — at
+    most d·w = 1024 groups of exact BIGINT counts regardless of corpus
+    size, map-side combined, and sketches MERGE by element-wise + (the
+    same distributed-mergeability story as docs_hll_distinct's max).
+    The exact top-10 rides along as the eval baseline only. All-integer
+    arithmetic: the oracle replays the identical salted buckets and
+    minima with zero float risk."""
+    from extract_permits_spark.functions.similarity import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("word")).where(
+        F.col("word") != ""
+    )
+    rows_arr = F.array(*[F.lit(i) for i in range(4)])
+    salted = tok.select(
+        "word", F.explode(rows_arr).alias("i")
+    ).select(
+        "i",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("word")).cast("binary")),
+                1, 2,
+            ), 16, 10,
+        ).cast("int").alias("bucket"),
+        "word",
+    )
+    cm = salted.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    exact = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "word")
+        .limit(10)
+    )
+    probe = exact.select(
+        "word", "exact_cnt", F.explode(rows_arr).alias("i")
+    ).select(
+        "word", "exact_cnt", "i",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("word")).cast("binary")),
+                1, 2,
+            ), 16, 10,
+        ).cast("int").alias("bucket"),
+    )
+    return (
+        probe.join(F.broadcast(cm), ["i", "bucket"])
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("c").alias("cm_est"))
+        .select(
+            "word", "exact_cnt", "cm_est",
+            (F.col("cm_est") >= F.col("exact_cnt")).alias("never_underestimates"),
+        )
+    )
