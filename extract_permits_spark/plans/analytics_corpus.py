@@ -2602,3 +2602,149 @@ def text_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cm_est") >= F.col("exact_cnt")).alias("never_underestimates"),
         )
     )
+
+
+# ===========================================================================
+# KMV (k-minimum-values) cross-source overlap (r13) — the third
+# deterministic sketch: per-source bottom-k md5 values of the 3-gram
+# shingle set estimate pairwise Jaccard at k·|sources| state instead of
+# materializing any pairwise shingle intersection. Rounds out the
+# sketch family: HLL (cardinality, merge-by-max), Count-Min
+# (frequencies, merge-by-sum), KMV (set resemblance, merge-by-bottom-k).
+# ===========================================================================
+
+
+@register(
+    "docs_kmv_source_overlap",
+    """
+    WITH sh AS (
+      SELECT DISTINCT source, g, CAST(('0x' || substring(md5(g), 1, 15))
+                                      AS BIGINT) AS hv
+      FROM (
+        SELECT source,
+               unnest(CASE WHEN len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) >= 3
+                 THEN list_distinct(list_transform(
+                   range(1, len(string_split_regex(trim(lower(COALESCE(text,''))), '\\s+')) - 2 + 1),
+                   i -> array_to_string(list_slice(
+                     string_split_regex(trim(lower(COALESCE(text,''))), '\\s+'), i, i + 2), ' ')))
+                 ELSE [] END) AS g
+        FROM documents
+      )
+    ),
+    dedup AS (SELECT DISTINCT source, hv FROM sh),
+    ranked AS (
+      SELECT source, hv,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+      FROM dedup
+    ),
+    mins AS (
+      SELECT source, list(hv ORDER BY hv) AS mh
+      FROM ranked WHERE rn <= 64 GROUP BY source
+    ),
+    est AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             list_slice(list_sort(list_distinct(a.mh || b.mh)), 1, 64) AS u,
+             a.mh AS ma, b.mh AS mb
+      FROM mins a JOIN mins b ON a.source < b.source
+    ),
+    kmv AS (
+      SELECT src_a, src_b,
+             CAST(len(list_filter(u,
+               h -> list_contains(ma, h) AND list_contains(mb, h)))
+               AS BIGINT) AS inter_k,
+             CAST(len(u) AS BIGINT) AS denom_k
+      FROM est
+    ),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM dedup GROUP BY source
+    ),
+    xinter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS ni
+      FROM dedup a JOIN dedup b ON a.hv = b.hv AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT k.src_a, k.src_b,
+           round(CAST(k.inter_k AS DOUBLE) / k.denom_k, 6) AS kmv_jaccard,
+           round(CAST(COALESCE(x.ni, 0) AS DOUBLE)
+                 / (sa.n + sb.n - COALESCE(x.ni, 0)), 6) AS exact_jaccard
+    FROM kmv k
+    LEFT JOIN xinter x ON x.src_a = k.src_a AND x.src_b = k.src_b
+    JOIN sizes sa ON sa.source = k.src_a
+    JOIN sizes sb ON sb.source = k.src_b
+    """,
+)
+def docs_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap estimation by KMV bottom-k sketches
+    (Bar-Yossef et al. 2002; k=64 minimum md5 values of each source's
+    3-gram shingle set) next to the exact Jaccard — the
+    cross-contamination triage a curation pipeline runs over hundreds of
+    sources where the exact pairwise intersection is unaffordable.
+
+    Estimator: for pair (A, B), take the k smallest values of the UNION
+    of the two sketches and count how many belong to both sets; when the
+    union has fewer than k distinct values the estimate is exact (the
+    denominator is the union size). Deterministic md5 values make the
+    estimate a constant per corpus, so the oracle checks its VALUE.
+
+    Scale shape: the per-source bottom-k is a rank-≤-k filter under a
+    per-source window — Spark plans it as WindowGroupLimit, so each
+    partition keeps only k rows map-side and the shuffle carries
+    k·|sources|, never the shingle sets; the pairwise epilogue runs on
+    |sources|²/2 rows of 64-long arrays (bounded). Sketches merge by
+    bottom-k-of-union. The exact Jaccard rides along as the eval
+    baseline only — it is the quadratic thing the sketch replaces."""
+    from extract_permits_spark.functions.similarity import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "source", F.explode(word_shingles(F.col("text"))).alias("g")
+    )
+    hv = F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 15), 16, 10).cast("long")
+    dedup = sh.select("source", hv.alias("hv")).distinct()
+
+    w = Window.partitionBy("source").orderBy("hv")
+    mins = (
+        dedup.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 64)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("hv")).alias("mh"))
+    )
+    a = mins.select(F.col("source").alias("src_a"), F.col("mh").alias("ma"))
+    b = mins.select(F.col("source").alias("src_b"), F.col("mh").alias("mb"))
+    u = F.slice(F.array_sort(F.array_union(F.col("ma"), F.col("mb"))), 1, 64)
+    inter_k = F.size(
+        F.filter(
+            u,
+            lambda h: F.array_contains(F.col("ma"), h)
+            & F.array_contains(F.col("mb"), h),
+        )
+    ).cast("long")
+    kmv = (
+        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a", "src_b",
+            inter_k.alias("inter_k"),
+            F.size(u).cast("long").alias("denom_k"),
+        )
+    )
+    sizes = dedup.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    da = dedup.select(F.col("source").alias("src_a"), "hv")
+    db = dedup.select(F.col("source").alias("src_b"), "hv")
+    xinter = (
+        da.join(db, ["hv"])
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ni"))
+    )
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    return (
+        kmv.join(F.broadcast(xinter), ["src_a", "src_b"], "left")
+        .join(F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))), "src_a")
+        .join(F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))), "src_b")
+        .select(
+            "src_a", "src_b",
+            F.round(F.col("inter_k").cast("double") / F.col("denom_k"), 6).alias("kmv_jaccard"),
+            F.round(ni.cast("double") / (F.col("na") + F.col("nb") - ni), 6).alias("exact_jaccard"),
+        )
+    )
