@@ -2490,6 +2490,9 @@ def docs_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = d.agg(
         F.countDistinct(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_exact")
     )
+    # 1-row × 1-row scalar attach: Catalyst folds any constant join key
+    # away and plans the sanctioned single-row broadcast NLJ (the
+    # q22/rag_bm25 class — a broadcast variable, not a pairwise compare)
     return exact.crossJoin(F.broadcast(folded.select(est.alias("e")))).select(
         "n_exact",
         F.round(F.col("e"), 4).alias("n_hll"),

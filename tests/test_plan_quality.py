@@ -180,7 +180,10 @@ def test_no_bnlj_in_headline_plans(spark):
     # text_tfidf joined the sanctioned set in r12: its corpus-count
     # scalar moved from a driver count() job into the plan as a 1-row
     # broadcast cross join (hash unchanged, one job cheaper, fully lazy)
-    exempt = {"rag_bm25_topk", "text_tfidf"}
+    # docs_hll_distinct's exact-baseline attach is a 1-row × 1-row
+    # scalar cross join — same sanctioned class (Catalyst folds constant
+    # join keys away, so it cannot be spelled as a hash join)
+    exempt = {"rag_bm25_topk", "text_tfidf", "docs_hll_distinct"}
     for name in bench.HEADLINE:
         if name not in qs or name in exempt:
             continue
