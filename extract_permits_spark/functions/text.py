@@ -359,6 +359,51 @@ def chunk_documents(
     )
 
 
+def hll_register_rank(text_col):
+    """(register, rank) columns of the m=256 deterministic HLL sketch:
+    register = first 8 md5 bits, rank = leading zeros of the next 56
+    bits + 1 (via MINIMAL-LENGTH binary — conv(…,10,2) ≡ DuckDB bin(),
+    so the construction replays exactly in the oracle). Shared by the
+    batch entry (docs_hll_distinct) and the streaming ingest gate so
+    stream ≡ batch is true by construction: registers merge by MAX,
+    which is associative, commutative, AND idempotent — an at-least-once
+    replay of a micro-batch cannot change a register."""
+    h = F.md5(F.coalesce(text_col, F.lit("")).cast("binary"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    v = F.conv(F.substring(h, 3, 14), 16, 10).cast("long")
+    rank = F.when(v == 0, F.lit(57)).otherwise(
+        F.lit(56) - F.length(F.conv(v, 10, 2)) + F.lit(1)
+    )
+    return reg, rank
+
+
+def hll_estimate_from_registers(regs):
+    """(s, zeros) -> the HLL estimate column pipeline over a full
+    256-register frame ``regs`` with columns (reg, m): returns a 1-row
+    DataFrame with column ``e``. Register-ordered dyadic fold + the
+    small-range linear-counting correction — every double op matches
+    the DuckDB twin."""
+    pow_table = F.array(*[F.lit(float(1 << k)) for k in range(58)])
+    folded = regs.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col("reg"), F.col("m")))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.lit(1.0) / F.element_at(pow_table, (x["m"] + 1).cast("int")),
+        ).alias("s"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("zeros"),
+    )
+    alpha_m2 = (
+        F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0)) * F.lit(65536.0)
+    )
+    raw = alpha_m2 / F.col("s")
+    est = F.when(
+        (raw <= F.lit(640.0)) & (F.col("zeros") > 0),
+        F.lit(256.0) * F.log(F.lit(256.0) / F.col("zeros")),
+    ).otherwise(raw)
+    return folded.select(est.alias("e"))
+
+
 def hashed_tf(
     docs,
     id_col: str = "doc_id",

@@ -53,6 +53,7 @@ _CHECK_FIRST = [
     "docs_hll_distinct",  # NEW in r13 (deterministic HLL sketch)
     "text_cm_heavy_hitters",  # NEW in r13 (Count-Min heavy hitters)
     "docs_kmv_source_overlap",  # NEW in r13 (KMV bottom-k overlap)
+    "stream_hll_distinct",  # NEW in r13 (streaming max-merge HLL)
     # plan-shape-touched this session (the multimodal id-spread adds a
     # RoundRobin exchange below every codec rail; graph/BPE loops now
     # free scratch checkpoints) — all re-oracle-checked green locally,
@@ -96,7 +97,7 @@ _CHECK_FIRST = [
     "u4_except_all",
     "vocab_bpe_encode",
     "docs_unigram_xent",
-    "docs_quality_score",
+    # docs_quality_score displaced to r14 by stream_hll_distinct
     # ann_batch_topk displaced to r14 by docs_kmv_source_overlap
     # x8_schema_evolution_union displaced to r14 by text_cm_heavy_hitters
     "mm_image_stats",

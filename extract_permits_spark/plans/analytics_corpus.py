@@ -2455,13 +2455,13 @@ def docs_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows and the sketch state is 256 longs no matter the corpus; the
     exact COUNT(DISTINCT) rides along only as the eval baseline (at
     real scale you'd drop it — it is the thing the sketch replaces)."""
-    d = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
-    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
-    v = F.conv(F.substring(h, 3, 14), 16, 10).cast("long")
-    rank = F.when(v == 0, F.lit(57)).otherwise(
-        F.lit(56) - F.length(F.conv(v, 10, 2)) + F.lit(1)
+    from extract_permits_spark.functions.text import (
+        hll_estimate_from_registers,
+        hll_register_rank,
     )
+
+    d = load_table(spark, sf_dir, "documents")
+    reg, rank = hll_register_rank(F.col("text"))
     rho = (
         d.select(reg.alias("reg"), rank.alias("r"))
         .groupBy("reg")
@@ -2471,29 +2471,14 @@ def docs_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = all_regs.join(rho, "reg", "left").select(
         "reg", F.coalesce(F.col("r"), F.lit(0)).alias("m")
     )
-    pow_table = F.array(*[F.lit(float(1 << k)) for k in range(58)])
-    folded = regs.agg(
-        F.aggregate(
-            F.sort_array(F.collect_list(F.struct(F.col("reg"), F.col("m")))),
-            F.lit(0.0),
-            lambda acc, x: acc
-            + F.lit(1.0) / F.element_at(pow_table, (x["m"] + 1).cast("int")),
-        ).alias("s"),
-        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("zeros"),
-    )
-    alpha_m2 = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0)) * F.lit(65536.0)
-    raw = alpha_m2 / F.col("s")
-    est = F.when(
-        (raw <= F.lit(640.0)) & (F.col("zeros") > 0),
-        F.lit(256.0) * F.log(F.lit(256.0) / F.col("zeros")),
-    ).otherwise(raw)
+    estimate = hll_estimate_from_registers(regs)
     exact = d.agg(
         F.countDistinct(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_exact")
     )
     # 1-row × 1-row scalar attach: Catalyst folds any constant join key
     # away and plans the sanctioned single-row broadcast NLJ (the
     # q22/rag_bm25 class — a broadcast variable, not a pairwise compare)
-    return exact.crossJoin(F.broadcast(folded.select(est.alias("e")))).select(
+    return exact.crossJoin(F.broadcast(estimate)).select(
         "n_exact",
         F.round(F.col("e"), 4).alias("n_hll"),
         F.round((F.col("e") - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
@@ -2750,4 +2735,72 @@ def docs_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("inter_k").cast("double") / F.col("denom_k"), 6).alias("kmv_jaccard"),
             F.round(ni.cast("double") / (F.col("na") + F.col("nb") - ni), 6).alias("exact_jaccard"),
         )
+    )
+
+
+@register("stream_hll_distinct", _ORACLES["docs_hll_distinct"])
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL distinct estimate maintained INCREMENTALLY on ingest:
+    documents arrive through a file stream in two micro-batches, each
+    batch lands only its own 256-register sketch (idempotent dynamic
+    partition overwrite), and the corpus estimate is the max-merge of
+    the landed sketches — streaming/hll_ingest.py.
+
+    The oracle is literally docs_hll_distinct's batch SQL: max-merge is
+    associative/commutative/idempotent, so the union of per-batch
+    registers EQUALS the full-corpus registers and the stream's estimate
+    matches the batch run value-for-value — the strongest stream ≡ batch
+    proof in the streaming rail (no tolerance, the identical double).
+
+    Scale: per-batch state ≤ 256 rows whatever the batch size; no
+    streaming state store; a replayed batch cannot change any register
+    twice over (its partition is replaced, and max is idempotent)."""
+    import os
+
+    from extract_permits_spark.functions.text import hll_estimate_from_registers
+    from extract_permits_spark.streaming.hll_ingest import (
+        merged_registers,
+        run_hll_ingest_available_now,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = scratch_dir("stream_hll_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    for half, fname in ((0, "f0"), (1, "f1")):
+        d.where((F.col("doc_id") % 2) == half).coalesce(1).write.parquet(
+            os.path.join(src, fname)
+        )
+    import shutil
+
+    for sub in ("f0", "f1"):
+        for fn in os.listdir(os.path.join(src, sub)):
+            if fn.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(src, sub, fn),
+                    os.path.join(src, f"{sub}.parquet"),
+                )
+        shutil.rmtree(os.path.join(src, sub), ignore_errors=True)
+
+    out = os.path.join(work, "regs")
+    q = run_hll_ingest_available_now(
+        spark, src, os.path.join(work, "ckpt"), out
+    )
+    await_or_raise(q, 300)
+
+    regs = merged_registers(spark, out)
+    # land the merged registers in a managed table before the scratch
+    # dir's atexit cleanup could outrun a lazy read (same hygiene as
+    # stream_phash_ingest)
+    tbl = f"stream_hll_regs_{abs(hash(sf_dir)) % 10**8}"
+    regs.write.mode("overwrite").saveAsTable(tbl)
+    estimate = hll_estimate_from_registers(spark.table(tbl))
+    exact = d.agg(
+        F.countDistinct(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_exact")
+    )
+    return exact.crossJoin(F.broadcast(estimate)).select(
+        "n_exact",
+        F.round(F.col("e"), 4).alias("n_hll"),
+        F.round((F.col("e") - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
     )
