@@ -115,7 +115,12 @@ _CHECK_FIRST = [
 # helper-stale LSH four) and 31 of the 38 r8-witnessed entries. Deferred
 # to r14 FIRST, all re-oracle-checked green locally this session:
 # (a) r8-witnessed, displaced: ann_matryoshka_topk/_rerank/_recall/_mrr,
-#     docs_span_dup_rate, docs_span_mask, docs_corpus_report;
+#     docs_span_dup_rate, docs_span_mask, docs_corpus_report,
+#     mm_frame_sample, x8_schema_evolution_union, ann_batch_topk,
+#     docs_quality_score (the last four gave their slots to the round's
+#     new entries: emb_kcenter_batch, docs_hll_distinct,
+#     text_cm_heavy_hitters, docs_kmv_source_overlap,
+#     stream_hll_distinct);
 # (b) hygiene-only streaming (timeout/cleanup behavior, values
 #     untouched): stream_session_agg, stream_ann_index_ingest,
 #     stream_neardup_ingest, stream_stateful_totals (r10),
