@@ -54,6 +54,7 @@ _CHECK_FIRST = [
     "text_cm_heavy_hitters",  # NEW in r13 (Count-Min heavy hitters)
     "docs_kmv_source_overlap",  # NEW in r13 (KMV bottom-k overlap)
     "stream_hll_distinct",  # NEW in r13 (streaming max-merge HLL)
+    "stream_cm_heavy_hitters",  # NEW in r13 (streaming sum-merge CM)
     # plan-shape-touched this session (the multimodal id-spread adds a
     # RoundRobin exchange below every codec rail; graph/BPE loops now
     # free scratch checkpoints) — all re-oracle-checked green locally,
@@ -96,7 +97,7 @@ _CHECK_FIRST = [
     "q20_potential_promotion",
     "u4_except_all",
     "vocab_bpe_encode",
-    "docs_unigram_xent",
+    # docs_unigram_xent displaced to r14 by stream_cm_heavy_hitters
     # docs_quality_score displaced to r14 by stream_hll_distinct
     # ann_batch_topk displaced to r14 by docs_kmv_source_overlap
     # x8_schema_evolution_union displaced to r14 by text_cm_heavy_hitters

@@ -2804,3 +2804,80 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("e"), 4).alias("n_hll"),
         F.round((F.col("e") - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
     )
+
+
+@register("stream_cm_heavy_hitters", _ORACLES["text_cm_heavy_hitters"])
+def stream_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min heavy-hitter sketch maintained INCREMENTALLY on
+    ingest: two micro-batches each land their own ≤1024-row (i, bucket)
+    count table, the corpus sketch is their element-wise SUM, and the
+    exact top-10 tokens are scored against it — streaming/cm_ingest.py.
+
+    Oracle: text_cm_heavy_hitters' batch SQL verbatim — counts are exact
+    integers and sum-merge is associative/commutative, so the streamed
+    sketch equals the batch sketch count-for-count. The contrast with
+    stream_hll_distinct is the point: sum-merge is NOT idempotent, so
+    the replay-idempotent partition-overwrite sink is load-bearing for
+    correctness here (an appended replay would double-count), where the
+    HLL gate would survive even a raw append."""
+    import os
+    import shutil
+
+    from extract_permits_spark.streaming.cm_ingest import (
+        cm_bucket,
+        merged_sketch,
+        run_cm_ingest_available_now,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = scratch_dir("stream_cm_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    for half, fname in ((0, "f0"), (1, "f1")):
+        d.where((F.col("doc_id") % 2) == half).coalesce(1).write.parquet(
+            os.path.join(src, fname)
+        )
+    for sub in ("f0", "f1"):
+        for fn in os.listdir(os.path.join(src, sub)):
+            if fn.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(src, sub, fn),
+                    os.path.join(src, f"{sub}.parquet"),
+                )
+        shutil.rmtree(os.path.join(src, sub), ignore_errors=True)
+
+    out = os.path.join(work, "cm")
+    q = run_cm_ingest_available_now(spark, src, os.path.join(work, "ckpt"), out)
+    await_or_raise(q, 300)
+
+    tbl = f"stream_cm_sketch_{abs(hash(sf_dir)) % 10**8}"
+    merged_sketch(spark, out).write.mode("overwrite").saveAsTable(tbl)
+    cm = spark.table(tbl)
+
+    from extract_permits_spark.functions.similarity import tokens
+
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("word")).where(
+        F.col("word") != ""
+    )
+    exact = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "word")
+        .limit(10)
+    )
+    rows_arr = F.array(*[F.lit(i) for i in range(4)])
+    probe = exact.select(
+        "word", "exact_cnt", F.explode(rows_arr).alias("i")
+    ).select(
+        "word", "exact_cnt", "i",
+        cm_bucket(F.col("i"), F.col("word")).alias("bucket"),
+    )
+    return (
+        probe.join(F.broadcast(cm), ["i", "bucket"])
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("c").alias("cm_est"))
+        .select(
+            "word", "exact_cnt", "cm_est",
+            (F.col("cm_est") >= F.col("exact_cnt")).alias("never_underestimates"),
+        )
+    )
