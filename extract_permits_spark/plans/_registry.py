@@ -145,9 +145,14 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair list before closure rather than re-deriving it per consumer."""
     key = (id(spark), sf_dir)
     if key not in _JACCARD_PAIRS_CACHE:
-        _JACCARD_PAIRS_CACHE[key] = _jaccard_pairs_uncached(
-            spark, sf_dir
-        ).localCheckpoint(eager=True)
+        from extract_permits_spark.session import assert_no_scratch_refs
+
+        df = _jaccard_pairs_uncached(spark, sf_dir).localCheckpoint(eager=True)
+        # memoized frames must be self-contained: scratch checkpoints
+        # are freed BETWEEN evaluations (see free_scratch_checkpoints'
+        # invariant) and a memo referencing one fails at a distance
+        assert_no_scratch_refs(df)
+        _JACCARD_PAIRS_CACHE[key] = df
     return _JACCARD_PAIRS_CACHE[key]
 
 
@@ -236,9 +241,14 @@ def _components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (id(spark), sf_dir)
     if key not in _COMPONENTS_CACHE:
-        _COMPONENTS_CACHE[key] = connected_components(
-            _collapsed_edges(spark, sf_dir)
-        )
+        from extract_permits_spark.session import assert_no_scratch_refs
+
+        df = connected_components(_collapsed_edges(spark, sf_dir))
+        # self-contained by construction (connected_components returns a
+        # projection over its OWN final-round checkpoint) — the guard
+        # pins that property against future refactors
+        assert_no_scratch_refs(df)
+        _COMPONENTS_CACHE[key] = df
     return _COMPONENTS_CACHE[key]
 
 
@@ -290,9 +300,11 @@ def _emb_components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("vec_id") != F.col("_rep"))
             .select(F.col("_rep").alias("id_a"), F.col("vec_id").alias("id_b"))
         )
-        _EMB_COMPONENTS_CACHE[key] = connected_components(
-            rep_pairs.unionByName(stars)
-        )
+        from extract_permits_spark.session import assert_no_scratch_refs
+
+        df = connected_components(rep_pairs.unionByName(stars))
+        assert_no_scratch_refs(df)
+        _EMB_COMPONENTS_CACHE[key] = df
     return _EMB_COMPONENTS_CACHE[key]
 
 

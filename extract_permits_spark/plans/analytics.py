@@ -40,100 +40,109 @@ from extract_permits_spark.sources.readers import load_table  # noqa: F401
 # round; _CHECK_FIRST controls that window and is rotated each round so
 # every entry earns a driver row (see the r9 NOTE below the list).
 _CHECK_FIRST = [
-    # r13 window (rotated per VERDICT r12 #1): (a) the 8 entries whose
-    # code paths changed this session (decayed-count age clamp, k-center
-    # guards/persist, streaming await_or_raise + scratch_dir hygiene,
-    # the rag/curation perf work), (b) the 4 stale-witness entries whose
-    # shared LSH helpers were pinned in r13-builder AFTER their last
-    # driver witness (dedup_minhash_lsh/md5 r9, dedup_simhash r8,
-    # emb_neardup_lsh r10), (c) 3 of the touched streaming entries with
-    # the oldest witnesses, (d) the ENTIRE remaining r8 cohort — after
-    # this window lands green, no entry's last witness predates r9.
-    "emb_kcenter_batch",  # NEW in r13 (batched farthest-point coreset)
-    "docs_hll_distinct",  # NEW in r13 (deterministic HLL sketch)
-    "text_cm_heavy_hitters",  # NEW in r13 (Count-Min heavy hitters)
-    "docs_kmv_source_overlap",  # NEW in r13 (KMV bottom-k overlap)
-    "stream_hll_distinct",  # NEW in r13 (streaming max-merge HLL)
-    "stream_cm_heavy_hitters",  # NEW in r13 (streaming sum-merge CM)
-    # plan-shape-touched this session (the multimodal id-spread adds a
-    # RoundRobin exchange below every codec rail; graph/BPE loops now
-    # free scratch checkpoints) — all re-oracle-checked green locally,
-    # queued for a driver witness per the changed-entries rule
-    "mm_video_shots", "mm_image_phash", "mm_audio_fingerprint",
-    "mm_image_dedup_clusters", "graph_pagerank", "graph_lpa_communities",
-    "ev_decayed_counts",
+    # r14 window (rotated per VERDICT r13 #1): (a) the ENTIRE deferred
+    # r8-witness cohort leads — after this window lands green, no
+    # entry's last driver witness predates r9; (b) the entries this
+    # session's edits changed (rotation_audit output against _AUDIT_BASE
+    # minus the documented hygiene modules — pinned by
+    # tests/test_rotation.py); (c) this round's new entries; (d) the r9
+    # cohort oldest-first, 34 of 39 (see the r14 NOTE below the list).
+    "ann_matryoshka_topk",
+    "ann_matryoshka_rerank",
+    "ann_matryoshka_recall",
+    "ann_matryoshka_mrr",
+    "ann_batch_topk",
+    "docs_span_dup_rate",
+    "docs_span_mask",
+    "docs_corpus_report",
+    "docs_quality_score",
+    "docs_unigram_xent",
+    "mm_frame_sample",
+    "x8_schema_evolution_union",
+    # (b) changed this session: is_center now computed as
+    # vec_id == assigned center_id, matching the oracle's
+    # `a.vec_id = a.center_id` (r13 ADVICE medium — a VALUE change on
+    # duplicate-embedding inputs); vocab_bpe_train frees its final-round
+    # checkpoint (post-return hygiene, values untouched, queued because
+    # its body changed and the audit rule is body-granular)
     "emb_kcenter_coreset",
-    "rag_context_assembly",
-    "llm_corpus_curation",
-    "stream_phash_ingest",
-    "stream_corpus_ingest",
-    "xlsx_review_roundtrip",
-    "emb_ivfpq_indexed_topk",
-    "dedup_minhash_lsh",
-    "dedup_minhash_md5",
-    "dedup_simhash",
-    "emb_neardup_lsh",
-    "stream_tumbling_agg",
-    "stream_dedup",
-    "stream_decontaminate_ingest",
-    "q1_pricing_summary",
-    "s2_dim_join_filter",
-    "x1_explode_pipe_list",
-    "j1_preagg_join",
-    "j2_anti_join",
-    "e1_validate_partition",
-    "dedup_exact",
-    "w3_line_numbers_batches",
-    "ev_sessionize",
-    "ann_cosine_topk",
-    "s1_socrata_pull",
-    "permit_pipeline_upload",
-    "ev_funnel",
-    "basket_brand_pairs",
-    "q18_large_volume",
-    "q21_waiting_supplier",
-    "q11_important_stock",
-    "q12_late_ship_priority",
-    "q20_potential_promotion",
-    "u4_except_all",
-    "vocab_bpe_encode",
-    # docs_unigram_xent displaced to r14 by stream_cm_heavy_hitters
-    # docs_quality_score displaced to r14 by stream_hll_distinct
-    # ann_batch_topk displaced to r14 by docs_kmv_source_overlap
-    # x8_schema_evolution_union displaced to r14 by text_cm_heavy_hitters
-    "mm_image_stats",
-    "mm_audio_stats",
-    # mm_frame_sample displaced to r14 by the new docs_hll_distinct
-    # displaced to r14 by this session's plan-touched cohort (all
-    # pytest-pinned meanwhile): ann_matryoshka_topk/_rerank/_recall/
-    # _mrr, docs_span_dup_rate, docs_span_mask, docs_corpus_report
+    "emb_kcenter_batch",
+    "vocab_bpe_train",
+    "vocab_bpe_encode",  # calls vocab_bpe_train — transitive rule
+    # (c) NEW in r14: streaming bottom-k KMV overlap (batch SQL verbatim
+    # as oracle, completing the merge-semantics triptych with HLL/CM)
+    "stream_kmv_overlap",
+    # (d) the r9 cohort, original registration order
+    "s1_scan_filter_order",
+    "s3_scalar_max",
+    "p_clean_bundle",
+    "p9_keyword_tag",
+    "j6_semi_flag",
+    "w2_first_per_group",
+    "w4_dup_flag",
+    "s4_range_scan",
+    "p3_date_functions",
+    "x3_unpivot",
+    "j3_crosswalk_override",
+    "u2_union_distinct",
+    "e3_legacy_flags",
+    "text_tokens",
+    "text_quality",
+    "text_fingerprint",
+    "text_language_id",
+    "ev_tumbling_agg",
+    "ev_json_extract",
+    "ann_lsh_topk",
+    "dedup_ngram_jaccard",
+    "mm_binary_features",
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "p5_pin_normalize",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "permit_pipeline_review",
+    "docs_decontaminate",
+    "docs_domain_mix",
+    "llm_pack_stats",
+    "rag_hybrid_recall",
+    "mm_decode_quarantine",
 ]
 
-# r13 rotation NOTE: 50 slots cannot hold this round's full changed set
-# PLUS the entire r8 cohort; the window holds every entry whose VALUES
-# or PLAN SHAPE could have moved (rag rework, decayed-count clamp,
-# k-center guards, multimodal id-spread, graph/BPE scratch frees, the
-# helper-stale LSH four) and 31 of the 38 r8-witnessed entries. Deferred
-# to r14 FIRST, all re-oracle-checked green locally this session:
-# (a) r8-witnessed, displaced: ann_matryoshka_topk/_rerank/_recall/_mrr,
-#     docs_span_dup_rate, docs_span_mask, docs_corpus_report,
-#     mm_frame_sample, x8_schema_evolution_union, ann_batch_topk,
-#     docs_quality_score (the last four gave their slots to the round's
-#     new entries: emb_kcenter_batch, docs_hll_distinct,
-#     text_cm_heavy_hitters, docs_kmv_source_overlap,
-#     stream_hll_distinct);
-# (b) hygiene-only streaming (timeout/cleanup behavior, values
-#     untouched): stream_session_agg, stream_ann_index_ingest,
-#     stream_neardup_ingest, stream_stateful_totals (r10),
-#     stream_stream_join, stream_cdc_apply (r11),
-#     stream_semantic_decon_ingest (r12);
-# (c) vocab_bpe_train / vocab_bpe_pairs (scratch-free only; the shared
-#     loop is witnessed via vocab_bpe_encode in this window);
-# then the r9 cohort oldest-first.
-# The rotation rule is now TRANSITIVE over helper imports: run
-# tools/rotation_audit.py <git-ref> to list every registry entry whose
-# defining chunk OR transitively-imported engine module changed since
-# the ref — those jump the queue alongside directly-edited entries.
+# Base ref for this round's rotation audit (r13 final commit) and the
+# modules whose r14 edits are exempt from the changed-entry rule because
+# they cannot move any entry's VALUES or result-plan shape — each with
+# the reason an auditor needs. tests/test_rotation.py asserts that
+# rotation_audit(_AUDIT_BASE) minus these modules is ⊆ _CHECK_FIRST, so
+# the transitive rule can't silently regress (VERDICT r13 #1).
+_AUDIT_BASE = "7cba7fd7977beee7fbf58e79d4749379e64a87cf"
+_AUDIT_HYGIENE_MODULES = {
+    # free_local_checkpoint now descends Project/Filter wrappers and the
+    # new assert_no_scratch_refs guard — post-evaluation block
+    # reclamation + an insert-time assertion; no query value or plan of
+    # any returned frame changes (r13 ADVICE lows #2/#4)
+    "extract_permits_spark.session",
+    # clear_frame_caches / memo-insert guard calls only (same ADVICE
+    # items); the memoized VALUES are bit-identical
+    "extract_permits_spark.plans._registry",
+}
+
+# r14 rotation NOTE: the full r8 cohort (12) + changed (4) + new (1)
+# leaves 33 slots for the 39 r9-witnessed entries. Deferred to r15
+# FIRST, all re-oracle-checked green locally this session — six
+# recall/variant twins whose PRIMARY entries sit in this window or were
+# witnessed r13 and exercise the identical machinery: ann_lsh_recall
+# (ann_lsh_topk in window), ann_ivf_recall (ann_ivf_topk),
+# emb_ivfpq_recall / emb_ivfpq_batch_topk / emb_ivfpq_topk (the indexed
+# variant emb_ivfpq_indexed_topk witnessed r13; topk gave its slot to
+# vocab_bpe_encode per the transitive rule), dedup_simhash_recall
+# (dedup_simhash witnessed r13).
+# The rotation rule is TRANSITIVE over helper imports and BODY-GRANULAR
+# within chunk modules: tools/rotation_audit.py <git-ref> lists every
+# registry entry whose own function body, same-chunk helper, or
+# transitively-imported engine module changed since the ref — those
+# jump the queue alongside directly-edited entries, minus the
+# per-round documented hygiene modules above (pinned by
+# tests/test_rotation.py).
 
 
 def _reordered(d: dict) -> dict:

@@ -2881,3 +2881,115 @@ def stream_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cm_est") >= F.col("exact_cnt")).alias("never_underestimates"),
         )
     )
+
+
+@register("stream_kmv_overlap", _ORACLES["docs_kmv_source_overlap"])
+def stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV source-overlap sketch maintained INCREMENTALLY on ingest:
+    documents arrive through a file stream in two micro-batches, each
+    batch lands only its own per-source bottom-64 hash sketch
+    (idempotent dynamic partition overwrite), and the corpus sketch is
+    the bottom-64 of the landed union — streaming/kmv_ingest.py. This
+    completes the streaming sketch triptych's merge semantics (VERDICT
+    r13 #7): HLL max-merge (idempotent), CM sum-merge (NOT idempotent,
+    replay-safe only via the sink), KMV bottom-k merge (idempotent,
+    min-like).
+
+    The oracle is literally docs_kmv_source_overlap's batch SQL:
+    bottom-k merge is associative/commutative/idempotent — each of the
+    corpus's k smallest hashes is among its own batch's k smallest, so
+    the merged sketch EQUALS the full-corpus sketch and every pairwise
+    estimate matches the batch run value-for-value (no tolerance). The
+    exact-Jaccard baseline column rides along computed batch-side from
+    the same parquet, exactly as the batch entry computes it — it is
+    the quadratic thing the sketch replaces, not part of the stream.
+
+    Scale: per-batch state ≤ 64·|sources| rows whatever the batch size;
+    no streaming state store; a replayed batch cannot move the merge
+    (partition replaced, and bottom-k is idempotent)."""
+    import os
+    import shutil
+
+    from extract_permits_spark.streaming.kmv_ingest import (
+        merged_bottomk,
+        run_kmv_ingest_available_now,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    work = scratch_dir("stream_kmv_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    for half, fname in ((0, "f0"), (1, "f1")):
+        d.where((F.col("doc_id") % 2) == half).coalesce(1).write.parquet(
+            os.path.join(src, fname)
+        )
+    for sub in ("f0", "f1"):
+        for fn in os.listdir(os.path.join(src, sub)):
+            if fn.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(src, sub, fn),
+                    os.path.join(src, f"{sub}.parquet"),
+                )
+        shutil.rmtree(os.path.join(src, sub), ignore_errors=True)
+
+    out = os.path.join(work, "kmv")
+    q = run_kmv_ingest_available_now(spark, src, os.path.join(work, "ckpt"), out)
+    await_or_raise(q, 300)
+
+    # land the merged sketch in a managed table before the scratch dir's
+    # atexit cleanup could outrun a lazy read (stream_phash_ingest hygiene)
+    tbl = f"stream_kmv_mins_{abs(hash(sf_dir)) % 10**8}"
+    merged_bottomk(spark, out).write.mode("overwrite").saveAsTable(tbl)
+    mins = spark.table(tbl)
+
+    # pairwise epilogue + exact baseline: the batch entry's construction
+    # verbatim (docs_kmv_source_overlap above) on the streamed sketch
+    from extract_permits_spark.functions.similarity import word_shingles
+
+    sh = d.select("source", F.explode(word_shingles(F.col("text"))).alias("g"))
+    hv = F.conv(
+        F.substring(F.md5(F.col("g").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    dedup = sh.select("source", hv.alias("hv")).distinct()
+
+    a = mins.select(F.col("source").alias("src_a"), F.col("mh").alias("ma"))
+    b = mins.select(F.col("source").alias("src_b"), F.col("mh").alias("mb"))
+    u = F.slice(F.array_sort(F.array_union(F.col("ma"), F.col("mb"))), 1, 64)
+    inter_k = F.size(
+        F.filter(
+            u,
+            lambda h: F.array_contains(F.col("ma"), h)
+            & F.array_contains(F.col("mb"), h),
+        )
+    ).cast("long")
+    kmv = (
+        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a", "src_b",
+            inter_k.alias("inter_k"),
+            F.size(u).cast("long").alias("denom_k"),
+        )
+    )
+    sizes = dedup.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    da = dedup.select(F.col("source").alias("src_a"), "hv")
+    db = dedup.select(F.col("source").alias("src_b"), "hv")
+    xinter = (
+        da.join(db, ["hv"])
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ni"))
+    )
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    return (
+        kmv.join(F.broadcast(xinter), ["src_a", "src_b"], "left")
+        .join(F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))), "src_a")
+        .join(F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))), "src_b")
+        .select(
+            "src_a", "src_b",
+            F.round(F.col("inter_k").cast("double") / F.col("denom_k"), 6).alias("kmv_jaccard"),
+            F.round(ni.cast("double") / (F.col("na") + F.col("nb") - ni), 6).alias("exact_jaccard"),
+        )
+    )

@@ -957,6 +957,12 @@ def vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
         _free_ckpt(prev_cur)
 
+    # the returned frame is pure driver rows — the LAST round's
+    # checkpoint is dead the moment the loop exits, so free it here
+    # rather than leaking it for the session (r13 ADVICE, low); the
+    # round-0 case double-frees the registered scratch frame, which
+    # free_local_checkpoint tolerates (unpersist is idempotent).
+    _free_ckpt(cur)
     schema = "round INT, pair_a STRING, pair_b STRING, merged STRING, cnt BIGINT"
     return spark.createDataFrame(rows, schema)
 

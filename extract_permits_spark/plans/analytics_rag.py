@@ -2664,7 +2664,6 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     sel, centers = _kcenter_cached(spark, emb, sf_dir, k=8)
-    center_ids = [cid for _, cid in sel]
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -2682,7 +2681,12 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         best["cid"].alias("center_id"),
         F.round(best["d"], 6).alias("dist_sq"),
-        F.col("vec_id").isin(*center_ids).alias("is_center"),
+        # vec_id == assigned center, matching the oracle's
+        # `a.vec_id = a.center_id` exactly: if two identical embeddings
+        # were both picked as centers (possible in one batched round),
+        # both assign to the LOWER id, so only that one is a center here
+        # — an id-membership test would disagree (r13 ADVICE, medium).
+        (F.col("vec_id") == best["cid"]).alias("is_center"),
     )
 
 
@@ -2708,7 +2712,6 @@ def emb_kcenter_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     sel, centers = _kcenter_batched_cached(spark, emb, sf_dir, k=8, batch=4)
-    center_ids = [cid for _, cid in sel]
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -2726,7 +2729,12 @@ def emb_kcenter_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         best["cid"].alias("center_id"),
         F.round(best["d"], 6).alias("dist_sq"),
-        F.col("vec_id").isin(*center_ids).alias("is_center"),
+        # vec_id == assigned center, matching the oracle's
+        # `a.vec_id = a.center_id` exactly: if two identical embeddings
+        # were both picked as centers (possible in one batched round),
+        # both assign to the LOWER id, so only that one is a center here
+        # — an id-membership test would disagree (r13 ADVICE, medium).
+        (F.col("vec_id") == best["cid"]).alias("is_center"),
     )
 
 

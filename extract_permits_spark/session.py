@@ -75,13 +75,27 @@ def free_local_checkpoint(df) -> None:
     settled curation run spiked 8 s → 26 s with zero code change).
     Verified on pyspark 4.1: analyzed() is a LogicalRDD for a
     checkpointed frame and unpersisting its RDD drops the blocks.
-    Silently no-ops on non-checkpointed frames or API drift — this is
-    an allocator hint, never a correctness dependency.
+    Descends through narrow unary wrappers (Project/Filter) so a frame
+    like connected_components' ``proposed.drop("_changed")`` — a
+    Project over the LogicalRDD — frees its blocks too (r13 ADVICE:
+    the top-node-only check silently no-op'ed on exactly the cached
+    frames clear_frame_caches exists to reclaim). Only Project/Filter
+    are walked: they cannot re-reference the child after the caller is
+    done with the frame, whereas descending through joins/aggregates
+    could free a checkpoint shared with a sibling plan. Silently
+    no-ops on non-checkpointed frames or API drift — this is an
+    allocator hint, never a correctness dependency.
     """
     try:
         plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getSimpleName() == "LogicalRDD":
-            plan.rdd().unpersist(False)
+        for _ in range(8):
+            name = plan.getClass().getSimpleName()
+            if name == "LogicalRDD":
+                plan.rdd().unpersist(False)
+                return
+            if name not in ("Project", "Filter"):
+                return
+            plan = plan.children().apply(0)
     except Exception:
         pass
 
@@ -104,6 +118,52 @@ def register_scratch_checkpoint(df) -> None:
 def free_scratch_checkpoints() -> None:
     """Free every registered scratch checkpoint's blocks. ONLY call
     between evaluations (a freed localCheckpoint cannot recompute, so a
-    still-pending lazy plan that references one would fail)."""
+    still-pending lazy plan that references one would fail).
+
+    INVARIANT (r13 ADVICE): no frame that SURVIVES an evaluation — in
+    particular the cross-evaluation memo caches in plans/_registry —
+    may reference a registered scratch checkpoint; it would fail at a
+    distance with missing-block errors after this runs. Memoized frames
+    must be self-contained (their own localCheckpoint). The memo caches
+    enforce this at insert time via assert_no_scratch_refs."""
     while _SCRATCH_CKPTS:
         free_local_checkpoint(_SCRATCH_CKPTS.pop())
+
+
+def _logical_rdd_ids(df) -> set:
+    """JVM RDD ids of every LogicalRDD leaf in df's analyzed plan.
+    Best-effort (empty set on API drift) — used only by the insert-time
+    guard below, never for correctness."""
+    ids: set = set()
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() == "LogicalRDD":
+                ids.add(node.rdd().id())
+                continue
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+    except Exception:
+        return set()
+    return ids
+
+
+def assert_no_scratch_refs(df) -> None:
+    """Insert-time guard for cross-evaluation memo caches: a memoized
+    frame must not reference any REGISTERED scratch checkpoint, because
+    free_scratch_checkpoints() (called between evaluations by bench and
+    the oracle checker) unpersists those blocks and a localCheckpoint
+    cannot recompute — the memoized frame would then fail at a DISTANCE
+    on its next reuse (r13 ADVICE, low). Raising here moves the failure
+    to the line that created the unsafe memo."""
+    scratch: set = set()
+    for s in _SCRATCH_CKPTS:
+        scratch |= _logical_rdd_ids(s)
+    if scratch and scratch & _logical_rdd_ids(df):
+        raise AssertionError(
+            "memoized frame references a registered scratch checkpoint; "
+            "localCheckpoint the frame itself before memoizing (scratch "
+            "blocks are freed between evaluations and cannot recompute)"
+        )

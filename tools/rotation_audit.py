@@ -21,9 +21,19 @@ flag all 216 entries):
 - module level beyond that: helper modules (functions/, operators/,
   sources/, sinks/, streaming/) are cohesive, so their import closures
   propagate whole;
-- chunk registry modules (plans/analytics*) are membership-only: an
-  edit there flags the chunk's own entries and direct cross-chunk symbol
-  importers, but never bleeds through as a closure.
+- chunk registry modules (plans/analytics*) are BODY-GRANULAR (r14): an
+  edit there flags only the entries whose own function body (incl. the
+  register decorator), reached same-chunk helper, or the chunk's module
+  scope actually changed vs the ref — not the whole chunk's membership
+  (a 2-entry fix in a 70-entry chunk used to flag all 70); they still
+  never bleed through as a closure.
+
+Library surface: affected_entries(ref, exempt=()) returns
+{entry: [changed modules]}; `exempt` names engine modules whose edits
+are DECLARED value-neutral for the round (post-evaluation hygiene) —
+the per-round list lives next to _CHECK_FIRST in plans/analytics.py
+with its justification, and tests/test_rotation.py pins
+affected_entries(_AUDIT_BASE, _AUDIT_HYGIENE_MODULES) ⊆ _CHECK_FIRST.
 """
 
 from __future__ import annotations
@@ -92,20 +102,52 @@ class ModInfo:
                         self.registered[dec.args[0].value] = node.name
 
 
-def main() -> int:
-    if len(sys.argv) < 2:
-        print(__doc__)
-        return 2
-    ref = sys.argv[1]
+def _changed_symbols(mod: str, path: str, ref: str) -> tuple[set[str], bool]:
+    """(top-level defs whose AST dump differs vs `ref`, module-scope
+    changed?). A def present on only one side counts changed; an
+    unreadable ref version (new file) counts everything changed. The
+    dump includes decorator_list, so an entry whose register() oracle
+    SQL literal changed is flagged even with an identical body."""
+    rel = os.path.relpath(path, REPO)
+    proc = subprocess.run(
+        ["git", "show", f"{ref}:{rel}"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    cur_tree = ast.parse(open(path).read())
+    if proc.returncode != 0:
+        return {n.name for n in cur_tree.body
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))}, True
+    old_tree = ast.parse(proc.stdout)
+
+    def digest(tree):
+        defs, scope = {}, []
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                defs[node.name] = ast.dump(node)
+            else:
+                scope.append(ast.dump(node))
+        return defs, scope
+
+    cur_defs, cur_scope = digest(cur_tree)
+    old_defs, old_scope = digest(old_tree)
+    changed = {
+        n for n in set(cur_defs) | set(old_defs)
+        if cur_defs.get(n) != old_defs.get(n)
+    }
+    return changed, cur_scope != old_scope
+
+
+def affected_entries(ref: str, exempt: set[str] | frozenset = frozenset()):
+    """{registry entry: sorted changed modules it reaches} for every
+    engine module changed since `ref`, minus `exempt` (the round's
+    declared-hygiene modules). Chunk modules are body-granular; see the
+    module docstring."""
     diff = subprocess.run(
         ["git", "diff", "--name-only", ref, "--", PKG],
         cwd=REPO, capture_output=True, text=True, check=True,
     ).stdout.split()
     changed = {f[:-3].replace(os.sep, ".") for f in diff if f.endswith(".py")}
-    if not changed:
-        print(f"no engine modules changed since {ref}")
-        return 0
-
+    changed -= set(exempt)
     mods = engine_modules()
     allset = set(mods)
     info = {m: ModInfo(m, p, allset) for m, p in mods.items()}
@@ -129,17 +171,33 @@ def main() -> int:
     def expand(m: str) -> set[str]:
         return {m} | (closure.get(m, set()) if m not in chunk else set())
 
-    def symbol_reach(mod: str, sym: str, depth: int = 0, seen: set | None = None) -> set[str]:
+    def symbol_reach(
+        mod: str,
+        sym: str,
+        depth: int = 0,
+        seen: set | None = None,
+        attrib: set | None = None,
+    ) -> set[str]:
         """Modules reached by symbol `sym` of module `mod` — symbol-level
         for the first two from-import hops (so `from _registry import
         _dec` reaches only what `_dec` uses, not everything `_registry`
-        imports at module scope), module-closure beyond."""
+        imports at module scope), module-closure beyond.
+
+        `attrib`, when given, collects every (module, symbol) the walk
+        attributes — including constant/class imports and the depth≥2
+        fallback — separately from the cycle-guard `seen`, so the
+        body-granular chunk filter can tell WHICH chunk symbols an entry
+        actually uses (a constant's change shows up in the chunk's
+        module-scope digest, a def's in its body digest)."""
+        if attrib is not None:
+            attrib.add((mod, sym))
         if mod not in info:
             return {mod}
         mi = info[mod]
         if sym not in mi.symbol_names:
             return {mod}  # constant / class / unknown: membership only
-        seen = seen or set()
+        if seen is None:  # `or` would discard a passed-in EMPTY collector
+            seen = set()
         key = (mod, sym)
         if key in seen:
             return {mod}
@@ -151,27 +209,79 @@ def main() -> int:
             elif n in mi.fromname_mod:
                 src = mi.fromname_mod[n]
                 if depth < 2:
-                    reach |= symbol_reach(src, n, depth + 1, seen)
+                    reach |= symbol_reach(src, n, depth + 1, seen, attrib)
                 else:
+                    if attrib is not None:
+                        attrib.add((src, n))
                     reach |= expand(src)
             elif n in mi.symbol_names and n != sym:
                 # same-module helper call: include its reach too
                 if depth < 2:
-                    reach |= symbol_reach(mod, n, depth + 1, seen)
+                    reach |= symbol_reach(mod, n, depth + 1, seen, attrib)
         return reach
+
+    # body-granular digests for every changed CHUNK module: which
+    # top-level defs actually differ vs the ref, and whether the module
+    # scope (constants, imports, non-def statements) moved
+    chunk_digest = {
+        m: _changed_symbols(m, mods[m], ref) for m in changed & chunk
+    }
+
+    def chunk_reach(mi: "ModInfo", fn: str) -> set[str]:
+        """fn plus every same-module top-level def it transitively uses
+        (the decorator is part of fn's own dump, not walked here)."""
+        out, work = {fn}, [fn]
+        while work:
+            cur = work.pop()
+            for n in mi.symbol_names.get(cur, ()):  # noqa: B905
+                if n in mi.symbol_names and n not in out:
+                    out.add(n)
+                    work.append(n)
+        return out
 
     affected: dict[str, list[str]] = {}
     for defmod, mi in info.items():
         for entry, fn in mi.registered.items():
-            reach = symbol_reach(defmod, fn)
-            hits = sorted(reach & changed)
+            attrib: set = set()
+            reach = symbol_reach(defmod, fn, attrib=attrib)
+            hits = set(reach & changed)
+            # body-granular pass over every changed CHUNK in reach: the
+            # (module, symbol) trail records exactly which chunk symbols
+            # the walk attributed (own-chunk entry fn, cross-chunk
+            # from-imports, constants); close each over same-chunk
+            # helper calls and keep the flag only if a changed def is
+            # touched or the module scope (where constants live) moved.
+            # A chunk reached with NO attribution (module-alias use)
+            # stays flagged — conservative.
+            for m in list(hits):
+                if m not in chunk_digest:
+                    continue
+                syms, scope_moved = chunk_digest[m]
+                if scope_moved:
+                    continue
+                entered = {s for (mm, s) in attrib if mm == m}
+                if not entered:
+                    continue
+                used: set = set()
+                for s in entered:
+                    used |= chunk_reach(info[m], s)
+                if not (used & syms):
+                    hits.discard(m)
             if hits:
-                affected[entry] = hits
+                affected[entry] = sorted(hits)
+    return affected
 
-    print(f"# engine modules changed since {ref}: {len(changed)}")
-    for m in sorted(changed):
-        print(f"#   {m}")
-    print(f"# affected registry entries: {len(affected)}")
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    ref = sys.argv[1]
+    exempt = set(sys.argv[2:])
+    affected = affected_entries(ref, exempt)
+    print(f"# affected registry entries since {ref}"
+          f"{' (exempt: ' + ', '.join(sorted(exempt)) + ')' if exempt else ''}"
+          f": {len(affected)}")
     for e in sorted(affected):
         print(f"{e}\t<- {', '.join(affected[e])}")
     return 0
