@@ -440,3 +440,60 @@ def test_pca_power_fit2_recovers_both_axes(spark):
     dot = sum(a * b for a, b in zip(v1, v2))
     assert abs(dot) < 1e-3
     assert v1[0] >= 0 and v2[0] >= 0
+
+
+def test_kcenter_batch_duplicate_center_is_center_semantics(spark):
+    """r13 ADVICE (medium): one batched round can select two rows with
+    IDENTICAL embeddings (impossible in the exact greedy, where the
+    second duplicate's dmin collapses to 0 after the first is picked);
+    both duplicates then ASSIGN to the lower id, so only the lower id
+    counts as a center under the oracle's `vec_id = center_id` rule.
+    The registry entries compute is_center the same way since r14 —
+    this pins the construction at the unit level with a corpus where
+    the divergence actually occurs (the fixtures' near-uniform
+    embeddings masked it)."""
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.functions import similarity as simfn
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [100.0, 0.0]),
+        (2, [100.0, 0.0]),  # exact duplicate of vec 1
+        (3, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sel, centers = simfn.kcenter_select_batched(df, k=3, batch=2)
+    ids = [cid for _, cid in sel]
+    # seed 0, then round 1's top-2 by (dmin DESC, id): the duplicate
+    # pair 1 and 2 — both selected in ONE round
+    assert set(ids) == {0, 1, 2}
+
+    v = df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                simfn._sqdist_to(c).alias("d"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for (_, cid), c in zip(sel, centers)
+        ]
+    )
+    best = F.array_sort(scored).getItem(0)
+    out = {
+        r["vec_id"]: r
+        for r in v.select(
+            "vec_id",
+            best["cid"].alias("center_id"),
+            (F.col("vec_id") == best["cid"]).alias("is_center"),
+        ).collect()
+    }
+    assert out[1]["is_center"] and out[1]["center_id"] == 1
+    # the higher-id duplicate assigns to 1 and is NOT a center — the
+    # exact case where the old isin(center_ids) spelling said True and
+    # the DuckDB twin said False
+    assert not out[2]["is_center"] and out[2]["center_id"] == 1
+    assert out[0]["is_center"] and out[0]["center_id"] == 0
+    assert not out[3]["is_center"]

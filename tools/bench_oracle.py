@@ -60,7 +60,10 @@ def main() -> None:
     #   would flatter Spark absurdly;
     # - the dedup_simhash registry entry is the md5-portable variant while
     #   bench.py times the xxhash64 production path — different hash
-    #   family, not a like-for-like pair.
+    #   family, not a like-for-like pair. Since r14 (VERDICT r13 #5) the
+    #   md5 variant IS paired under the explicit name dedup_simhash_md5
+    #   (timed below, matching bench.py's twin row); the bare name stays
+    #   excluded so the production row remains honest.
     # mm_image_stats: the Spark side encodes+decodes real PNGs while the
     # oracle recomputes the expected stats closed-form — correct as an
     # oracle, asymmetric as a timed pair.
@@ -91,12 +94,30 @@ def main() -> None:
         con.execute(sql).fetchall()
         times[name] = round(time.time() - t0, 3)
 
+    # md5-portable SimHash pair row (r14): same banded algorithm both
+    # engines; bench.py's dedup_simhash_md5 row forces the same registry
+    # entry Spark-side
+    if "dedup_simhash" in oracles:
+        sql = oracles["dedup_simhash"]
+        con.execute(sql).fetchall()
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        times["dedup_simhash_md5"] = round(time.time() - t0, 3)
+
+    def _timed_scale(row: str, sql: str) -> None:
+        # scale rows mirror bench.py's r14 protocol upgrade: a warm-up
+        # pass (buffer/plan cache) before the timed run, instead of the
+        # old single cold run
+        con.execute(sql).fetchall()
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        times[row] = round(time.time() - t0, 3)
+
     # sf×10 equivalent of the flagship pipeline: re-point the fact views
     # at a UNION ALL of 10 key-shifted copies (mirror of Spark's
     # amplified_permits_from_tpch) and run the same end-to-end upload SQL.
-    # Single timed run (matches bench.py's single-run methodology for the
-    # sf1eq row — a 6M-row pipeline is past the point where warm-up noise
-    # matters).
+    # Warm-up + steady timed run since r14, mirroring bench.py's scale
+    # protocol upgrade (_timed_scale).
     if "permit_pipeline_upload" in oracles:
         stride = 10**7
         for tbl, key in [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]:
@@ -107,9 +128,7 @@ def main() -> None:
                 for c in range(10)
             )
             con.execute(f"CREATE OR REPLACE VIEW {tbl} AS {union}")
-        t0 = time.time()
-        con.execute(oracles["permit_pipeline_upload"]).fetchall()
-        times["permit_pipeline_sf1eq"] = round(time.time() - t0, 3)
+        _timed_scale("permit_pipeline_sf1eq", oracles["permit_pipeline_upload"])
 
     # classic-join shape at 10x: materialize the amplified facts first
     # (mirror of bench.py, which writes them to parquet outside the
@@ -123,9 +142,7 @@ def main() -> None:
         con.execute(
             "CREATE OR REPLACE VIEW lineitem AS SELECT * FROM _amp_lineitem"
         )
-        t0 = time.time()
-        con.execute(oracles["q21_waiting_supplier"]).fetchall()
-        times["q21_waiting_supplier_sf1eq"] = round(time.time() - t0, 3)
+        _timed_scale("q21_waiting_supplier_sf1eq", oracles["q21_waiting_supplier"])
 
     # dedup at 10x: same amplified-documents input, same md5-banded
     # algorithm both engines (bench.py's dedup_minhash_md5_sf1eq row).
@@ -143,25 +160,19 @@ def main() -> None:
         con.execute(
             "CREATE OR REPLACE VIEW documents AS SELECT * FROM _amp_docs10"
         )
-        t0 = time.time()
-        con.execute(oracles["dedup_minhash_md5"]).fetchall()
-        times["dedup_minhash_md5_sf1eq"] = round(time.time() - t0, 3)
+        _timed_scale("dedup_minhash_md5_sf1eq", oracles["dedup_minhash_md5"])
 
     # tf-idf at 10x documents (mirror of bench.py's text_tfidf_sf1eq):
     # same materialized 10x table, same query text as the registry
     # oracle (which reads the `documents` view, re-pointed above).
     if "text_tfidf" in oracles and "dedup_minhash_md5" in oracles:
-        t0 = time.time()
-        con.execute(oracles["text_tfidf"]).fetchall()
-        times["text_tfidf_sf1eq"] = round(time.time() - t0, 3)
+        _timed_scale("text_tfidf_sf1eq", oracles["text_tfidf"])
 
     # hybrid RRF fusion at 10x documents (mirror of bench.py's
     # rag_fusion_sf1eq): the registry oracle embeds both scorers' full
     # SQL; the `documents` view still points at the 10x table here.
     if "rag_rrf_fusion" in oracles and "dedup_minhash_md5" in oracles:
-        t0 = time.time()
-        con.execute(oracles["rag_rrf_fusion"]).fetchall()
-        times["rag_fusion_sf1eq"] = round(time.time() - t0, 3)
+        _timed_scale("rag_fusion_sf1eq", oracles["rag_rrf_fusion"])
 
     # tf-idf at 100x documents (mirror of bench.py's text_tfidf_sf10eq):
     # amplified corpus materialized outside the timed region, then the
@@ -177,9 +188,7 @@ def main() -> None:
         con.execute(
             "CREATE OR REPLACE VIEW documents AS SELECT * FROM _amp_docs100"
         )
-        t0 = time.time()
-        con.execute(oracles["text_tfidf"]).fetchall()
-        times["text_tfidf_sf10eq"] = round(time.time() - t0, 3)
+        _timed_scale("text_tfidf_sf10eq", oracles["text_tfidf"])
         # restore the 10x view for the curation row below
         union10 = " UNION ALL ".join(
             f"SELECT * REPLACE (doc_id + {c * 10**7} AS doc_id) "
@@ -195,9 +204,7 @@ def main() -> None:
     if "llm_corpus_curation" in oracles:
         con.execute("CREATE TABLE _amp_docs AS SELECT * FROM documents")
         con.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM _amp_docs")
-        t0 = time.time()
-        con.execute(oracles["llm_corpus_curation"]).fetchall()
-        times["llm_corpus_curation_sf1eq"] = round(time.time() - t0, 3)
+        _timed_scale("llm_corpus_curation_sf1eq", oracles["llm_corpus_curation"])
 
     # cross-dataset semantic decon at 10x embeddings (mirror of bench.py's
     # emb_cross_decontaminate_sf1eq): amplified table materialized outside
@@ -218,9 +225,7 @@ def main() -> None:
         con.execute(
             "CREATE OR REPLACE VIEW embeddings AS SELECT * FROM _amp_emb10"
         )
-        t0 = time.time()
-        con.execute(oracles["emb_cross_decontaminate"]).fetchall()
-        times["emb_cross_decontaminate_sf1eq"] = round(time.time() - t0, 3)
+        _timed_scale("emb_cross_decontaminate_sf1eq", oracles["emb_cross_decontaminate"])
 
     line = json.dumps(
         {
