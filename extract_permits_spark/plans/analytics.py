@@ -72,6 +72,20 @@ _CHECK_FIRST = [
     # (c) NEW in r14: streaming bottom-k KMV overlap (batch SQL verbatim
     # as oracle, completing the merge-semantics triptych with HLL/CM)
     "stream_kmv_overlap",
+    # (b continued) the distributed_rank/-group_rank ReuseExchange pin
+    # (operators/windows.py — VERDICT r13 #3 root cause: column pruning
+    # de-duplicated the counts branch's range exchange) changes the
+    # executed PLAN of every consumer; all re-oracle-checked green
+    # locally, queued per the plan-shape rule. w2/w4/e3 are flagged too
+    # and already sit in the r9 cohort below.
+    "llm_pretrain_pipeline",
+    "docs_quality_prune",
+    "docs_quality_bins",
+    "docs_shard_shuffle",
+    "docs_shard_manifest",
+    "docs_zorder_layout",
+    "w3_line_numbers_batches",
+    "sample_negatives",
     # (d) the r9 cohort, original registration order
     "s1_scan_filter_order",
     "s3_scalar_max",
@@ -83,22 +97,14 @@ _CHECK_FIRST = [
     "s4_range_scan",
     "p3_date_functions",
     "x3_unpivot",
-    "j3_crosswalk_override",
     "u2_union_distinct",
     "e3_legacy_flags",
-    "text_tokens",
     "text_quality",
-    "text_fingerprint",
     "text_language_id",
     "ev_tumbling_agg",
-    "ev_json_extract",
     "ann_lsh_topk",
     "dedup_ngram_jaccard",
-    "mm_binary_features",
-    "q3_shipping_priority",
-    "q5_nation_volume",
     "p5_pin_normalize",
-    "dedup_embedding_cosine",
     "ann_ivf_topk",
     "permit_pipeline_review",
     "docs_decontaminate",
@@ -126,16 +132,27 @@ _AUDIT_HYGIENE_MODULES = {
     "extract_permits_spark.plans._registry",
 }
 
-# r14 rotation NOTE: the full r8 cohort (12) + changed (4) + new (1)
-# leaves 33 slots for the 39 r9-witnessed entries. Deferred to r15
-# FIRST, all re-oracle-checked green locally this session — six
-# recall/variant twins whose PRIMARY entries sit in this window or were
-# witnessed r13 and exercise the identical machinery: ann_lsh_recall
-# (ann_lsh_topk in window), ann_ivf_recall (ann_ivf_topk),
-# emb_ivfpq_recall / emb_ivfpq_batch_topk / emb_ivfpq_topk (the indexed
-# variant emb_ivfpq_indexed_topk witnessed r13; topk gave its slot to
-# vocab_bpe_encode per the transitive rule), dedup_simhash_recall
-# (dedup_simhash witnessed r13).
+# r14 rotation NOTE: the full r8 cohort (12) + changed (12: the two
+# kcenter value fixes, the two bpe, the eight rank-pin consumers) + new
+# (1) leaves 25 slots for the 39 r9-witnessed entries. Deferred to r15
+# FIRST, all re-oracle-checked green locally this session:
+# (a) six recall/variant twins whose PRIMARY entries sit in this window
+#     or were witnessed r13 and exercise the identical machinery:
+#     ann_lsh_recall (ann_lsh_topk in window), ann_ivf_recall
+#     (ann_ivf_topk), emb_ivfpq_recall / emb_ivfpq_batch_topk /
+#     emb_ivfpq_topk (emb_ivfpq_indexed_topk witnessed r13; topk gave
+#     its slot to vocab_bpe_encode per the transitive rule),
+#     dedup_simhash_recall (dedup_simhash witnessed r13);
+# (b) eight r9 entries displaced by the rank-pin consumers, each with
+#     its machinery pinned by an in-window or r13-witnessed family twin
+#     plus pytests: dedup_embedding_cosine (brute-force twin of the
+#     witnessed LSH family), mm_binary_features (multimodal rails
+#     witnessed r13), text_tokens / text_fingerprint (text_quality +
+#     text_language_id stay), ev_json_extract (ev_tumbling_agg stays;
+#     ev_sessionize witnessed r13), q3_shipping_priority /
+#     q5_nation_volume (q1/q18/q21/q11/q12/q20 witnessed r13),
+#     j3_crosswalk_override (the coalesce-override machinery is inside
+#     the r13-witnessed permit_pipeline_upload).
 # The rotation rule is TRANSITIVE over helper imports and BODY-GRANULAR
 # within chunk modules: tools/rotation_audit.py <git-ref> lists every
 # registry entry whose own function body, same-chunk helper, or
