@@ -2267,23 +2267,45 @@ def llm_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn") <= F.ceil(F.lit(0.3) * F.col("n")).cast("long")
     ).select("doc_id", "source", "tk")
 
-    # The one remaining per-source window in this chain — a cumulative
-    # SUM, not a rank, so distributed_group_rank doesn't apply directly.
-    # It is budget-bounded by construction: `cum <= 600` keeps only the
-    # first ~dozens of rows per source under the md5 order, so a
-    # WindowGroupLimit-style early cut bounds what matters; the
-    # distributed spelling (per-(range-partition, source) partial sums +
-    # offset join, the distributed_rank pattern with SUM) is the
-    # designated follow-up if the token budget ever scales with corpus
-    # size.
-    wmix = (
-        Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # The chain's LAST per-source window, de-fanged two ways (r14, the
+    # follow-up r12e designated). The budget is a CONSTANT (600 tokens),
+    # so a rank-cap prefilter bounds the window's input: row_number <=
+    # _MIX_CAP plans as WindowGroupLimit — each map task keeps at most
+    # _MIX_CAP rows per source BEFORE the shuffle, so the per-source
+    # reducer sees O(cap x tasks) rows, corpus-size-independent — and
+    # the cumulative sum then runs on the tiny capped set. Correctness
+    # is GUARDED in-plan, not assumed: cum is monotone per source, so a
+    # dropped row can only have been a survivor if the cap-th row's cum
+    # is still <= 600 — assert_true fails the job in that config-error
+    # case instead of silently under-mixing. (The general spelling with
+    # no weight assumption is operators/windows.py:
+    # distributed_group_cumsum, used by docs_domain_mix; measured here
+    # it costs two extra corpus exchanges ~+1.4 s at sf0.1 that the
+    # constant budget makes unnecessary.)
+    _MIX_CAP = 512
+    wmix = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    capped = pruned.withColumn("_mrn", F.row_number().over(wmix)).where(
+        F.col("_mrn") <= _MIX_CAP
+    )
+    cum = F.sum(F.size("tk")).over(
+        wmix.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cap_guard = F.coalesce(
+        F.assert_true(
+            (F.col("_mrn") < _MIX_CAP) | (F.col("cum") > 600),
+            F.lit(
+                "llm_pretrain_pipeline: the 600-token mix budget was not"
+                " exhausted within the rank prefilter cap — raise"
+                " _MIX_CAP (a source has too many near-empty docs)"
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
     )
     mixed = (
-        pruned.withColumn("cum", F.sum(F.size("tk")).over(wmix))
-        .where(F.col("cum") <= 600)
+        capped.withColumn("cum", cum)
+        .where((F.col("cum") + cap_guard) <= 600)
         .select("doc_id", "tk")
     )
 

@@ -1109,20 +1109,30 @@ def docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     giant sources bound the tail; the standard scale-out is budget
     sharding (split each source's budget over k salted sub-partitions),
     which this plan admits without restructuring."""
+    from extract_permits_spark.operators.windows import (
+        distributed_group_cumsum,
+    )
+
     d = load_table(spark, sf_dir, "documents")
     t = F.trim(F.lower(F.coalesce(F.col("text"), F.lit(""))))
     n_toks = (
         F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
     ).cast("long")
     pri = F.md5(F.col("doc_id").cast("string"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy(pri, "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    walked = d.select(
-        "source", "doc_id", n_toks.alias("n_toks")
-    ).withColumn("cum_toks", F.sum("n_toks").over(w).cast("long"))
+    # distributed_group_cumsum, not a per-source running-sum window
+    # (r14, the follow-up r12e designated): a source is a HUGE group at
+    # corpus scale and a cumulative window hands it to ONE reducer;
+    # the distributed spelling splits cum into broadcast range-partition
+    # offsets + a bounded (partition, source)-cell running sum
+    # (operators/windows.py). Bit-identical: integer token counts under
+    # the same (pri, doc_id) total order.
+    walked = distributed_group_cumsum(
+        d.select("source", "doc_id", n_toks.alias("n_toks"), pri.alias("_pri")),
+        ["source"],
+        [F.col("_pri"), F.col("doc_id")],
+        "n_toks",
+        "cum_toks",
+    ).drop("_pri")
     return walked.where(F.col("cum_toks") <= 600).select(
         "source", "doc_id", "n_toks", "cum_toks"
     ).orderBy("source", "cum_toks")

@@ -278,3 +278,77 @@ def test_distributed_group_rank_parity(spark):
         )
     )
     assert got == want
+
+
+def test_distributed_group_cumsum_matches_window(spark):
+    """distributed_group_cumsum ≡ sum() OVER (PARTITION BY g ORDER BY o
+    ROWS UNBOUNDED PRECEDING) on a corpus with a 50x-skewed group, ZERO
+    weights (the case the budget-capped pipeline spelling cannot
+    handle), and enough rows to span multiple range partitions."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = [("hot", (i * 17) % 997, i, (i * 7) % 13) for i in range(500)]
+    rows += [
+        (f"g{j}", (j * 31) % 97, 10000 + j * 10 + i, 0 if i % 3 == 0 else i)
+        for j in range(7)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["g", "o", "k", "wt"])
+    got = sorted(
+        map(
+            tuple,
+            windows.distributed_group_cumsum(
+                df, ["g"], [F.col("o"), F.col("k")], "wt", "cum"
+            )
+            .select("g", "o", "k", "wt", "cum")
+            .collect(),
+        )
+    )
+    w = (
+        W.partitionBy("g")
+        .orderBy(F.col("o"), F.col("k"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn("cum", F.sum("wt").over(w).cast("long"))
+            .select("g", "o", "k", "wt", "cum")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_distributed_group_cumsum_reuses_range_exchange(spark):
+    """The counts branch and the local-window branch must share ONE
+    range shuffle (the _gc_pin contract) — a Column-typed weight keeps
+    extra payload columns alive, the exact shape that defeated reuse in
+    the rank ops before the pin (r13 VERDICT #3)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    rows = [("a", i, i, f"payload-{i}") for i in range(100)]
+    rows += [("b", i * 2, 1000 + i, f"p{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, ["g", "o", "k", "extra"])
+    out = windows.distributed_group_cumsum(
+        df, ["g"], [F.col("o"), F.col("k")], F.length("extra"), "cum"
+    )
+    out.collect()
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    live_ranges = [
+        ln
+        for ln in plan.splitlines()
+        # a ReusedExchange line EMBEDS the referenced exchange's text —
+        # count only live range-exchange nodes
+        if "Exchange rangepartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(live_ranges) == 1, plan
+    assert len(re.findall(r"ReusedExchange", plan)) == 1, plan
