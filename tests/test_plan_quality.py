@@ -813,3 +813,32 @@ def test_fanout_exchanges_pin_partition_count(spark):
         .toString()
     )
     assert "REPARTITION_BY_NUM" in edges_plan, "_collapsed_edges"
+
+
+def test_distributed_rank_counts_branch_reuses_range_exchange(spark):
+    """The r14 ReuseExchange pin (operators/windows.py): the counts
+    branch of distributed_group_rank must SHARE the main rail's range
+    shuffle. Column pruning used to narrow the counts side whenever the
+    consumer kept payload columns beyond the sort keys (the pipeline's
+    `tk`), the exchanges stopped canonicalizing equal, and the entire
+    upstream re-executed — a silent perf-only regression, so pin it at
+    the plan level. Reuse is an AQE runtime decision: execute first,
+    then read the FINAL plan (a ReusedExchange line embeds the
+    referenced exchange's text — count only live nodes)."""
+    for name in ("llm_pretrain_pipeline", "docs_quality_prune"):
+        df = analytics.queries()[name](spark, SF_DIR)
+        df.collect()
+        plan = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        live = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange rangepartitioning" in ln and "ReusedExchange" not in ln
+        ]
+        reused = [ln for ln in plan.splitlines() if "ReusedExchange" in ln]
+        assert len(live) == 1, (name, plan)
+        assert any("rangepartitioning" in ln for ln in reused), (name, plan)
