@@ -705,8 +705,10 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": times,
-        "queries_scale": times_scale,
+        # 2dp on stdout only (the driver's 2000-char tail; sub-10ms
+        # digits are noise) — bench_last.json keeps the 3dp values
+        "queries": {k: round(v, 2) for k, v in times.items()},
+        "queries_scale": {k: round(v, 2) for k, v in times_scale.items()},
         "sf": sf,
     }
     if paired_stdout is not None:
@@ -714,8 +716,16 @@ def main() -> None:
     stdout_line = json.dumps(stdout_obj)
     if len(stdout_line) > 1950 and "paired" in stdout_obj:
         # the driver parses the LAST 2000 chars of output; a longer line
-        # gets its front truncated and fails to parse. Drop the paired
-        # block from stdout before that happens — bench_last.json keeps it.
+        # gets its front truncated and fails to parse. Degrade the
+        # paired block to its headline summary first (r14: the full
+        # block with 8 scale ratios stopped fitting once the headline
+        # grew past ~55 rows), and only then drop it entirely —
+        # bench_last.json always keeps the full form.
+        stdout_obj["paired"] = {
+            k: paired_stdout[k] for k in ("n", "spark_s", "duckdb_s", "ratio")
+        }
+        stdout_line = json.dumps(stdout_obj)
+    if len(stdout_line) > 1950 and "paired" in stdout_obj:
         del stdout_obj["paired"]
         stdout_line = json.dumps(stdout_obj)
     full_line = json.dumps(
