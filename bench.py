@@ -647,13 +647,10 @@ def main() -> None:
             otimes: dict[str, float] = oracle.get("queries", {})
             # the oracle leg keys the flagship composite by its registry
             # name; the bench row is the end-to-end partitioned write.
-            # dedup_simhash_md5: the bench row forces the registry's
-            # md5-portable dedup_simhash entry (the production-xxhash
-            # row keeps the bare name, unpaired).
-            alias = {
-                "permit_pipeline": "permit_pipeline_upload",
-                "dedup_simhash_md5": "dedup_simhash",
-            }
+            # (dedup_simhash_md5 needs no alias: bench_oracle records its
+            # timing under that same explicit name — an alias to the bare
+            # registry name silently unpaired the row, caught r14-s2.)
+            alias = {"permit_pipeline": "permit_pipeline_upload"}
             rows: dict[str, dict] = {}
             for name, s in {**times, **times_scale}.items():
                 d = otimes.get(alias.get(name, name))
