@@ -115,11 +115,15 @@ _CHECK_FIRST = [
 ]
 
 # Base ref for this round's rotation audit (r13 final commit) and the
-# modules whose r14 edits are exempt from the changed-entry rule because
-# they cannot move any entry's VALUES or result-plan shape — each with
-# the reason an auditor needs. tests/test_rotation.py asserts that
-# rotation_audit(_AUDIT_BASE) minus these modules is ⊆ _CHECK_FIRST, so
-# the transitive rule can't silently regress (VERDICT r13 #1).
+# modules whose r14 edits are exempt from the changed-entry rule. BUMP
+# _AUDIT_BASE to the new round-boundary sha (the driver's "round N:
+# verdict/..." commit) at the START of each builder session and clear
+# the exemptions — otherwise the audit re-flags the previous round's
+# already-witnessed entries forever. Exemptions are per-round and only
+# for edits that cannot move any entry's VALUES or result-plan shape —
+# each needs the reason an auditor would check. tests/test_rotation.py
+# asserts rotation_audit(_AUDIT_BASE) minus these modules ⊆ _CHECK_FIRST
+# so the transitive rule can't silently regress (VERDICT r13 #1).
 _AUDIT_BASE = "7cba7fd7977beee7fbf58e79d4749379e64a87cf"
 _AUDIT_HYGIENE_MODULES = {
     # free_local_checkpoint now descends Project/Filter wrappers and the

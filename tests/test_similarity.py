@@ -497,3 +497,26 @@ def test_kcenter_batch_duplicate_center_is_center_semantics(spark):
     assert not out[2]["is_center"] and out[2]["center_id"] == 1
     assert out[0]["is_center"] and out[0]["center_id"] == 0
     assert not out[3]["is_center"]
+
+
+def test_kcenter_batched_k64_deterministic_and_distinct(spark):
+    """The k=64/batch=8 configuration the bench row
+    (emb_kcenter_fit_batch_k64) times: picks are distinct, include the
+    greedy seed and round-1 farthest point, and the whole selection is
+    run-to-run deterministic — the property the once-measured 6.3x
+    pass-ratio claim (SCALE.md r14-s1) rests on."""
+    from extract_permits_spark.functions.similarity import (
+        kcenter_select,
+        kcenter_select_batched,
+    )
+    from extract_permits_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sel1, cent1 = kcenter_select_batched(emb, k=64, batch=8)
+    sel2, cent2 = kcenter_select_batched(emb, k=64, batch=8)
+    assert sel1 == sel2 and cent1 == cent2
+    ids = [cid for _, cid in sel1]
+    assert len(ids) == 64 and len(set(ids)) == 64
+    sel_g, _ = kcenter_select(emb, k=2)
+    assert ids[0] == sel_g[0][1]  # seed identical to the exact greedy
+    assert ids[1] == sel_g[1][1]  # round-1 farthest identical
