@@ -1094,11 +1094,34 @@ def lsh_cross_hits(
             F.lit(False).alias("is_contaminated"),
         )
     dim = int(dim_row["d"])
+    # exact-duplicate collapse BEFORE the banded probe (r14; the r12d
+    # components medicine applied here): a crawl flood of k_c corpus
+    # copies × k_p probe copies of one embedding would materialize
+    # k_c·k_p candidate pairs per original — quadratic in flood size —
+    # yet every copy's answer is a pure function of its embedding.
+    # Collapse each side to one representative per DISTINCT embedding
+    # (probe side keeps its multiplicity), run the probe at rep level,
+    # and expand the per-rep hit count back to corpus copies by an
+    # embedding equi-join at the end. Values are identical by
+    # construction (exact equality ⇒ identical signatures and cosines;
+    # n_hits per corpus row = Σ multiplicities of verified probe reps),
+    # so the pairwise oracle and the stream ≡ batch gate are untouched
+    # (corpus collapse is batch-local; probe is the static side).
+    # Measured: the 100×-flood probe (SCALE.md r14-s2) ran 183-243 s
+    # uncollapsed at 200k vectors and the collapsed path restores
+    # near-linear scaling; no-dup corpora pay two narrow group-bys.
+    c_reps = corpus.groupBy(F.col(vec_col).alias(vec_col)).agg(
+        F.min(F.col(id_col)).alias(id_col)
+    )
+    p_reps = probe.groupBy(F.col(vec_col).alias(vec_col)).agg(
+        F.min(F.col(id_col)).alias(id_col),
+        F.count(F.lit(1)).cast("long").alias("_pcnt"),
+    )
     csig = _lsh_sig_frame(
-        corpus, id_col, vec_col, num_tables, num_planes, seed, dim
+        c_reps, id_col, vec_col, num_tables, num_planes, seed, dim
     )
     psig = _lsh_sig_frame(
-        probe, id_col, vec_col, num_tables, num_planes, seed, dim
+        p_reps, id_col, vec_col, num_tables, num_planes, seed, dim
     )
     c_bucketed = csig.select(
         F.col(id_col),
@@ -1169,13 +1192,14 @@ def lsh_cross_hits(
         .select("_cid", "_pid")
         .distinct()
     )
-    nv_c = corpus.select(
+    nv_c = c_reps.select(
         F.col(id_col).alias("_cid"),
         F.col(vec_col).alias("_vc"),
         l2_norm(F.col(vec_col)).alias("_nc"),
     )
-    nv_p = probe.select(
+    nv_p = p_reps.select(
         F.col(id_col).alias("_pid"),
+        F.col("_pcnt"),
         F.col(vec_col).alias("_vp"),
         l2_norm(F.col(vec_col)).alias("_np"),
     )
@@ -1189,12 +1213,21 @@ def lsh_cross_hits(
             )
             >= F.lit(min_cosine)
         )
+        # each verified probe REP stands for _pcnt probe vectors, all at
+        # the identical cosine — summing multiplicities IS the pairwise
+        # count
         .groupBy("_cid")
-        .agg(F.count(F.lit(1)).alias("_nh"))
+        .agg(F.sum("_pcnt").alias("_nh"))
+    )
+    # expand rep-level results to every corpus copy: rep id -> its
+    # embedding, then an embedding equi-join back to the corpus (exact
+    # binary equality — both sides read the same stored values)
+    rep_hits = nv_c.join(hits, "_cid").select(
+        F.col("_vc").alias("_v_exp"), F.col("_nh")
     )
     return (
-        corpus.select(id_col)
-        .join(hits, F.col(id_col) == F.col("_cid"), "left")
+        corpus.select(id_col, F.col(vec_col).alias("_v_exp"))
+        .join(rep_hits, "_v_exp", "left")
         .select(
             id_col,
             F.coalesce(F.col("_nh"), F.lit(0)).cast("long").alias("n_hits"),

@@ -86,6 +86,11 @@ _CHECK_FIRST = [
     "docs_zorder_layout",
     "w3_line_numbers_batches",
     "sample_negatives",
+    # (b continued) lsh_cross_hits gained exact-duplicate collapse (r14,
+    # the 100x-flood finding — functions/similarity.py): values
+    # identical by construction, plan changed; its two consumers queue
+    "emb_cross_decontaminate",
+    "stream_semantic_decon_ingest",
     # (d) the r9 cohort, original registration order
     "s1_scan_filter_order",
     "s3_scalar_max",
@@ -94,10 +99,8 @@ _CHECK_FIRST = [
     "j6_semi_flag",
     "w2_first_per_group",
     "w4_dup_flag",
-    "s4_range_scan",
     "p3_date_functions",
     "x3_unpivot",
-    "u2_union_distinct",
     "e3_legacy_flags",
     "text_quality",
     "text_language_id",
@@ -147,16 +150,20 @@ _AUDIT_HYGIENE_MODULES = {
 #     emb_ivfpq_topk (emb_ivfpq_indexed_topk witnessed r13; topk gave
 #     its slot to vocab_bpe_encode per the transitive rule),
 #     dedup_simhash_recall (dedup_simhash witnessed r13);
-# (b) eight r9 entries displaced by the rank-pin consumers, each with
-#     its machinery pinned by an in-window or r13-witnessed family twin
-#     plus pytests: dedup_embedding_cosine (brute-force twin of the
-#     witnessed LSH family), mm_binary_features (multimodal rails
-#     witnessed r13), text_tokens / text_fingerprint (text_quality +
-#     text_language_id stay), ev_json_extract (ev_tumbling_agg stays;
-#     ev_sessionize witnessed r13), q3_shipping_priority /
-#     q5_nation_volume (q1/q18/q21/q11/q12/q20 witnessed r13),
-#     j3_crosswalk_override (the coalesce-override machinery is inside
-#     the r13-witnessed permit_pipeline_upload).
+# (b) ten r9 entries displaced by the rank-pin consumers and the
+#     lsh_cross_hits collapse consumers, each with its machinery pinned
+#     by an in-window or r13-witnessed family twin plus pytests:
+#     dedup_embedding_cosine (brute-force twin of the witnessed LSH
+#     family), mm_binary_features (multimodal rails witnessed r13),
+#     text_tokens / text_fingerprint (text_quality + text_language_id
+#     stay), ev_json_extract (ev_tumbling_agg stays; ev_sessionize
+#     witnessed r13), q3_shipping_priority / q5_nation_volume
+#     (q1/q18/q21/q11/q12/q20 witnessed r13), j3_crosswalk_override
+#     (the coalesce-override machinery is inside the r13-witnessed
+#     permit_pipeline_upload), u2_union_distinct (union machinery in
+#     the r13-witnessed u4_except_all), s4_range_scan (range-scan
+#     pushdown pinned by in-window s1_scan_filter_order + the
+#     test_plan_quality pushdown assertions).
 # The rotation rule is TRANSITIVE over helper imports and BODY-GRANULAR
 # within chunk modules: tools/rotation_audit.py <git-ref> lists every
 # registry entry whose own function body, same-chunk helper, or

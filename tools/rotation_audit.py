@@ -12,21 +12,24 @@ over imports:
 prints every registry entry that can REACH any engine module changed
 since `<git-ref>` (`git diff --name-only <git-ref> -- extract_permits_spark`).
 
-Reachability model (deliberately two-tier so one helper edit doesn't
-flag all 216 entries):
+Reachability model (deliberately tiered so one helper edit doesn't
+flag all 223 entries):
 
-- symbol level for the first hop: an entry that does
-  `from plans._registry import _dec` reaches only what `_dec`'s own body
-  reaches — not everything `_registry` imports at module scope;
-- module level beyond that: helper modules (functions/, operators/,
-  sources/, sinks/, streaming/) are cohesive, so their import closures
-  propagate whole;
-- chunk registry modules (plans/analytics*) are BODY-GRANULAR (r14): an
-  edit there flags only the entries whose own function body (incl. the
-  register decorator), reached same-chunk helper, or the chunk's module
-  scope actually changed vs the ref — not the whole chunk's membership
-  (a 2-entry fix in a 70-entry chunk used to flag all 70); they still
-  never bleed through as a closure.
+- SYMBOL level for the first _SYMBOL_DEPTH hops: a from-import
+  (`from plans._registry import _dec`) or a module-alias attr use
+  (`simfn.lsh_topk(...)`) walks only the named symbol's own body —
+  not everything the module imports at module scope;
+- module-closure level beyond that, with conservative "*" attribution
+  markers (no symbol trail exists for closure reach, so those modules
+  always keep their flag);
+- EVERY changed module is BODY-GRANULAR (r14; chunks first, then
+  generalized after a one-function similarity.py edit flagged 99
+  entries): an entry keeps a changed module's flag only if a changed
+  top-level def is inside the transitive same-module closure of the
+  symbols the walk attributed, or the module scope (constants, imports,
+  classes) moved, or the module was reached via a "*" marker. Chunk
+  registry modules (plans/analytics*) additionally never bleed through
+  as a closure.
 
 Library surface: affected_entries(ref, exempt=()) returns
 {entry: [changed modules]}; `exempt` names engine modules whose edits
@@ -44,6 +47,14 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# How many hops the walk stays SYMBOL-level before falling back to
+# whole-module closure expansion (with conservative "*" markers). r12
+# used 2; r14 raised it to 4 after the lsh_cross_hits edit showed the
+# depth-2 fallback starring functions/similarity for ~30 entries whose
+# 3-hop chains never touch the changed symbol. The walk is memoized per
+# entry (`seen`), so the deeper level costs seconds, not minutes.
+_SYMBOL_DEPTH = 4
 PKG = "extract_permits_spark"
 
 
@@ -202,29 +213,59 @@ def affected_entries(ref: str, exempt: set[str] | frozenset = frozenset()):
         if key in seen:
             return {mod}
         seen.add(key)
+
+        def _attr_expand(tgt: str) -> set[str]:
+            # module-alias use (`simfn.foo(...)`) — the same two-tier
+            # rule as from-imports: at shallow depth, walk each used
+            # top-level def of the directly-named module at SYMBOL level
+            # (every attr name this symbol uses that is one of the
+            # target's defs — over-attribution across same-named defs in
+            # two modules only ADDS flags, safe); fall back to whole-
+            # closure expansion with "*" markers (the granular filter
+            # treats those as must-keep) when no def use is recognizable
+            # (constants-only use) or the walk is already deep.
+            if tgt in info and depth < _SYMBOL_DEPTH:
+                used_defs = mi.symbol_names[sym] & set(
+                    info[tgt].symbol_names
+                )
+                if used_defs:
+                    r = {tgt}
+                    for a in used_defs:
+                        r |= symbol_reach(tgt, a, depth + 1, seen, attrib)
+                    return r
+            if attrib is not None:
+                for cm in expand(tgt):
+                    attrib.add((cm, "*"))
+            return expand(tgt)
+
         reach = {mod}
         for n in mi.symbol_names[sym]:
             if n in mi.alias_mod:
-                reach |= expand(mi.alias_mod[n])
+                reach |= _attr_expand(mi.alias_mod[n])
             elif n in mi.fromname_mod:
                 src = mi.fromname_mod[n]
-                if depth < 2:
+                if depth < _SYMBOL_DEPTH:
                     reach |= symbol_reach(src, n, depth + 1, seen, attrib)
                 else:
                     if attrib is not None:
                         attrib.add((src, n))
+                        for cm in expand(src) - {src}:
+                            attrib.add((cm, "*"))
                     reach |= expand(src)
             elif n in mi.symbol_names and n != sym:
                 # same-module helper call: include its reach too
-                if depth < 2:
+                if depth < _SYMBOL_DEPTH:
                     reach |= symbol_reach(mod, n, depth + 1, seen, attrib)
         return reach
 
-    # body-granular digests for every changed CHUNK module: which
-    # top-level defs actually differ vs the ref, and whether the module
-    # scope (constants, imports, non-def statements) moved
-    chunk_digest = {
-        m: _changed_symbols(m, mods[m], ref) for m in changed & chunk
+    # body-granular digests for EVERY changed engine module (r14: chunks
+    # only at first, then a one-function edit to the 1,900-line
+    # functions/similarity.py flagged 99 of 223 entries under the
+    # whole-module rule): which top-level defs actually differ vs the
+    # ref, and whether the module scope (constants, imports, non-def
+    # statements) moved
+    mod_digest = {
+        m: _changed_symbols(m, mods[m], ref) for m in changed & set(mods)
     }
 
     def chunk_reach(mi: "ModInfo", fn: str) -> set[str]:
@@ -245,22 +286,22 @@ def affected_entries(ref: str, exempt: set[str] | frozenset = frozenset()):
             attrib: set = set()
             reach = symbol_reach(defmod, fn, attrib=attrib)
             hits = set(reach & changed)
-            # body-granular pass over every changed CHUNK in reach: the
-            # (module, symbol) trail records exactly which chunk symbols
-            # the walk attributed (own-chunk entry fn, cross-chunk
-            # from-imports, constants); close each over same-chunk
+            # body-granular pass over every changed module in reach: the
+            # (module, symbol) trail records which symbols the walk
+            # attributed (own-chunk entry fn, cross-module from-imports,
+            # module-alias attr uses); close each over same-module
             # helper calls and keep the flag only if a changed def is
             # touched or the module scope (where constants live) moved.
-            # A chunk reached with NO attribution (module-alias use)
-            # stays flagged — conservative.
+            # A module reached with a "*" marker (import-closure reach,
+            # where no symbol trail exists) stays flagged — conservative.
             for m in list(hits):
-                if m not in chunk_digest:
+                if m not in mod_digest:
                     continue
-                syms, scope_moved = chunk_digest[m]
+                syms, scope_moved = mod_digest[m]
                 if scope_moved:
                     continue
                 entered = {s for (mm, s) in attrib if mm == m}
-                if not entered:
+                if not entered or "*" in entered:
                     continue
                 used: set = set()
                 for s in entered:
