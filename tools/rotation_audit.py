@@ -50,11 +50,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # How many hops the walk stays SYMBOL-level before falling back to
 # whole-module closure expansion (with conservative "*" markers). r12
-# used 2; r14 raised it to 4 after the lsh_cross_hits edit showed the
-# depth-2 fallback starring functions/similarity for ~30 entries whose
-# 3-hop chains never touch the changed symbol. The walk is memoized per
-# entry (`seen`), so the deeper level costs seconds, not minutes.
-_SYMBOL_DEPTH = 4
+# used 2; r14 raised it to 6 after the lsh_cross_hits edit showed
+# shallow fallbacks starring functions/similarity for dozens of entries
+# whose real chains never touch the changed symbol (the last spurious
+# pair, ann_ivf_*, came from a depth-4 boundary at pq._fold_dists_np
+# whose module closure loops back to similarity). The walk is memoized
+# per entry with depth-keyed guards (order-independent — a hash-seed
+# flake at depth-agnostic keys caught this), so the deeper level still
+# runs in under a second.
+_SYMBOL_DEPTH = 6
 PKG = "extract_permits_spark"
 
 
@@ -209,7 +213,13 @@ def affected_entries(ref: str, exempt: set[str] | frozenset = frozenset()):
             return {mod}  # constant / class / unknown: membership only
         if seen is None:  # `or` would discard a passed-in EMPTY collector
             seen = set()
-        key = (mod, sym)
+        # key includes DEPTH: the walk behaves differently near the
+        # _SYMBOL_DEPTH boundary (symbol-level vs star-expand), so a
+        # depth-agnostic guard made results depend on which path reached
+        # a symbol first — i.e. on set iteration order / hash seed (a
+        # test flake caught it). Per-depth keys cost ≤4x states and make
+        # the union order-independent.
+        key = (mod, sym, depth)
         if key in seen:
             return {mod}
         seen.add(key)
