@@ -139,10 +139,11 @@ _AUDIT_HYGIENE_MODULES = {
     "extract_permits_spark.plans._registry",
 }
 
-# r14 rotation NOTE: the full r8 cohort (12) + changed (12: the two
-# kcenter value fixes, the two bpe, the eight rank-pin consumers) + new
-# (1) leaves 25 slots for the 39 r9-witnessed entries. Deferred to r15
-# FIRST, all re-oracle-checked green locally this session:
+# r14 rotation NOTE: the full r8 cohort (12) + changed (14: the two
+# kcenter value fixes, the two bpe, the eight rank-pin consumers, the
+# two lsh_cross_hits-collapse consumers) + new (1) leaves 23 slots for
+# the 39 r9-witnessed entries. Deferred to r15 FIRST, all
+# re-oracle-checked green locally this session:
 # (a) six recall/variant twins whose PRIMARY entries sit in this window
 #     or were witnessed r13 and exercise the identical machinery:
 #     ann_lsh_recall (ann_lsh_topk in window), ann_ivf_recall
