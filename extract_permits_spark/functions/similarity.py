@@ -1104,14 +1104,17 @@ def lsh_cross_hits(
     # and expand the per-rep hit count back to corpus copies by an
     # embedding equi-join at the end. Values are identical by
     # construction (exact equality ⇒ identical signatures and cosines;
-    # n_hits per corpus row = Σ multiplicities of verified probe reps),
+    # n_hits per corpus row = Σ multiplicities of verified probe reps;
+    # max_bucket_size weighs each rep by its duplicate count, so bucket
+    # sizes equal the pre-collapse row counts — r15 fix, see below),
     # so the pairwise oracle and the stream ≡ batch gate are untouched
     # (corpus collapse is batch-local; probe is the static side).
     # Measured: the 100×-flood probe (SCALE.md r14-s2) ran 183-243 s
     # uncollapsed at 200k vectors and the collapsed path restores
     # near-linear scaling; no-dup corpora pay two narrow group-bys.
     c_reps = corpus.groupBy(F.col(vec_col).alias(vec_col)).agg(
-        F.min(F.col(id_col)).alias(id_col)
+        F.min(F.col(id_col)).alias(id_col),
+        F.count(F.lit(1)).cast("long").alias("_ccnt"),
     )
     p_reps = probe.groupBy(F.col(vec_col).alias(vec_col)).agg(
         F.min(F.col(id_col)).alias(id_col),
@@ -1139,9 +1142,23 @@ def lsh_cross_hits(
     if max_bucket_size is None:
         sized = c_bucketed
     else:
-        sized = c_bucketed.withColumn(
-            "_n", F.count(F.lit(1)).over(Window.partitionBy("t", "sig"))
-        ).where(F.col("_n") <= max_bucket_size).drop("_n")
+        # bucket size = EXPANDED multiplicity (r14 ADVICE low): each rep
+        # stands for _ccnt identical corpus rows, so the cap must weigh
+        # reps by their duplicate counts — a bucket of N copies of one
+        # embedding is still a size-N bucket (dropped when N > cap),
+        # exactly as the pre-collapse code sized it. Count-only sizing
+        # would let any exact-duplicate flood slip under the cap as one
+        # rep, changing n_hits for cap-passing callers.
+        sized = (
+            c_bucketed.join(
+                c_reps.select(F.col(id_col).alias("_cid"), "_ccnt"), "_cid"
+            )
+            .withColumn(
+                "_n", F.sum("_ccnt").over(Window.partitionBy("t", "sig"))
+            )
+            .where(F.col("_n") <= max_bucket_size)
+            .drop("_n", "_ccnt")
+        )
     join_keys = ["t", "sig"]
     if salt_shards > 1:
         # hot-bucket bound (see docstring): refine the join key so a

@@ -19,6 +19,40 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _contains_map(dt) -> bool:
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _pin_hash(df: DataFrame):
+    """The ReuseExchange column-pruning pin expression shared by the
+    distributed_* operators: ``xxhash64`` over EVERY input column, so
+    the tiny counts branch references the whole row and column pruning
+    cannot narrow its range exchange out of canonical equality with the
+    output branch (see the per-operator comments).
+
+    Spark's hash functions reject MapType anywhere in the input type
+    (r14 ADVICE: a map-typed payload column made all three operators
+    raise AnalysisException where the unpinned r13 code worked). The pin
+    only needs to REFERENCE each column, not hash its raw bytes, so
+    map-bearing columns ride through ``to_json`` — deterministic,
+    hashable, and still a use of the column the pruner must honor. All
+    other types pass straight to xxhash64, keeping the expression (and
+    therefore every existing consumer's plan) unchanged for map-free
+    frames."""
+    exprs = [
+        F.to_json(F.col(f.name)) if _contains_map(f.dataType) else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return F.xxhash64(*exprs)
 
 
 def position_in_group(
@@ -122,7 +156,7 @@ def distributed_rank(
     # re-executes into a second shuffle.
     counts = ordered.groupBy("_dr_pid").agg(
         F.count(F.lit(1)).alias("_dr_cnt"),
-        F.min(F.xxhash64(*[F.col(c) for c in df.columns])).alias("_dr_pin"),
+        F.min(_pin_hash(df)).alias("_dr_pin"),
     )
     w_off = Window.orderBy("_dr_pid").rowsBetween(Window.unboundedPreceding, -1)
     # counter-overflow guard (see docstring): evaluates on #partitions
@@ -216,7 +250,7 @@ def distributed_group_rank(
     counts = ordered.groupBy("_dg_pid", *group_cols).agg(
         F.count(F.lit(1)).alias("_dg_cnt"),
         F.min("_dg_lrn").alias("_dg_minl"),
-        F.min(F.xxhash64(*[F.col(c) for c in df.columns])).alias("_dg_pin"),
+        F.min(_pin_hash(df)).alias("_dg_pin"),
     )
     guard = F.coalesce(
         F.assert_true(
@@ -286,12 +320,23 @@ def distributed_group_cumsum(
     one shuffle + an unboundedly-skewed reducer — the same trade
     distributed_group_rank made, priced at fixture scale and accepted
     (r12e precedent). Bit-identical to the window spelling whenever
-    (group, order) is a total order; exact for integer/decimal weights
-    (the sums regroup but never reorder floats within a group prefix —
-    use decimals for float weights).
+    (group, order) is a total order, and EXACT for integer and decimal
+    weights: integral weights sum as longs, every other numeric type
+    keeps its native type end-to-end (r14 ADVICE: the old unconditional
+    long cast silently truncated fractional weights). Decimal sums are
+    associative, so regrouping cannot drift them; float/double weights
+    keep their type but regrouped addition may differ from the
+    sequential window in the last ulps — use decimals for exact
+    fractional budgets.
 
     ``weight_col`` accepts a Column or a name."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # sum longs only when the weight is integral; otherwise the native
+    # numeric type (decimal stays decimal — exact; double stays double)
+    wdt = df.select(w.alias("_gc_w")).schema[0].dataType
+    integral = isinstance(
+        wdt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
     gexprs = [F.col(c).asc() for c in group_cols]
     # no sortWithinPartitions: unlike the rank ops, nothing here reads a
     # partition-local position — pid comes from the mid's high bits
@@ -299,7 +344,7 @@ def distributed_group_cumsum(
     # after its own exchange anyway
     ordered = (
         df.repartitionByRange(*gexprs, *order_exprs)
-        .withColumn("_gc_w", w.cast("long"))
+        .withColumn("_gc_w", w.cast("long") if integral else w)
         .withColumn(
             "_gc_pid",
             F.shiftright(F.monotonically_increasing_id(), 33).cast("int"),
@@ -311,21 +356,35 @@ def distributed_group_cumsum(
     # branch share ONE range shuffle.
     counts = ordered.groupBy("_gc_pid", *group_cols).agg(
         F.sum("_gc_w").alias("_gc_sum"),
-        F.min(F.xxhash64(*[F.col(c) for c in df.columns])).alias("_gc_pin"),
+        F.count(F.lit(1)).alias("_gc_cnt"),
+        F.min(_pin_hash(df)).alias("_gc_pin"),
     )
     w_off = (
         Window.partitionBy(*group_cols)
         .orderBy("_gc_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # keep the pin referenced (0 when healthy) — xxhash64 is
-    # non-nullable, so isnull() is constant-false at RUNTIME but opaque
-    # to the pruner, same shape as the rank guards
-    pin_term = F.when(F.isnull(F.col("_gc_pin")), F.lit(1)).otherwise(
-        F.lit(0)
-    ).cast("long")
+    # counter-overflow guard, same contract as the rank siblings (r14
+    # ADVICE: this op previously only referenced the pin): _gc_pid
+    # comes from the mid's high bits, so a range partition holding
+    # >= 2^33 rows would bleed the local counter into the pid bits and
+    # silently corrupt the per-cell sums — fail loudly instead. The
+    # isnull(_gc_pin) arm keeps the pin referenced (xxhash64 is
+    # non-nullable: constant-false at runtime, opaque to the pruner).
+    guard = F.coalesce(
+        F.assert_true(
+            (F.col("_gc_cnt") < F.lit(1 << 33)) | F.isnull(F.col("_gc_pin")),
+            F.lit(
+                "distributed_group_cumsum: a range partition holds >= 2^33"
+                " rows — monotonically_increasing_id's local counter would"
+                " overflow into the pid bits; repartition the sort keys"
+                " finer"
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
     offs = counts.withColumn(
-        "_gc_off", F.coalesce(F.sum("_gc_sum").over(w_off), F.lit(0)) + pin_term
+        "_gc_off", F.coalesce(F.sum("_gc_sum").over(w_off), F.lit(0)) + guard
     )
     # running sum within the (pid, group) cell: a second corpus
     # exchange on fine-grained, size-bounded keys (cell ⊆ one range
@@ -342,7 +401,10 @@ def distributed_group_cumsum(
             ["_gc_pid", *group_cols],
         )
         .withColumn(
-            out_col, (F.col("_gc_off") + F.col("_gc_local")).cast("long")
+            out_col,
+            (F.col("_gc_off") + F.col("_gc_local")).cast("long")
+            if integral
+            else (F.col("_gc_off") + F.col("_gc_local")),
         )
         .drop("_gc_pid", "_gc_w", "_gc_local", "_gc_off")
     )

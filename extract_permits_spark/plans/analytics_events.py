@@ -2191,6 +2191,55 @@ _PRETRAIN_SQL = """
 """
 
 
+def _budget_mix(pruned: DataFrame, cap: int = 512, budget: int = 600) -> DataFrame:
+    """The cap-prefiltered per-source token-budget mix stage of
+    ``llm_pretrain_pipeline`` (factored out in r15 so the guard
+    semantics are unit-testable with a small cap; the default-arg plan
+    is byte-identical to the previous inline spelling).
+
+    ``pruned`` must carry (doc_id, source, tk, _src_n) where ``_src_n``
+    is the per-source survivor count entering this stage. The budget is
+    a constant, so a rank-cap prefilter bounds the window's input:
+    ``row_number <= cap`` plans as WindowGroupLimit — each map task
+    keeps at most ``cap`` rows per source BEFORE the shuffle, so the
+    per-source reducer sees O(cap x tasks) rows,
+    corpus-size-independent — and the cumulative sum runs on the tiny
+    capped set. Correctness is GUARDED in-plan, not assumed: cum is
+    monotone per source, so a dropped row can only have been a survivor
+    if the cap-th row's cum is still <= budget AND a row beyond the cap
+    actually exists (``_src_n > cap`` — r14 ADVICE low: a source with
+    exactly ``cap`` under-budget survivors dropped nothing, the old
+    guard tripped on it spuriously); assert_true fails the job in the
+    real config-error case instead of silently under-mixing."""
+    wmix = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    capped = pruned.withColumn("_mrn", F.row_number().over(wmix)).where(
+        F.col("_mrn") <= cap
+    )
+    cum = F.sum(F.size("tk")).over(
+        wmix.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cap_guard = F.coalesce(
+        F.assert_true(
+            (F.col("_mrn") < cap)
+            | (F.col("cum") > budget)
+            | (F.col("_src_n") <= F.lit(cap)),
+            F.lit(
+                "llm_pretrain_pipeline: the token mix budget was not"
+                " exhausted within the rank prefilter cap — raise"
+                " the cap (a source has too many near-empty docs)"
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    return (
+        capped.withColumn("cum", cum)
+        .where((F.col("cum") + cap_guard) <= budget)
+        .select("doc_id", "tk")
+    )
+
+
 @register("llm_pretrain_pipeline", _PRETRAIN_SQL)
 def llm_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full pretraining-data pipeline, composed end to end — what a
@@ -2265,49 +2314,25 @@ def llm_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_col="n",
     ).where(
         F.col("rn") <= F.ceil(F.lit(0.3) * F.col("n")).cast("long")
-    ).select("doc_id", "source", "tk")
+    ).select(
+        "doc_id",
+        "source",
+        "tk",
+        # per-source survivor count (free — n is already attached): the
+        # cap guard below must know whether any row actually exists
+        # beyond the prefilter cap
+        F.ceil(F.lit(0.3) * F.col("n")).cast("long").alias("_src_n"),
+    )
 
     # The chain's LAST per-source window, de-fanged two ways (r14, the
-    # follow-up r12e designated). The budget is a CONSTANT (600 tokens),
-    # so a rank-cap prefilter bounds the window's input: row_number <=
-    # _MIX_CAP plans as WindowGroupLimit — each map task keeps at most
-    # _MIX_CAP rows per source BEFORE the shuffle, so the per-source
-    # reducer sees O(cap x tasks) rows, corpus-size-independent — and
-    # the cumulative sum then runs on the tiny capped set. Correctness
-    # is GUARDED in-plan, not assumed: cum is monotone per source, so a
-    # dropped row can only have been a survivor if the cap-th row's cum
-    # is still <= 600 — assert_true fails the job in that config-error
-    # case instead of silently under-mixing. (The general spelling with
-    # no weight assumption is operators/windows.py:
-    # distributed_group_cumsum, used by docs_domain_mix; measured here
-    # it costs two extra corpus exchanges ~+1.4 s at sf0.1 that the
-    # constant budget makes unnecessary.)
-    _MIX_CAP = 512
-    wmix = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
-    capped = pruned.withColumn("_mrn", F.row_number().over(wmix)).where(
-        F.col("_mrn") <= _MIX_CAP
-    )
-    cum = F.sum(F.size("tk")).over(
-        wmix.rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cap_guard = F.coalesce(
-        F.assert_true(
-            (F.col("_mrn") < _MIX_CAP) | (F.col("cum") > 600),
-            F.lit(
-                "llm_pretrain_pipeline: the 600-token mix budget was not"
-                " exhausted within the rank prefilter cap — raise"
-                " _MIX_CAP (a source has too many near-empty docs)"
-            ),
-        ).cast("long"),
-        F.lit(0).cast("long"),
-    )
-    mixed = (
-        capped.withColumn("cum", cum)
-        .where((F.col("cum") + cap_guard) <= 600)
-        .select("doc_id", "tk")
-    )
+    # follow-up r12e designated) — see _budget_mix above for the
+    # WindowGroupLimit prefilter + in-plan budget-exhaustion guard.
+    # (The general spelling with no weight assumption is
+    # operators/windows.py:distributed_group_cumsum, used by
+    # docs_domain_mix; measured here it costs two extra corpus
+    # exchanges ~+1.4 s at sf0.1 that the constant budget makes
+    # unnecessary.)
+    mixed = _budget_mix(pruned)
 
     starts = F.sequence(F.lit(1), F.greatest(F.size("tk"), F.lit(1)), F.lit(64))
     chunks = mixed.select(

@@ -299,3 +299,39 @@ def test_hll_registers_merge_by_max(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()[0]
     assert abs(row["rel_err"]) < 3 * 1.04 / 16  # 3 sigma at m=256
+
+
+def test_budget_mix_cap_guard_semantics(spark):
+    """r14 ADVICE low on llm_pretrain_pipeline's _MIX_CAP guard: the
+    budget-exhaustion assert must fire ONLY when a row beyond the
+    prefilter cap actually exists. Three shapes pin it:
+    (1) exactly cap survivors, total under budget -> no row dropped, no
+    fire (the old guard tripped here spuriously);
+    (2) a row beyond the cap exists and the cap-th cum is under budget
+    -> a survivor may have been dropped, the job must fail loudly;
+    (3) beyond-cap rows exist but the budget exhausts within the cap ->
+    truncation is correct, no fire."""
+    import pytest
+
+    from extract_permits_spark.plans.analytics_events import _budget_mix
+
+    schema = "doc_id long, source string, tk array<int>, _src_n long"
+
+    exact = spark.createDataFrame(
+        [(i, "s", [0, 1], 4) for i in range(1, 5)], schema
+    )
+    out = _budget_mix(exact, cap=4, budget=100).collect()
+    assert len(out) == 4  # all kept, guard silent
+
+    beyond = spark.createDataFrame(
+        [(i, "s", [0, 1], 5) for i in range(1, 6)], schema
+    )
+    with pytest.raises(Exception, match="mix budget was not exhausted"):
+        _budget_mix(beyond, cap=4, budget=100).collect()
+
+    exhausted = spark.createDataFrame(
+        [(i, "s", list(range(30)), 5) for i in range(1, 6)], schema
+    )
+    got = _budget_mix(exhausted, cap=4, budget=100).collect()
+    # cum = 30, 60, 90, 120 over the capped four -> three fit the budget
+    assert len(got) == 3

@@ -359,3 +359,33 @@ def test_emb_components_collapse_equals_uncollapsed_graph(spark):
     n_stars = stars.count()
     assert n_stars == 120 - 1 + 3 - 1
     assert full_pairs.count() >= 120 * 119 // 2
+
+
+def test_lsh_cross_hits_bucket_cap_weighs_duplicates(spark):
+    """r14 ADVICE low: after the exact-duplicate collapse,
+    max_bucket_size must size buckets by EXPANDED multiplicity — a
+    flood of N identical embeddings is still a size-N bucket. With
+    cap < N the flood's bucket drops in every table (identical vectors
+    share all signatures) so no flood row hits, exactly as the
+    pre-collapse code behaved; with cap >= N every flood row hits."""
+    base = load_table(spark, SF_DIR, "embeddings").limit(1)
+    v0 = [float(x) for x in base.collect()[0]["embedding"]]
+    eval_df = spark.createDataFrame(
+        [(0, v0)], "vec_id long, embedding array<double>"
+    )
+    n = 6
+    corpus_df = spark.createDataFrame(
+        [(i + 1, v0) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    capped = simfn.lsh_cross_hits(
+        eval_df, corpus_df, min_cosine=0.99, max_bucket_size=n - 1
+    ).collect()
+    assert len(capped) == n
+    assert all(
+        r["n_hits"] == 0 and r["is_contaminated"] is False for r in capped
+    )
+    roomy = simfn.lsh_cross_hits(
+        eval_df, corpus_df, min_cosine=0.99, max_bucket_size=n
+    ).collect()
+    assert len(roomy) == n
+    assert all(r["n_hits"] == 1 and r["is_contaminated"] for r in roomy)

@@ -352,3 +352,137 @@ def test_distributed_group_cumsum_reuses_range_exchange(spark):
     ]
     assert len(live_ranges) == 1, plan
     assert len(re.findall(r"ReusedExchange", plan)) == 1, plan
+
+
+def test_distributed_group_cumsum_decimal_weights_exact(spark):
+    """r14 ADVICE medium: fractional weights must not be truncated. A
+    decimal weight keeps its native type end-to-end and the cumulative
+    sums are EXACT — identical to the sequential window spelling."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a" if i % 3 else "b", (i * 13) % 101, i, Decimal(i % 7) / 2)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, o long, k long, wt decimal(10,2)"
+    )
+    out = windows.distributed_group_cumsum(
+        df, ["g"], [F.col("o"), F.col("k")], "wt", "cum"
+    )
+    # native type preserved: the output is decimal, not a long truncation
+    assert out.schema["cum"].dataType.typeName() == "decimal"
+    got = sorted(
+        (r["g"], r["o"], r["k"], r["cum"])
+        for r in out.select("g", "o", "k", "cum").collect()
+    )
+    w = (
+        W.partitionBy("g")
+        .orderBy(F.col("o"), F.col("k"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    want = sorted(
+        (r["g"], r["o"], r["k"], r["cum"])
+        for r in df.withColumn("cum", F.sum("wt").over(w))
+        .select("g", "o", "k", "cum")
+        .collect()
+    )
+    assert got == want  # Decimal comparison is numeric-exact
+    # a weight of exactly 1.5 must contribute 1.5, not 1 (the old cast)
+    one = spark.createDataFrame(
+        [("g", 1, 1, Decimal("1.50")), ("g", 2, 2, Decimal("1.50"))],
+        "g string, o long, k long, wt decimal(10,2)",
+    )
+    cums = {
+        r["k"]: r["cum"]
+        for r in windows.distributed_group_cumsum(
+            one, ["g"], [F.col("o"), F.col("k")], "wt", "cum"
+        ).collect()
+    }
+    assert cums == {1: Decimal("1.50"), 2: Decimal("3.00")}
+
+
+def test_distributed_group_cumsum_double_weights_native(spark):
+    """Double weights keep their type (no long truncation); values match
+    the window spelling to float tolerance (regrouped addition)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = [("g1" if i % 2 else "g2", i, i, 0.25 * (i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, o long, k long, wt double")
+    out = windows.distributed_group_cumsum(
+        df, ["g"], [F.col("o"), F.col("k")], "wt", "cum"
+    )
+    assert out.schema["cum"].dataType.typeName() == "double"
+    got = {r["k"]: r["cum"] for r in out.collect()}
+    w = (
+        W.partitionBy("g")
+        .orderBy(F.col("o"), F.col("k"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    want = {
+        r["k"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("wt").over(w)).collect()
+    }
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
+
+
+def test_distributed_group_cumsum_overflow_guard_in_plan(spark):
+    """r14 ADVICE medium: the 2^33-rows-per-partition mid-layout guard
+    the rank siblings carry must protect the cumsum too — the
+    assert_true must survive optimization (not be pruned) and a healthy
+    frame must pass with +0 offset."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("g", i, i, 1) for i in range(100)], "g string, o long, k long, wt long"
+    )
+    out = windows.distributed_group_cumsum(
+        df, ["g"], [F.col("o"), F.col("k")], "wt", "cum"
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "raise_error" in plan or "assert_true" in plan
+    assert out.where(F.col("cum") != F.col("o") + 1).count() == 0
+
+
+def test_distributed_ops_accept_map_typed_payload(spark):
+    """r14 ADVICE low: the ReuseExchange pin hashes every column, but
+    Spark's hash functions reject MapType — map-bearing payloads must
+    ride through the pin (to_json wrap) instead of raising
+    AnalysisException. Values must still match the window spellings."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("g" + str(i % 3), i, i % 4 + 1) for i in range(60)],
+        "g string, k long, wt long",
+    ).withColumn("m", F.create_map(F.lit("id"), F.col("k")))
+
+    ranked = windows.distributed_rank(df, [F.col("k")], "rn").collect()
+    assert sorted(r["rn"] for r in ranked) == list(range(1, 61))
+    assert all(r["rn"] == r["k"] + 1 for r in ranked)
+
+    granked = windows.distributed_group_rank(
+        df, ["g"], [F.col("k")], "rn"
+    ).collect()
+    w = W.partitionBy("g").orderBy("k")
+    want_g = {
+        r["k"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert {r["k"]: r["rn"] for r in granked} == want_g
+
+    csummed = windows.distributed_group_cumsum(
+        df, ["g"], [F.col("k")], "wt", "cum"
+    ).collect()
+    wc = w.rowsBetween(W.unboundedPreceding, 0)
+    want_c = {
+        r["k"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("wt").over(wc)).collect()
+    }
+    assert {r["k"]: r["cum"] for r in csummed} == want_c
+    # the map column itself survives untouched
+    assert all(r["m"] == {"id": r["k"]} for r in csummed)
