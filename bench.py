@@ -698,6 +698,23 @@ def main() -> None:
     # end-to-end with exactly these keys, and the driver spec names only
     # metric/value/unit/queries/sf — the split is intentional; any
     # consumer needing cold/min/methodology must read bench_last.json.
+    # self-flag unstable rows (r14 VERDICT #6): a median 1.5x its own
+    # min within one sitting means the row caught a noisy regime — the
+    # ev_funnel 4.00-vs-2.36 shape should not need a human to spot.
+    # Value = median/min ratio, both headline and scale rows.
+    unstable = {
+        k: round(times[k] / times_min[k], 2)
+        for k in times
+        if times_min.get(k, 0) > 0 and times[k] / times_min[k] > 1.5
+    }
+    unstable.update(
+        {
+            k: round(times_scale[k] / times_scale_min[k], 2)
+            for k in times_scale
+            if times_scale_min.get(k, 0) > 0
+            and times_scale[k] / times_scale_min[k] > 1.5
+        }
+    )
     stdout_obj = {
         "metric": "headline_queries_total",
         "value": total,
@@ -708,6 +725,8 @@ def main() -> None:
         "queries_scale": {k: round(v, 2) for k, v in times_scale.items()},
         "sf": sf,
     }
+    if unstable:
+        stdout_obj["unstable"] = unstable
     if paired_stdout is not None:
         stdout_obj["paired"] = paired_stdout
     stdout_line = json.dumps(stdout_obj)
@@ -725,6 +744,9 @@ def main() -> None:
     if len(stdout_line) > 1950 and "paired" in stdout_obj:
         del stdout_obj["paired"]
         stdout_line = json.dumps(stdout_obj)
+    if len(stdout_line) > 1950 and "unstable" in stdout_obj:
+        del stdout_obj["unstable"]
+        stdout_line = json.dumps(stdout_obj)
     full_line = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -736,6 +758,7 @@ def main() -> None:
             "queries_scale": times_scale,
             "queries_scale_min": times_scale_min,
             "queries_scale_cold": times_scale_cold,
+            "unstable": unstable,
             "sf": sf,
             "paired": paired_full,
             "methodology": "each query forced 4x: 1 cold run "
@@ -746,7 +769,9 @@ def main() -> None:
             "r14 (single cold runs before that — r13 VERDICT #2) and "
             "are excluded from value; paired = per-row ratios against "
             "oracle_last.json (tools/bench_oracle.py) when present "
-            "for the same sf, null otherwise",
+            "for the same sf, null otherwise; unstable = rows whose "
+            "steady median exceeds 1.5x their own min this sitting "
+            "(value = median/min) — treat those numbers as suspect",
         }
     )
     print(stdout_line)

@@ -40,45 +40,43 @@ from extract_permits_spark.sources.readers import load_table  # noqa: F401
 # round; _CHECK_FIRST controls that window and is rotated each round so
 # every entry earns a driver row (see the r9 NOTE below the list).
 _CHECK_FIRST = [
-    # r14 window (rotated per VERDICT r13 #1): (a) the ENTIRE deferred
-    # r8-witness cohort leads — after this window lands green, no
-    # entry's last driver witness predates r9; (b) the entries this
-    # session's edits changed (rotation_audit output against _AUDIT_BASE
-    # minus the documented hygiene modules — pinned by
-    # tests/test_rotation.py); (c) this round's new entries; (d) the r9
-    # cohort oldest-first, 34 of 39 (see the r14 NOTE below the list).
-    "ann_matryoshka_topk",
-    "ann_matryoshka_rerank",
-    "ann_matryoshka_recall",
-    "ann_matryoshka_mrr",
-    "ann_batch_topk",
-    "docs_span_dup_rate",
-    "docs_span_mask",
-    "docs_corpus_report",
-    "docs_quality_score",
-    "docs_unigram_xent",
-    "mm_frame_sample",
-    "x8_schema_evolution_union",
-    # (b) changed this session: is_center now computed as
-    # vec_id == assigned center_id, matching the oracle's
-    # `a.vec_id = a.center_id` (r13 ADVICE medium — a VALUE change on
-    # duplicate-embedding inputs); vocab_bpe_train frees its final-round
-    # checkpoint (post-return hygiene, values untouched, queued because
-    # its body changed and the audit rule is body-granular)
-    "emb_kcenter_coreset",
-    "emb_kcenter_batch",
-    "vocab_bpe_train",
-    "vocab_bpe_encode",  # calls vocab_bpe_train — transitive rule
-    # (c) NEW in r14: streaming bottom-k KMV overlap (batch SQL verbatim
-    # as oracle, completing the merge-semantics triptych with HLL/CM)
-    "stream_kmv_overlap",
-    # (b continued) the distributed_rank/-group_rank ReuseExchange pin
-    # (operators/windows.py — VERDICT r13 #3 root cause: column pruning
-    # de-duplicated the counts branch's range exchange) changes the
-    # executed PLAN of every consumer; all re-oracle-checked green
-    # locally, queued per the plan-shape rule. w2/w4/e3 are flagged too
-    # and already sit in the r9 cohort below.
+    # r15 window (rotated per VERDICT r14 #1/#7): (a) the ENTIRE
+    # r9-witness cohort leads, all 16 — including the IVFPQ serving
+    # family — so after this window lands green no entry's last driver
+    # witness predates r10; (b) the entries this session's edits
+    # changed (rotation_audit output against _AUDIT_BASE, no hygiene
+    # exemptions this round — pinned by tests/test_rotation.py);
+    # (c) the 20 oldest r10-witnessed entries, filling the window to
+    # exactly 50. Witness ages are now computed, not hand-tallied:
+    # python tools/witness_ledger.py (tests/test_witness_age.py pins
+    # the ≤5-round bound against this list).
+    # (a) the r9 cohort — oldest witnesses in the registry
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "dedup_embedding_cosine",
+    "dedup_simhash_recall",
+    "emb_ivfpq_batch_topk",
+    "emb_ivfpq_recall",
+    "emb_ivfpq_topk",
+    "ev_json_extract",
+    "j3_crosswalk_override",
+    "mm_binary_features",
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "s4_range_scan",
+    "text_fingerprint",
+    "text_tokens",
+    "u2_union_distinct",
+    # (b) changed this session — r14 ADVICE fixes:
+    # operators/windows.py (cumsum native-type weights + overflow
+    # guard, map-hashable ReuseExchange pin) flags every distributed_*
+    # consumer plus the module's window helpers (module scope moved);
+    # functions/similarity.py (lsh_cross_hits multiplicity-weighted
+    # bucket cap) flags its two consumers;
+    # plans/analytics_events.py (_budget_mix guard fix) flags
+    # llm_pretrain_pipeline
     "llm_pretrain_pipeline",
+    "docs_domain_mix",
     "docs_quality_prune",
     "docs_quality_bins",
     "docs_shard_shuffle",
@@ -86,35 +84,32 @@ _CHECK_FIRST = [
     "docs_zorder_layout",
     "w3_line_numbers_batches",
     "sample_negatives",
-    # (b continued) lsh_cross_hits gained exact-duplicate collapse (r14,
-    # the 100x-flood finding — functions/similarity.py): values
-    # identical by construction, plan changed; its two consumers queue
-    "emb_cross_decontaminate",
-    "stream_semantic_decon_ingest",
-    # (d) the r9 cohort, original registration order
-    "s1_scan_filter_order",
-    "s3_scalar_max",
-    "p_clean_bundle",
-    "p9_keyword_tag",
-    "j6_semi_flag",
     "w2_first_per_group",
     "w4_dup_flag",
-    "p3_date_functions",
-    "x3_unpivot",
     "e3_legacy_flags",
-    "text_quality",
-    "text_language_id",
-    "ev_tumbling_agg",
-    "ann_lsh_topk",
-    "dedup_ngram_jaccard",
-    "p5_pin_normalize",
-    "ann_ivf_topk",
-    "permit_pipeline_review",
-    "docs_decontaminate",
-    "docs_domain_mix",
-    "llm_pack_stats",
-    "rag_hybrid_recall",
-    "mm_decode_quarantine",
+    "emb_cross_decontaminate",
+    "stream_semantic_decon_ingest",
+    # (c) the 20 oldest r10-witnessed entries (ledger order)
+    "a7_quantiles",
+    "a8_salted_agg",
+    "dedup_semantic",
+    "docs_chunk",
+    "docs_dsir_weights",
+    "docs_host_cap",
+    "docs_incremental_dedup",
+    "docs_segment_dedup",
+    "docs_source_overlap_matrix",
+    "docs_url_dedup",
+    "emb_pq_adc_topk",
+    "emb_pq_codes",
+    "emb_quantize",
+    "ev_hopping_agg",
+    "ev_rollup",
+    "ev_session_window",
+    "j11_salted_skew_join",
+    "j7_asof_join",
+    "j8_range_join",
+    "jsonl_corrupt_quarantine",
 ]
 
 # Base ref for this round's rotation audit (r13 final commit) and the
@@ -127,44 +122,18 @@ _CHECK_FIRST = [
 # each needs the reason an auditor would check. tests/test_rotation.py
 # asserts rotation_audit(_AUDIT_BASE) minus these modules ⊆ _CHECK_FIRST
 # so the transitive rule can't silently regress (VERDICT r13 #1).
-_AUDIT_BASE = "7cba7fd7977beee7fbf58e79d4749379e64a87cf"
-_AUDIT_HYGIENE_MODULES = {
-    # free_local_checkpoint now descends Project/Filter wrappers and the
-    # new assert_no_scratch_refs guard — post-evaluation block
-    # reclamation + an insert-time assertion; no query value or plan of
-    # any returned frame changes (r13 ADVICE lows #2/#4)
-    "extract_permits_spark.session",
-    # clear_frame_caches / memo-insert guard calls only (same ADVICE
-    # items); the memoized VALUES are bit-identical
-    "extract_permits_spark.plans._registry",
-}
+_AUDIT_BASE = "637295d3e96976a24c87b707362989ccbdbcc683"
+_AUDIT_HYGIENE_MODULES: set[str] = set()
 
-# r14 rotation NOTE: the full r8 cohort (12) + changed (14: the two
-# kcenter value fixes, the two bpe, the eight rank-pin consumers, the
-# two lsh_cross_hits-collapse consumers) + new (1) leaves 23 slots for
-# the 39 r9-witnessed entries. Deferred to r15 FIRST, all
-# re-oracle-checked green locally this session:
-# (a) six recall/variant twins whose PRIMARY entries sit in this window
-#     or were witnessed r13 and exercise the identical machinery:
-#     ann_lsh_recall (ann_lsh_topk in window), ann_ivf_recall
-#     (ann_ivf_topk), emb_ivfpq_recall / emb_ivfpq_batch_topk /
-#     emb_ivfpq_topk (emb_ivfpq_indexed_topk witnessed r13; topk gave
-#     its slot to vocab_bpe_encode per the transitive rule),
-#     dedup_simhash_recall (dedup_simhash witnessed r13);
-# (b) ten r9 entries displaced by the rank-pin consumers and the
-#     lsh_cross_hits collapse consumers, each with its machinery pinned
-#     by an in-window or r13-witnessed family twin plus pytests:
-#     dedup_embedding_cosine (brute-force twin of the witnessed LSH
-#     family), mm_binary_features (multimodal rails witnessed r13),
-#     text_tokens / text_fingerprint (text_quality + text_language_id
-#     stay), ev_json_extract (ev_tumbling_agg stays; ev_sessionize
-#     witnessed r13), q3_shipping_priority / q5_nation_volume
-#     (q1/q18/q21/q11/q12/q20 witnessed r13), j3_crosswalk_override
-#     (the coalesce-override machinery is inside the r13-witnessed
-#     permit_pipeline_upload), u2_union_distinct (union machinery in
-#     the r13-witnessed u4_except_all), s4_range_scan (range-scan
-#     pushdown pinned by in-window s1_scan_filter_order + the
-#     test_plan_quality pushdown assertions).
+# r15 rotation NOTE: witness-age arithmetic is no longer hand-tallied
+# here (the r14 NOTE needed a fix commit, e9f7e7c) — run
+# `python tools/witness_ledger.py` for the computed per-entry
+# last-green-round table, and see tests/test_witness_age.py for the
+# enforced bound: every entry whose witness would age past 5 rounds at
+# the upcoming driver round must sit in this window. Deferred to r16:
+# the 18 youngest r10-witnessed entries (pack_sequences .. x4_pivot in
+# ledger order) — at age 5 next round they hit the bound and the test
+# will force them into the r16 window.
 # The rotation rule is TRANSITIVE over helper imports and BODY-GRANULAR
 # within chunk modules: tools/rotation_audit.py <git-ref> lists every
 # registry entry whose own function body, same-chunk helper, or
