@@ -268,11 +268,28 @@ def main() -> None:
 
     from extract_permits_spark.session import free_scratch_checkpoints
 
+    def _settle_row():
+        # r15 (VERDICT r14 #2/#4): give every headline ROW a settled
+        # start — scratch-checkpoint free + cache clear + one GC nudge
+        # — exactly what the scale rows already do between samples.
+        # Quiet-host probes reproduced none of the r14 sitting's
+        # anomalies (ev_funnel 4.00 -> 0.97 s, text_tfidf 3.16 -> 0.91,
+        # all code unchanged): the rows were measuring predecessor heap
+        # regime, not their plans. Runs OUTSIDE the timed sections;
+        # within-row samples stay back-to-back as before.
+        free_scratch_checkpoints()
+        spark.catalog.clearCache()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+
     times: dict[str, float] = {}
     times_min: dict[str, float] = {}
     times_cold: dict[str, float] = {}
     steady_runs = 3
     for name, run in runnables:
+        _settle_row()
         t0 = time.time()
         run()
         times_cold[name] = round(time.time() - t0, 3)
@@ -764,7 +781,11 @@ def main() -> None:
             "methodology": "each query forced 4x: 1 cold run "
             "(queries_cold) + 3 steady runs; queries = per-query "
             "median of steady runs, queries_min = min; value sums "
-            "the medians; queries_scale rows run at 10x the bench sf "
+            "the medians; every headline row starts settled "
+            "(scratch-checkpoint free + clearCache + GC nudge, "
+            "untimed) since r15 — before that, rows measured the "
+            "predecessor's heap regime (r14 ev_funnel/text_tfidf "
+            "anomalies); queries_scale rows run at 10x the bench sf "
             "under the SAME 1-cold + 3-steady-median protocol since "
             "r14 (single cold runs before that — r13 VERDICT #2) and "
             "are excluded from value; paired = per-row ratios against "
