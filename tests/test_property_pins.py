@@ -49,3 +49,67 @@ def test_pin_normalizers_match_python_model(spark, pins):
     for s, row in zip(pins, got):
         assert row["legacy"] == model_legacy(s), repr(s)
         assert row["main"] == model_main(s), repr(s)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "hot"]),      # group (skewed)
+            st.integers(min_value=0, max_value=50),  # order key
+            st.integers(min_value=-40, max_value=40),  # integer weight
+            st.integers(min_value=0, max_value=160),   # decimal weight /8
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_group_cumsum_weight_types_match_window_model(spark, rows):
+    """Property pin for the r14 ADVICE weight-type fix: for arbitrary
+    skewed group/order/weight batches, distributed_group_cumsum must
+    equal the sequential window spelling EXACTLY for integer weights
+    (long path) and for decimal weights (native-type path, eighths so
+    the scale exercises fractions) — including negative weights and
+    duplicate order keys broken by the unique row id."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.operators.windows import (
+        distributed_group_cumsum,
+    )
+
+    data = [
+        (g, o, i, w, Decimal(dw) / 8)
+        for i, (g, o, w, dw) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "g string, o long, k long, wi long, wd decimal(12,3)"
+    )
+    w = (
+        W.partitionBy("g")
+        .orderBy(F.col("o"), F.col("k"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    want = {
+        r["k"]: (r["ci"], r["cd"])
+        for r in df.withColumn("ci", F.sum("wi").over(w))
+        .withColumn("cd", F.sum("wd").over(w))
+        .collect()
+    }
+    got_i = {
+        r["k"]: r["cum"]
+        for r in distributed_group_cumsum(
+            df, ["g"], [F.col("o"), F.col("k")], "wi", "cum"
+        ).collect()
+    }
+    got_d = {
+        r["k"]: r["cum"]
+        for r in distributed_group_cumsum(
+            df, ["g"], [F.col("o"), F.col("k")], "wd", "cum"
+        ).collect()
+    }
+    for k, (ci, cd) in want.items():
+        assert got_i[k] == ci, (k, got_i[k], ci)
+        assert got_d[k] == cd, (k, got_d[k], cd)
