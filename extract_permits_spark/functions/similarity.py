@@ -366,12 +366,47 @@ def minhash_md5_pairs(
     min(md5) signature → per-band md5 bucket → candidate join → exact
     Jaccard verification. Precondition: ``jaccard_threshold > 0`` — the
     count-based verifier drops zero-overlap candidate pairs before the
-    threshold filter (see ``minhash_lsh_pairs``)."""
-    sh = docs.select(
+    threshold filter (see ``minhash_lsh_pairs``).
+
+    Exact-duplicate collapse (r15 — the ``lsh_cross_hits`` r14 medicine
+    applied to pair GENERATION): on a crawl flood where every doc has k
+    exact copies, the banded self-join materializes C(k,2) candidate
+    rows per original and the count-verifier explodes each against the
+    full shingle stream — quadratic in flood size, and the residual
+    heap-phase variance the r9 count-based rework left behind (settled
+    samples still swung 8.8–23.3 s at the 10× bench shape on identical
+    code). Instead: collapse to one representative per distinct text
+    (md5-of-text groupBy + min_by — the map-side-combining dedup shape
+    ``llm_pretrain_pipeline`` uses), run banding + verification on reps
+    only, then expand — same-text pairs are emitted directly at jaccard
+    1.0 (identical distinct shingle arrays ⇒ |A∩B| = |A| = |B| exactly),
+    and every cross-text rep pair fans out to its groups' member pairs
+    with the rep-level jaccard (identical texts ⇒ identical signatures,
+    buckets and shingle sets). Values identical by construction; the
+    verification join shrinks by the square of the duplication factor.
+    No-dup corpora pay one narrow text groupBy + output-sized expansion
+    joins."""
+    # text never rides an exchange here: members shuffles (md5, id)
+    # only, and the rep rows come back via a semi join on the id list —
+    # broadcast under AQE at any bucket-able id-list size (ids are 8
+    # bytes/doc; at the billions-of-docs regime where it stops
+    # broadcasting, one id-shuffle of the corpus is the price of the
+    # quadratic flood immunity below)
+    gkey = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
+    members = docs.select(gkey.alias("_g"), F.col(id_col))
+    groups = members.groupBy("_g").agg(
+        F.min(F.col(id_col)).alias("_rep"), F.count(F.lit(1)).alias("_m")
+    )
+    reps = docs.select(F.col(id_col), F.col(text_col)).join(
+        groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    )
+
+    # rep-level banded LSH — the pre-r15 body verbatim, over reps
+    sh = reps.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("_shingles")
     ).where(F.size("_shingles") > 0)
     band_frames = minhash_md5_bands(
-        docs, id_col, text_col, shingle_n, num_hashes, bands
+        reps, id_col, text_col, shingle_n, num_hashes, bands
     )
     # coalesce-proof fan-out below the compact band exchange — same
     # guard (and same measured starvation) as candidate_pairs_from_buckets:
@@ -411,12 +446,63 @@ def minhash_md5_pairs(
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
     jac = F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
-    return (
+    rep_pairs = (
         inter.join(sz.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
         .join(sz.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
         .where(jac >= jaccard_threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+    # expansion: rep pair (ra, rb) → every (member of ra's group,
+    # member of rb's group) pair, globally oriented id_a < id_b (groups
+    # are disjoint, so least/greatest can't collide with intra pairs)
+    g_of = groups.select(F.col("_rep").alias("_rid"), F.col("_g"))
+    cross = (
+        rep_pairs.join(
+            g_of.select(F.col("_rid").alias("id_a"), F.col("_g").alias("_ga")),
+            "id_a",
+        )
+        .join(
+            g_of.select(F.col("_rid").alias("id_b"), F.col("_g").alias("_gb")),
+            "id_b",
+        )
+        .select("_ga", "_gb", "jaccard")
+        .join(
+            members.select(F.col("_g").alias("_ga"), F.col(id_col).alias("_xa")),
+            "_ga",
+        )
+        .join(
+            members.select(F.col("_g").alias("_gb"), F.col(id_col).alias("_xb")),
+            "_gb",
+        )
+        .select(
+            F.least("_xa", "_xb").alias("id_a"),
+            F.greatest("_xa", "_xb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # intra-group pairs: exact duplicates, jaccard 1.0 by identity —
+    # only for groups whose rep actually shingles (empty/NULL texts
+    # never paired before the collapse either); the constant threshold
+    # guard keeps the degenerate threshold > 1.0 case faithful
+    intra = (
+        sh.select(F.col(id_col).alias("_rid"))
+        .join(g_of, "_rid")
+        .join(
+            groups.where(F.col("_m") >= 2).select("_g"),
+            "_g",
+        )
+        .join(members.select("_g", F.col(id_col).alias("_xa")), "_g")
+        .join(members.select("_g", F.col(id_col).alias("_xb")), "_g")
+        .where(F.col("_xa") < F.col("_xb"))
+        .where(F.lit(1.0) >= F.lit(jaccard_threshold))
+        .select(
+            F.col("_xa").alias("id_a"),
+            F.col("_xb").alias("id_b"),
+            F.round(F.lit(1.0), 6).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------

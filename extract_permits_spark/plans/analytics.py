@@ -89,7 +89,15 @@ _CHECK_FIRST = [
     "e3_legacy_flags",
     "emb_cross_decontaminate",
     "stream_semantic_decon_ingest",
-    # (c) the 20 oldest r10-witnessed entries (ledger order)
+    # (b continued) minhash_md5_pairs gained the exact-duplicate
+    # rep collapse (r15 — values identical by construction, pinned by
+    # test_minhash_md5_pairs_duplicate_expansion_parity); the recall
+    # twin calls the same function, queued per the transitive rule
+    "dedup_minhash_md5",
+    "dedup_minhash_recall",
+    # (c) the 18 oldest r10-witnessed entries (ledger order; the last
+    # two, j8_range_join and jsonl_corrupt_quarantine, gave their slots
+    # to the minhash pair above and defer to r16 with the rest)
     "a7_quantiles",
     "a8_salted_agg",
     "dedup_semantic",
@@ -108,8 +116,6 @@ _CHECK_FIRST = [
     "ev_session_window",
     "j11_salted_skew_join",
     "j7_asof_join",
-    "j8_range_join",
-    "jsonl_corrupt_quarantine",
 ]
 
 # Base ref for this round's rotation audit (r13 final commit) and the
@@ -131,9 +137,10 @@ _AUDIT_HYGIENE_MODULES: set[str] = set()
 # last-green-round table, and see tests/test_witness_age.py for the
 # enforced bound: every entry whose witness would age past 5 rounds at
 # the upcoming driver round must sit in this window. Deferred to r16:
-# the 18 youngest r10-witnessed entries (pack_sequences .. x4_pivot in
-# ledger order) — at age 5 next round they hit the bound and the test
-# will force them into the r16 window.
+# the 20 youngest r10-witnessed entries (j8_range_join,
+# jsonl_corrupt_quarantine, then pack_sequences .. x4_pivot in ledger
+# order) — at age 5 next round they hit the bound and the test will
+# force them into the r16 window.
 # The rotation rule is TRANSITIVE over helper imports and BODY-GRANULAR
 # within chunk modules: tools/rotation_audit.py <git-ref> lists every
 # registry entry whose own function body, same-chunk helper, or

@@ -520,3 +520,46 @@ def test_kcenter_batched_k64_deterministic_and_distinct(spark):
     sel_g, _ = kcenter_select(emb, k=2)
     assert ids[0] == sel_g[0][1]  # seed identical to the exact greedy
     assert ids[1] == sel_g[1][1]  # round-1 farthest identical
+
+
+def test_minhash_md5_pairs_duplicate_expansion_parity(spark):
+    """r15 rep-collapse: on a corpus where every doc has k exact copies,
+    minhash_md5_pairs must emit exactly (a) all C(k,2) same-text pairs
+    at jaccard 1.0 and (b) every no-dup pair (a, b, j) expanded to the
+    k x k pairs between a's and b's copy groups at the SAME jaccard —
+    the pre-collapse banded algorithm's output by construction."""
+    from extract_permits_spark.functions.similarity import minhash_md5_pairs
+
+    base = [
+        (i, f"alpha beta gamma delta epsilon zeta token{i} token{i+1} "
+            f"shared tail words here for overlap number {i % 5}")
+        for i in range(24)
+    ]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    p0 = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_md5_pairs(docs, jaccard_threshold=0.2).collect()
+    }
+
+    k = 3
+    amp_rows = [
+        (i + c * 1000, t) for (i, t) in base for c in range(k)
+    ]
+    amp = spark.createDataFrame(amp_rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_md5_pairs(amp, jaccard_threshold=0.2).collect()
+    }
+
+    want = {}
+    for (i, _t) in base:
+        ids = sorted(i + c * 1000 for c in range(k))
+        for x in range(k):
+            for y in range(x + 1, k):
+                want[(ids[x], ids[y])] = 1.0
+    for (a, b), j in p0.items():
+        for ca in range(k):
+            for cb in range(k):
+                x, y = a + ca * 1000, b + cb * 1000
+                want[(min(x, y), max(x, y))] = j
+    assert got == want
