@@ -260,9 +260,31 @@ def minhash_lsh_pairs(
     interpreted per element. Verification is a count-based co-count over
     the exploded shingles (r9) — document bodies and shingle arrays never
     ride a join row.
+
+    Exact-duplicate collapse (r15, same construction and equivalence
+    argument as ``minhash_md5_pairs`` — see there): banding and
+    verification run over one representative per distinct text, and
+    pairs expand back through the duplicate groups. The bucket cap
+    weighs each rep by its group size, so bucket sizes equal the
+    pre-collapse doc counts exactly (the ``lsh_cross_hits`` r15 cap
+    rule), and same-text pairs are emitted only for groups with at
+    least one SURVIVING bucket — a flood larger than
+    ``max_bucket_size`` drops all its own buckets and pairs nothing,
+    exactly as the uncollapsed code behaved. Values identical by
+    construction; the flood cost falls from quadratic to linear in the
+    duplication factor.
     """
+    gkey = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
+    members = docs.select(gkey.alias("_g"), F.col(id_col))
+    groups = members.groupBy("_g").agg(
+        F.min(F.col(id_col)).alias("_rep"), F.count(F.lit(1)).alias("_m")
+    )
+    reps = docs.select(F.col(id_col), F.col(text_col)).join(
+        groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    )
+
     rows = num_hashes // bands
-    exploded = docs.select(
+    exploded = reps.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_sh")
     )
     sh = exploded.groupBy(id_col).agg(
@@ -274,11 +296,37 @@ def minhash_lsh_pairs(
             ]
         ).alias("_sig"),
     )
-    bucketed = sh.select(
+    bucketed = sh.join(
+        groups.select(F.col("_rep").alias(id_col), "_m"), id_col
+    ).select(
         F.col(id_col),
+        F.col("_m"),
         F.explode(lsh_bands("_sig", bands, rows)).alias("_band"),
-    ).select(id_col, F.col("_band.band_idx"), F.col("_band.band_hash"))
-    pairs = candidate_pairs_from_buckets(bucketed, id_col, max_bucket_size)
+    ).select(id_col, "_m", F.col("_band.band_idx"), F.col("_band.band_hash"))
+    # weighted bucket cap — the same coalesce-proof fan-out pin as
+    # candidate_pairs_from_buckets (see there), with sum(_m) replacing
+    # the row count so a bucket's size is its pre-collapse doc count
+    bucketed = bucketed.repartition(
+        bucketed.sparkSession.sparkContext.defaultParallelism * 2,
+        "band_idx",
+        "band_hash",
+    )
+    sized = bucketed.withColumn(
+        "_bucket_n",
+        F.sum("_m").over(Window.partitionBy("band_idx", "band_hash")),
+    ).where(F.col("_bucket_n") <= max_bucket_size)
+    a = sized.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = sized.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     # count-based verification (r9, same rework as minhash_md5_pairs):
     # joining the full shingle set onto both sides of every candidate row
     # churned ~2 KB of array per pair and GC-stormed the dup-heavy scale
@@ -293,7 +341,7 @@ def minhash_lsh_pairs(
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
     jac = F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
-    return (
+    rep_pairs = (
         inter.join(
             sz.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza")),
             "id_a",
@@ -305,6 +353,51 @@ def minhash_lsh_pairs(
         .where(jac >= jaccard_threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+    # expansion (see minhash_md5_pairs): cross-text rep pairs fan out to
+    # member pairs; same-text pairs emit at jaccard 1.0, but ONLY for
+    # groups with >= 1 surviving bucket (the cap drops a flood's own
+    # buckets, and with them its intra pairs — pre-collapse semantics)
+    g_of = groups.select(F.col("_rep").alias("_rid"), F.col("_g"))
+    cross = (
+        rep_pairs.join(
+            g_of.select(F.col("_rid").alias("id_a"), F.col("_g").alias("_ga")),
+            "id_a",
+        )
+        .join(
+            g_of.select(F.col("_rid").alias("id_b"), F.col("_g").alias("_gb")),
+            "id_b",
+        )
+        .select("_ga", "_gb", "jaccard")
+        .join(
+            members.select(F.col("_g").alias("_ga"), F.col(id_col).alias("_xa")),
+            "_ga",
+        )
+        .join(
+            members.select(F.col("_g").alias("_gb"), F.col(id_col).alias("_xb")),
+            "_gb",
+        )
+        .select(
+            F.least("_xa", "_xb").alias("id_a"),
+            F.greatest("_xa", "_xb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    surviving = sized.select(F.col(id_col).alias("_rid")).distinct()
+    intra = (
+        surviving.join(g_of, "_rid")
+        .join(groups.where(F.col("_m") >= 2).select("_g"), "_g")
+        .join(members.select("_g", F.col(id_col).alias("_xa")), "_g")
+        .join(members.select("_g", F.col(id_col).alias("_xb")), "_g")
+        .where(F.col("_xa") < F.col("_xb"))
+        .where(F.lit(1.0) >= F.lit(jaccard_threshold))
+        .select(
+            F.col("_xa").alias("id_a"),
+            F.col("_xb").alias("id_b"),
+            F.round(F.lit(1.0), 6).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def minhash_md5_bands(

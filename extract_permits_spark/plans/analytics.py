@@ -89,15 +89,18 @@ _CHECK_FIRST = [
     "e3_legacy_flags",
     "emb_cross_decontaminate",
     "stream_semantic_decon_ingest",
-    # (b continued) minhash_md5_pairs gained the exact-duplicate
-    # rep collapse (r15 — values identical by construction, pinned by
-    # test_minhash_md5_pairs_duplicate_expansion_parity); the recall
-    # twin calls the same function, queued per the transitive rule
+    # (b continued) both minhash pair generators gained the
+    # exact-duplicate rep collapse (r15 — values identical by
+    # construction, pinned by the two duplicate-expansion parity tests
+    # incl. the capped variant's flood/cap interplay); the recall twin
+    # calls the md5 function, queued per the transitive rule
     "dedup_minhash_md5",
     "dedup_minhash_recall",
-    # (c) the 18 oldest r10-witnessed entries (ledger order; the last
-    # two, j8_range_join and jsonl_corrupt_quarantine, gave their slots
-    # to the minhash pair above and defer to r16 with the rest)
+    "dedup_minhash_lsh",
+    # (c) the 17 oldest r10-witnessed entries (ledger order; the last
+    # three, j7_asof_join, j8_range_join and jsonl_corrupt_quarantine,
+    # gave their slots to the minhash family above and defer to r16
+    # with the rest)
     "a7_quantiles",
     "a8_salted_agg",
     "dedup_semantic",
@@ -115,7 +118,6 @@ _CHECK_FIRST = [
     "ev_rollup",
     "ev_session_window",
     "j11_salted_skew_join",
-    "j7_asof_join",
 ]
 
 # Base ref for this round's rotation audit (r13 final commit) and the
@@ -137,7 +139,7 @@ _AUDIT_HYGIENE_MODULES: set[str] = set()
 # last-green-round table, and see tests/test_witness_age.py for the
 # enforced bound: every entry whose witness would age past 5 rounds at
 # the upcoming driver round must sit in this window. Deferred to r16:
-# the 20 youngest r10-witnessed entries (j8_range_join,
+# the 21 youngest r10-witnessed entries (j7_asof_join, j8_range_join,
 # jsonl_corrupt_quarantine, then pack_sequences .. x4_pivot in ledger
 # order) — at age 5 next round they hit the bound and the test will
 # force them into the r16 window.

@@ -563,3 +563,65 @@ def test_minhash_md5_pairs_duplicate_expansion_parity(spark):
                 x, y = a + ca * 1000, b + cb * 1000
                 want[(min(x, y), max(x, y))] = j
     assert got == want
+
+
+def test_minhash_lsh_pairs_duplicate_expansion_parity(spark):
+    """r15 rep-collapse on the production (capped, xxhash64) variant:
+    same duplicate-expansion equality as the md5 twin, PLUS the cap
+    interplay — a same-text flood larger than max_bucket_size floods
+    its own buckets, so the uncollapsed code paired none of its copies
+    (every shared bucket dropped); the collapsed code must reproduce
+    that, while an under-cap flood pairs all C(k,2) copies at 1.0."""
+    from extract_permits_spark.functions.similarity import minhash_lsh_pairs
+
+    base = [
+        (i, f"alpha beta gamma delta epsilon zeta token{i} token{i+1} "
+            f"shared tail words here for overlap number {i % 5}")
+        for i in range(18)
+    ]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    p0 = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.3).collect()
+    }
+
+    k = 3
+    amp = spark.createDataFrame(
+        [(i + c * 1000, t) for (i, t) in base for c in range(k)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(amp, jaccard_threshold=0.3).collect()
+    }
+    want = {}
+    for (i, _t) in base:
+        ids = sorted(i + c * 1000 for c in range(k))
+        for x in range(k):
+            for y in range(x + 1, k):
+                want[(ids[x], ids[y])] = 1.0
+    for (a, b), j in p0.items():
+        for ca in range(k):
+            for cb in range(k):
+                x, y = a + ca * 1000, b + cb * 1000
+                want[(min(x, y), max(x, y))] = j
+    assert got == want
+
+    # over-cap flood: 6 identical docs with cap 5 -> every bucket the
+    # flood occupies holds weighted size >= 6 and drops; no pairs at all
+    flood = spark.createDataFrame(
+        [(i, "only one text body repeated verbatim here") for i in range(6)],
+        "doc_id long, text string",
+    )
+    assert (
+        minhash_lsh_pairs(
+            flood, jaccard_threshold=0.3, max_bucket_size=5
+        ).count()
+        == 0
+    )
+    # raise the cap to 6: all C(6,2)=15 pairs at jaccard 1.0
+    roomy = minhash_lsh_pairs(
+        flood, jaccard_threshold=0.3, max_bucket_size=6
+    ).collect()
+    assert len(roomy) == 15
+    assert all(r["jaccard"] == 1.0 for r in roomy)
