@@ -98,4 +98,8 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    try:
+        sys.exit(main())
+    except BrokenPipeError:
+        # piped into head/grep — normal, not an error
+        sys.exit(0)
