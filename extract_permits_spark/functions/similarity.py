@@ -274,11 +274,29 @@ def minhash_lsh_pairs(
     construction; the flood cost falls from quadratic to linear in the
     duplication factor.
     """
+    # r15b: the narrow intermediates are deduplicated via registered
+    # LAZY localCheckpoint (same rationale and barrier-free shape as
+    # minhash_md5_pairs — see there): the expansion references
+    # members/groups 4x and the verifier the exploded shingle stream 3x;
+    # un-materialized, each reference re-ran the scan + semi join +
+    # shingle + signature chain. Lazy (eager=False) keeps one DAG — no
+    # per-checkpoint job barrier — while every reference past the first
+    # reads the persisted partitions. All checkpoints sit UPSTREAM of
+    # the pinned band repartition, which must stay in the executed plan
+    # (test_fanout_exchanges_pin_partition_count).
+    from extract_permits_spark.session import register_scratch_checkpoint
+
     gkey = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
-    members = docs.select(gkey.alias("_g"), F.col(id_col))
-    groups = members.groupBy("_g").agg(
-        F.min(F.col(id_col)).alias("_rep"), F.count(F.lit(1)).alias("_m")
+    members = docs.select(gkey.alias("_g"), F.col(id_col)).localCheckpoint(
+        eager=False
     )
+    register_scratch_checkpoint(members)
+    groups = (
+        members.groupBy("_g")
+        .agg(F.min(F.col(id_col)).alias("_rep"), F.count(F.lit(1)).alias("_m"))
+        .localCheckpoint(eager=False)
+    )
+    register_scratch_checkpoint(groups)
     reps = docs.select(F.col(id_col), F.col(text_col)).join(
         groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
     )
@@ -286,7 +304,8 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     exploded = reps.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_sh")
-    )
+    ).localCheckpoint(eager=False)
+    register_scratch_checkpoint(exploded)
     sh = exploded.groupBy(id_col).agg(
         F.collect_set("_sh").alias("_shingles"),
         F.array(
@@ -295,7 +314,8 @@ def minhash_lsh_pairs(
                 for seed in range(num_hashes)
             ]
         ).alias("_sig"),
-    )
+    ).localCheckpoint(eager=False)
+    register_scratch_checkpoint(sh)
     bucketed = sh.join(
         groups.select(F.col("_rep").alias(id_col), "_m"), id_col
     ).select(
@@ -315,6 +335,20 @@ def minhash_lsh_pairs(
         "_bucket_n",
         F.sum("_m").over(Window.partitionBy("band_idx", "band_hash")),
     ).where(F.col("_bucket_n") <= max_bucket_size)
+    # r15b: the capped band rows feed THREE consumers (both self-join
+    # sides + the surviving-rep filter for intra pairs); lazy-checkpoint
+    # them so the window cap runs once, and re-pin the fan-out exchange
+    # BELOW the checkpoint — the planner cannot see a LogicalRDD's
+    # partitioning, so without the pin AQE would byte-coalesce the tiny
+    # (id, band) rows onto 1-2 cores exactly as
+    # test_fanout_exchanges_pin_partition_count documents.
+    sized = sized.localCheckpoint(eager=False)
+    register_scratch_checkpoint(sized)
+    sized = sized.repartition(
+        sized.sparkSession.sparkContext.defaultParallelism * 2,
+        "band_idx",
+        "band_hash",
+    )
     a = sized.select(
         F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
     )
@@ -417,7 +451,16 @@ def minhash_md5_bands(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("_shingles")
     ).where(F.size("_shingles") > 0)
     exploded = sh.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
-    sigs = exploded.groupBy(id_col).agg(
+    sigs = _md5_sigs(exploded, id_col, num_hashes)
+    return _md5_band_rows(sigs, id_col, num_hashes, bands)
+
+
+def _md5_sigs(exploded: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """Per-seed min(md5) signature columns h0..h{n-1} from the exploded
+    (id, shingle) stream — the one place the md5 minhash math lives
+    (shared by the standalone band index and the r15 checkpointed pair
+    generator so the two can never drift)."""
+    return exploded.groupBy(id_col).agg(
         *[
             F.min(
                 F.md5(F.concat(F.lit(f"{s}|"), F.col("_sh")).cast("binary"))
@@ -425,6 +468,14 @@ def minhash_md5_bands(
             for s in range(num_hashes)
         ]
     )
+
+
+def _md5_band_rows(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows from signature columns — the band
+    construction half of ``minhash_md5_bands``, factored so the pair
+    generator can feed it an already-materialized signature frame."""
     rows = num_hashes // bands
     band_frames = None
     for b in range(bands):
@@ -485,22 +536,52 @@ def minhash_md5_pairs(
     # bytes/doc; at the billions-of-docs regime where it stops
     # broadcasting, one id-shuffle of the corpus is the price of the
     # quadratic flood immunity below)
+    #
+    # r15b: the narrow intermediates (members, groups, shingle arrays,
+    # signatures) are materialized ONCE via registered LAZY
+    # localCheckpoint — the phash_pairs r13 medicine, minus the eager
+    # barrier. The expansion stage references members/groups 4x and the
+    # verifier references the shingle stream 3x; un-materialized, every
+    # reference re-ran the parquet scan + semi join + shingle explode +
+    # 8-hash min-agg chain (the closing r15 bench caught the md5 1x row
+    # at a STABLE 66 s, min 65.6 — recompute, not regime; the plan had
+    # grown 732 -> 1761 lines). eager=False keeps construction one DAG
+    # (measured: eager barriers 4.9-5.2 s warm vs lazy 4.0-4.4 s, both
+    # vs 14.9 s un-checkpointed in-session); references past the first
+    # read the persisted partitions. Checkpointed frames are O(corpus)
+    # narrow rows on executor-local disk — the same bytes one exchange
+    # of them would spill.
+    from extract_permits_spark.session import register_scratch_checkpoint
+
     gkey = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
-    members = docs.select(gkey.alias("_g"), F.col(id_col))
-    groups = members.groupBy("_g").agg(
-        F.min(F.col(id_col)).alias("_rep"), F.count(F.lit(1)).alias("_m")
+    members = docs.select(gkey.alias("_g"), F.col(id_col)).localCheckpoint(
+        eager=False
     )
+    register_scratch_checkpoint(members)
+    groups = (
+        members.groupBy("_g")
+        .agg(F.min(F.col(id_col)).alias("_rep"), F.count(F.lit(1)).alias("_m"))
+        .localCheckpoint(eager=False)
+    )
+    register_scratch_checkpoint(groups)
     reps = docs.select(F.col(id_col), F.col(text_col)).join(
         groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
     )
 
-    # rep-level banded LSH — the pre-r15 body verbatim, over reps
+    # rep-level banded LSH — the pre-r15 math verbatim, over reps; the
+    # signature agg runs once (checkpointed) instead of once per union
+    # branch / join side
     sh = reps.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("_shingles")
-    ).where(F.size("_shingles") > 0)
-    band_frames = minhash_md5_bands(
-        reps, id_col, text_col, shingle_n, num_hashes, bands
-    )
+    ).where(F.size("_shingles") > 0).localCheckpoint(eager=False)
+    register_scratch_checkpoint(sh)
+    sigs = _md5_sigs(
+        sh.select(F.col(id_col), F.explode("_shingles").alias("_sh")),
+        id_col,
+        num_hashes,
+    ).localCheckpoint(eager=False)
+    register_scratch_checkpoint(sigs)
+    band_frames = _md5_band_rows(sigs, id_col, num_hashes, bands)
     # coalesce-proof fan-out below the compact band exchange — same
     # guard (and same measured starvation) as candidate_pairs_from_buckets:
     # one pinned shuffle serves BOTH self-join sides (dup-heavy 10x bench

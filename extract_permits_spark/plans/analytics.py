@@ -46,7 +46,7 @@ _CHECK_FIRST = [
     # witness predates r10; (b) the entries this session's edits
     # changed (rotation_audit output against _AUDIT_BASE, no hygiene
     # exemptions this round — pinned by tests/test_rotation.py);
-    # (c) the 20 oldest r10-witnessed entries, filling the window to
+    # (c) the 16 oldest r10-witnessed entries, filling the window to
     # exactly 50. Witness ages are now computed, not hand-tallied:
     # python tools/witness_ledger.py (tests/test_witness_age.py pins
     # the ≤5-round bound against this list).
@@ -92,15 +92,19 @@ _CHECK_FIRST = [
     # (b continued) both minhash pair generators gained the
     # exact-duplicate rep collapse (r15 — values identical by
     # construction, pinned by the two duplicate-expansion parity tests
-    # incl. the capped variant's flood/cap interplay); the recall twin
-    # calls the md5 function, queued per the transitive rule
+    # incl. the capped variant's flood/cap interplay) and then the r15b
+    # lazy-checkpoint materialization of the collapse's intermediates
+    # (SCALE.md r15-s4); the recall twin calls the md5 function and the
+    # streaming ingest calls minhash_md5_bands (whose body the r15b fix
+    # refactored), both queued per the transitive rule
     "dedup_minhash_md5",
     "dedup_minhash_recall",
     "dedup_minhash_lsh",
-    # (c) the 17 oldest r10-witnessed entries (ledger order; the last
-    # three, j7_asof_join, j8_range_join and jsonl_corrupt_quarantine,
-    # gave their slots to the minhash family above and defer to r16
-    # with the rest)
+    "stream_neardup_ingest",
+    # (c) the 16 oldest r10-witnessed entries (ledger order; the last
+    # four, j11_salted_skew_join, j7_asof_join, j8_range_join and
+    # jsonl_corrupt_quarantine, gave their slots to the minhash family
+    # above and defer to r16 with the rest)
     "a7_quantiles",
     "a8_salted_agg",
     "dedup_semantic",
@@ -117,7 +121,6 @@ _CHECK_FIRST = [
     "ev_hopping_agg",
     "ev_rollup",
     "ev_session_window",
-    "j11_salted_skew_join",
 ]
 
 # Base ref for this round's rotation audit (r13 final commit) and the
@@ -139,10 +142,10 @@ _AUDIT_HYGIENE_MODULES: set[str] = set()
 # last-green-round table, and see tests/test_witness_age.py for the
 # enforced bound: every entry whose witness would age past 5 rounds at
 # the upcoming driver round must sit in this window. Deferred to r16:
-# the 21 youngest r10-witnessed entries (j7_asof_join, j8_range_join,
-# jsonl_corrupt_quarantine, then pack_sequences .. x4_pivot in ledger
-# order) — at age 5 next round they hit the bound and the test will
-# force them into the r16 window.
+# the 22 youngest r10-witnessed entries (j11_salted_skew_join,
+# j7_asof_join, j8_range_join, jsonl_corrupt_quarantine, then
+# pack_sequences .. x4_pivot in ledger order) — at age 5 next round
+# they hit the bound and the test will force them into the r16 window.
 # The rotation rule is TRANSITIVE over helper imports and BODY-GRANULAR
 # within chunk modules: tools/rotation_audit.py <git-ref> lists every
 # registry entry whose own function body, same-chunk helper, or
