@@ -230,6 +230,72 @@ def candidate_pairs_from_buckets(
     )
 
 
+def _dup_gate_collapse(docs: DataFrame, text_col: str) -> bool:
+    """r15c dup-mass gate for the minhash pair generators: decide, from
+    ONE narrow pass over md5(text), whether the exact-duplicate collapse
+    pays for itself. The collapse's win is quadratic in per-group
+    multiplicity (a group of k exact copies feeds C(k,2) candidate rows
+    to the verifier uncollapsed); its cost is ~constant (the
+    members/groups materialization plus output-sized expansion joins —
+    measured 2.8–3.4 s at the sf0.1 1× shape, SCALE.md r15-s6). So
+    collapse exactly when the corpus' exact-duplicate PAIR MASS
+    Σ_g m_g(m_g−1)/2 exceeds one linear pass worth of rows (> n docs) —
+    scale-free in n, and a single hot text with millions of copies trips
+    it on its own. Either branch is value-identical by construction
+    (pinned by the duplicate-expansion parity tests, which force both).
+    The gate itself shuffles only (16-byte md5, count) rows — ~0.2 s at
+    sf0.1, amortized into the pass the collapsed branch needs anyway."""
+    gkey = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
+    tot = (
+        docs.select(gkey.alias("_g"))
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .agg(
+            F.sum("_m").alias("n"),
+            F.sum(F.col("_m") * (F.col("_m") - F.lit(1))).alias("_pm2"),
+        )
+        .first()
+    )
+    if tot is None:
+        return False
+    # _pm2 = Σ m(m−1) = 2× pair mass; collapse iff pair_mass > n
+    return (tot["_pm2"] or 0) > 2 * (tot["n"] or 0)
+
+
+def _count_verify(
+    cand: DataFrame,
+    ex: DataFrame,
+    sz: DataFrame,
+    id_col: str,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """Count-based exact-Jaccard verification (r9), shared by every
+    minhash pair path: |A∩B| as a co-count over the exploded distinct
+    shingle stream joined through the candidate pairs — the same
+    integers as the old array-pair join with no array ever riding a join
+    row (the only shape that survives 100 TB; wide-document array joins
+    OOM). ``ex`` is (id, _sh) exploded-distinct, ``sz`` is (id, _sz)."""
+    inter = (
+        cand.join(ex.select(F.col(id_col).alias("id_a"), "_sh"), "id_a")
+        .join(ex.select(F.col(id_col).alias("id_b"), "_sh"), ["id_b", "_sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    jac = F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
+    return (
+        inter.join(
+            sz.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza")),
+            "id_a",
+        )
+        .join(
+            sz.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb")),
+            "id_b",
+        )
+        .where(jac >= jaccard_threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -239,6 +305,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int = 1000,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: shingle → signature → band buckets
     → candidate pairs → exact shingle-Jaccard verification.
@@ -273,19 +340,62 @@ def minhash_lsh_pairs(
     exactly as the uncollapsed code behaved. Values identical by
     construction; the flood cost falls from quadratic to linear in the
     duplication factor.
+
+    ``collapse`` (r15c): None = auto — collapse only when the corpus'
+    exact-duplicate pair mass exceeds one linear pass (see
+    ``_dup_gate_collapse``); a duplicate-light corpus takes the direct
+    banded path and skips the collapse machinery's ~3 s constant.
+    True/False force a branch (the parity tests pin both equal).
     """
-    # r15b: the narrow intermediates are deduplicated via registered
-    # LAZY localCheckpoint (same rationale and barrier-free shape as
-    # minhash_md5_pairs — see there): the expansion references
-    # members/groups 4x and the verifier the exploded shingle stream 3x;
-    # un-materialized, each reference re-ran the scan + semi join +
-    # shingle + signature chain. Lazy (eager=False) keeps one DAG — no
-    # per-checkpoint job barrier — while every reference past the first
-    # reads the persisted partitions. All checkpoints sit UPSTREAM of
-    # the pinned band repartition, which must stay in the executed plan
-    # (test_fanout_exchanges_pin_partition_count).
     from extract_permits_spark.session import register_scratch_checkpoint
 
+    if collapse is None:
+        collapse = _dup_gate_collapse(docs, text_col)
+    rows = num_hashes // bands
+    sig_agg = F.array(
+        *[
+            F.min(F.xxhash64(F.col("_sh"), F.lit(seed)))
+            for seed in range(num_hashes)
+        ]
+    ).alias("_sig")
+    if not collapse:
+        # duplicate-light corpus (r15c gate): the banded pipeline runs
+        # over all docs directly — the pre-collapse construction, PLUS
+        # lazy checkpoints on the two multiply-referenced frames
+        # (exploded feeds the signature agg and both verifier sides; sh
+        # feeds the bucket fan-out and both size lookups) so each is
+        # computed once — the r15b materialization lesson without the
+        # collapse machinery's ~3 s constant (SCALE.md r15-s6).
+        exploded = docs.select(
+            F.col(id_col),
+            F.explode(word_shingles(text_col, shingle_n)).alias("_sh"),
+        ).localCheckpoint(eager=False)
+        register_scratch_checkpoint(exploded)
+        sh = (
+            exploded.groupBy(id_col)
+            .agg(F.collect_set("_sh").alias("_shingles"), sig_agg)
+            .localCheckpoint(eager=False)
+        )
+        register_scratch_checkpoint(sh)
+        bucketed = sh.select(
+            F.col(id_col),
+            F.explode(lsh_bands("_sig", bands, rows)).alias("_band"),
+        ).select(id_col, F.col("_band.band_idx"), F.col("_band.band_hash"))
+        pairs = candidate_pairs_from_buckets(bucketed, id_col, max_bucket_size)
+        sz = sh.select(F.col(id_col), F.size("_shingles").alias("_sz"))
+        return _count_verify(pairs, exploded, sz, id_col, jaccard_threshold)
+
+    # Collapsed branch. r15b: the narrow intermediates are deduplicated
+    # via registered LAZY localCheckpoint (same rationale and
+    # barrier-free shape as minhash_md5_pairs — see there): the
+    # expansion references members/groups 4x and the verifier the
+    # exploded shingle stream 3x; un-materialized, each reference re-ran
+    # the scan + semi join + shingle + signature chain. Lazy
+    # (eager=False) keeps one DAG — no per-checkpoint job barrier —
+    # while every reference past the first reads the persisted
+    # partitions. All checkpoints sit UPSTREAM of the pinned band
+    # repartition, which must stay in the executed plan
+    # (test_fanout_exchanges_pin_partition_count).
     gkey = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
     members = docs.select(gkey.alias("_g"), F.col(id_col)).localCheckpoint(
         eager=False
@@ -301,20 +411,15 @@ def minhash_lsh_pairs(
         groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
     )
 
-    rows = num_hashes // bands
     exploded = reps.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_sh")
     ).localCheckpoint(eager=False)
     register_scratch_checkpoint(exploded)
-    sh = exploded.groupBy(id_col).agg(
-        F.collect_set("_sh").alias("_shingles"),
-        F.array(
-            *[
-                F.min(F.xxhash64(F.col("_sh"), F.lit(seed)))
-                for seed in range(num_hashes)
-            ]
-        ).alias("_sig"),
-    ).localCheckpoint(eager=False)
+    sh = (
+        exploded.groupBy(id_col)
+        .agg(F.collect_set("_sh").alias("_shingles"), sig_agg)
+        .localCheckpoint(eager=False)
+    )
     register_scratch_checkpoint(sh)
     bucketed = sh.join(
         groups.select(F.col("_rep").alias(id_col), "_m"), id_col
@@ -361,32 +466,11 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # count-based verification (r9, same rework as minhash_md5_pairs):
-    # joining the full shingle set onto both sides of every candidate row
-    # churned ~2 KB of array per pair and GC-stormed the dup-heavy scale
-    # row; |A∩B| as a co-count over the exploded distinct shingles is the
-    # same integers with no array on any join row.
-    ex = exploded  # word_shingles is array_distinct: no per-doc dupes
+    # count-based verification (r9, shared helper): shingles are
+    # distinct per doc (word_shingles is array_distinct), so exploded
+    # doubles as the verifier's co-count stream.
     sz = sh.select(F.col(id_col), F.size("_shingles").alias("_sz"))
-    inter = (
-        pairs.join(ex.select(F.col(id_col).alias("id_a"), "_sh"), "id_a")
-        .join(ex.select(F.col(id_col).alias("id_b"), "_sh"), ["id_b", "_sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    jac = F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
-    rep_pairs = (
-        inter.join(
-            sz.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza")),
-            "id_a",
-        )
-        .join(
-            sz.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb")),
-            "id_b",
-        )
-        .where(jac >= jaccard_threshold)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-    )
+    rep_pairs = _count_verify(pairs, exploded, sz, id_col, jaccard_threshold)
 
     # expansion (see minhash_md5_pairs): cross-text rep pairs fan out to
     # member pairs; same-text pairs emit at jaccard 1.0, but ONLY for
@@ -494,6 +578,66 @@ def _md5_band_rows(
     return band_frames
 
 
+def _md5_banded_verified(
+    docs_narrow: DataFrame,
+    id_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+    jaccard_threshold: float,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The md5 banded-LSH core: shingle → lazily-checkpointed shingle
+    arrays and signatures → pinned band fan-out → candidate self-join →
+    count-based verification. Returns ``(pairs, sh)`` — ``sh`` is the
+    checkpointed (id, _shingles) frame so the collapsed caller can gate
+    intra-group pairs on reps that actually shingle. The two lazy
+    checkpoints are the r15b materialization medicine: ``sh`` feeds the
+    verifier's co-count stream plus both size lookups and ``sigs`` feeds
+    all ``bands`` union branches — un-materialized, every reference
+    re-ran the scan + shingle + 8-hash min-agg chain (SCALE.md r15-s4).
+    """
+    from extract_permits_spark.session import register_scratch_checkpoint
+
+    sh = (
+        docs_narrow.select(
+            F.col(id_col), word_shingles(text_col, shingle_n).alias("_shingles")
+        )
+        .where(F.size("_shingles") > 0)
+        .localCheckpoint(eager=False)
+    )
+    register_scratch_checkpoint(sh)
+    sigs = _md5_sigs(
+        sh.select(F.col(id_col), F.explode("_shingles").alias("_sh")),
+        id_col,
+        num_hashes,
+    ).localCheckpoint(eager=False)
+    register_scratch_checkpoint(sigs)
+    band_frames = _md5_band_rows(sigs, id_col, num_hashes, bands)
+    # coalesce-proof fan-out below the compact band exchange — same
+    # guard (and same measured starvation) as candidate_pairs_from_buckets:
+    # one pinned shuffle serves BOTH self-join sides (dup-heavy 10x bench
+    # shape: 35.9 s cold byte-coalesced → 10.0 s pinned, same pairs)
+    band_frames = band_frames.repartition(
+        band_frames.sparkSession.sparkContext.defaultParallelism * 2,
+        "band_idx",
+        "band_hash",
+    )
+    a = band_frames.select("band_idx", "band_hash", F.col(id_col).alias("id_a"))
+    b = band_frames.select("band_idx", "band_hash", F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # shingles are distinct per doc (word_shingles is array_distinct),
+    # so the explode doubles as the verifier's co-count stream
+    ex = sh.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
+    sz = sh.select(F.col(id_col), F.size("_shingles").alias("_sz"))
+    return _count_verify(cand, ex, sz, id_col, jaccard_threshold), sh
+
+
 def minhash_md5_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -502,6 +646,7 @@ def minhash_md5_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     jaccard_threshold: float = 0.2,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """MinHash-LSH with the md5 hash family — the cross-engine-
     deterministic variant whose banding a DuckDB oracle replays verbatim
@@ -528,14 +673,34 @@ def minhash_md5_pairs(
     with the rep-level jaccard (identical texts ⇒ identical signatures,
     buckets and shingle sets). Values identical by construction; the
     verification join shrinks by the square of the duplication factor.
-    No-dup corpora pay one narrow text groupBy + output-sized expansion
-    joins."""
-    # text never rides an exchange here: members shuffles (md5, id)
-    # only, and the rep rows come back via a semi join on the id list —
-    # broadcast under AQE at any bucket-able id-list size (ids are 8
-    # bytes/doc; at the billions-of-docs regime where it stops
-    # broadcasting, one id-shuffle of the corpus is the price of the
-    # quadratic flood immunity below)
+    ``collapse`` (r15c): None = auto — collapse only when the corpus'
+    exact-duplicate pair mass exceeds one linear pass (see
+    ``_dup_gate_collapse``); a duplicate-light corpus takes the direct
+    banded path and skips the collapse machinery's ~3 s constant.
+    True/False force a branch (the parity tests pin both equal)."""
+    if collapse is None:
+        collapse = _dup_gate_collapse(docs, text_col)
+    if not collapse:
+        # duplicate-light corpus (r15c gate): the banded core runs over
+        # all docs directly — the pre-collapse construction with the
+        # r15b lazy checkpoints (see _md5_banded_verified)
+        pairs, _sh = _md5_banded_verified(
+            docs.select(F.col(id_col), F.col(text_col)),
+            id_col,
+            shingle_n,
+            num_hashes,
+            bands,
+            jaccard_threshold,
+            text_col=text_col,
+        )
+        return pairs
+
+    # Collapsed branch. text never rides an exchange here: members
+    # shuffles (md5, id) only, and the rep rows come back via a semi
+    # join on the id list — broadcast under AQE at any bucket-able
+    # id-list size (ids are 8 bytes/doc; at the billions-of-docs regime
+    # where it stops broadcasting, one id-shuffle of the corpus is the
+    # price of the quadratic flood immunity below).
     #
     # r15b: the narrow intermediates (members, groups, shingle arrays,
     # signatures) are materialized ONCE via registered LAZY
@@ -569,62 +734,11 @@ def minhash_md5_pairs(
     )
 
     # rep-level banded LSH — the pre-r15 math verbatim, over reps; the
-    # signature agg runs once (checkpointed) instead of once per union
-    # branch / join side
-    sh = reps.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("_shingles")
-    ).where(F.size("_shingles") > 0).localCheckpoint(eager=False)
-    register_scratch_checkpoint(sh)
-    sigs = _md5_sigs(
-        sh.select(F.col(id_col), F.explode("_shingles").alias("_sh")),
-        id_col,
-        num_hashes,
-    ).localCheckpoint(eager=False)
-    register_scratch_checkpoint(sigs)
-    band_frames = _md5_band_rows(sigs, id_col, num_hashes, bands)
-    # coalesce-proof fan-out below the compact band exchange — same
-    # guard (and same measured starvation) as candidate_pairs_from_buckets:
-    # one pinned shuffle serves BOTH self-join sides (dup-heavy 10x bench
-    # shape: 35.9 s cold byte-coalesced → 10.0 s pinned, same pairs)
-    band_frames = band_frames.repartition(
-        band_frames.sparkSession.sparkContext.defaultParallelism * 2,
-        "band_idx",
-        "band_hash",
-    )
-    a = band_frames.select(
-        "band_idx", "band_hash", F.col(id_col).alias("id_a")
-    )
-    b = band_frames.select(
-        "band_idx", "band_hash", F.col(id_col).alias("id_b")
-    )
-    cand = (
-        a.join(b, ["band_idx", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    # Count-based verification (r9): the old form joined the FULL shingle
-    # array onto BOTH sides of every candidate row (~2 KB/row); on the
-    # dup-heavy 10x corpus the array churn drove GC storms that swung the
-    # scale row 12-117 s on identical code. Shingles are distinct per doc,
-    # so |A∩B| is a co-count over the exploded (id, shingle) stream joined
-    # through the candidate pairs — same integers, same rounded jaccard,
-    # no array ever rides a join row. This is also the only shape that
-    # survives 100 TB (array-pair joins OOM on wide documents).
-    ex = sh.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
-    sz = sh.select(F.col(id_col), F.size("_shingles").alias("_sz"))
-    inter = (
-        cand.join(ex.select(F.col(id_col).alias("id_a"), "_sh"), "id_a")
-        .join(ex.select(F.col(id_col).alias("id_b"), "_sh"), ["id_b", "_sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    jac = F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
-    rep_pairs = (
-        inter.join(sz.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
-        .join(sz.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
-        .where(jac >= jaccard_threshold)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    # shingle arrays and signatures run once (checkpointed inside the
+    # shared core) instead of once per union branch / join side
+    rep_pairs, sh = _md5_banded_verified(
+        reps, id_col, shingle_n, num_hashes, bands, jaccard_threshold,
+        text_col=text_col,
     )
 
     # expansion: rep pair (ra, rb) → every (member of ra's group,

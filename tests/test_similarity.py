@@ -546,10 +546,6 @@ def test_minhash_md5_pairs_duplicate_expansion_parity(spark):
         (i + c * 1000, t) for (i, t) in base for c in range(k)
     ]
     amp = spark.createDataFrame(amp_rows, "doc_id long, text string")
-    got = {
-        (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in minhash_md5_pairs(amp, jaccard_threshold=0.2).collect()
-    }
 
     want = {}
     for (i, _t) in base:
@@ -562,7 +558,17 @@ def test_minhash_md5_pairs_duplicate_expansion_parity(spark):
             for cb in range(k):
                 x, y = a + ca * 1000, b + cb * 1000
                 want[(min(x, y), max(x, y))] = j
-    assert got == want
+    # r15c gate: force BOTH branches — the k=3 flood's pair mass equals
+    # (not exceeds) one linear pass, so auto routes it to the direct
+    # banded path; collapse=True keeps the collapsed branch pinned.
+    for collapse in (None, True, False):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_md5_pairs(
+                amp, jaccard_threshold=0.2, collapse=collapse
+            ).collect()
+        }
+        assert got == want, f"collapse={collapse}"
 
 
 def test_minhash_lsh_pairs_duplicate_expansion_parity(spark):
@@ -590,10 +596,6 @@ def test_minhash_lsh_pairs_duplicate_expansion_parity(spark):
         [(i + c * 1000, t) for (i, t) in base for c in range(k)],
         "doc_id long, text string",
     )
-    got = {
-        (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in minhash_lsh_pairs(amp, jaccard_threshold=0.3).collect()
-    }
     want = {}
     for (i, _t) in base:
         ids = sorted(i + c * 1000 for c in range(k))
@@ -605,23 +607,63 @@ def test_minhash_lsh_pairs_duplicate_expansion_parity(spark):
             for cb in range(k):
                 x, y = a + ca * 1000, b + cb * 1000
                 want[(min(x, y), max(x, y))] = j
-    assert got == want
+    # r15c gate: force BOTH branches (see the md5 twin for why)
+    for collapse in (None, True, False):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(
+                amp, jaccard_threshold=0.3, collapse=collapse
+            ).collect()
+        }
+        assert got == want, f"collapse={collapse}"
 
     # over-cap flood: 6 identical docs with cap 5 -> every bucket the
-    # flood occupies holds weighted size >= 6 and drops; no pairs at all
+    # flood occupies holds weighted size >= 6 and drops; no pairs at
+    # all. The auto gate collapses this shape (pair mass 15 > 6 docs);
+    # assert the uncollapsed branch agrees on both cap settings.
     flood = spark.createDataFrame(
         [(i, "only one text body repeated verbatim here") for i in range(6)],
         "doc_id long, text string",
     )
-    assert (
-        minhash_lsh_pairs(
-            flood, jaccard_threshold=0.3, max_bucket_size=5
-        ).count()
-        == 0
+    for collapse in (None, False):
+        assert (
+            minhash_lsh_pairs(
+                flood, jaccard_threshold=0.3, max_bucket_size=5,
+                collapse=collapse,
+            ).count()
+            == 0
+        ), f"collapse={collapse}"
+        # raise the cap to 6: all C(6,2)=15 pairs at jaccard 1.0
+        roomy = minhash_lsh_pairs(
+            flood, jaccard_threshold=0.3, max_bucket_size=6,
+            collapse=collapse,
+        ).collect()
+        assert len(roomy) == 15, f"collapse={collapse}"
+        assert all(r["jaccard"] == 1.0 for r in roomy)
+
+
+def test_minhash_dup_gate_decision(spark):
+    """r15c: the dup-mass gate collapses exactly when the corpus'
+    exact-duplicate pair mass Σ m(m−1)/2 exceeds the doc count — scale-
+    free, and a single hot text trips it alone."""
+    from extract_permits_spark.functions.similarity import _dup_gate_collapse
+
+    distinct = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(10)],
+        "doc_id long, text string",
     )
-    # raise the cap to 6: all C(6,2)=15 pairs at jaccard 1.0
-    roomy = minhash_lsh_pairs(
-        flood, jaccard_threshold=0.3, max_bucket_size=6
-    ).collect()
-    assert len(roomy) == 15
-    assert all(r["jaccard"] == 1.0 for r in roomy)
+    assert _dup_gate_collapse(distinct, "text") is False
+    # 10 docs in 5 pairs: pair mass 5 <= 10 -> stay direct
+    pairs5 = spark.createDataFrame(
+        [(i, f"pair text {i // 2}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    assert _dup_gate_collapse(pairs5, "text") is False
+    # one hot text with 8 copies among 10 docs: pair mass 28 > 10
+    hot = spark.createDataFrame(
+        [(i, "hot flood body" if i < 8 else f"unique {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    assert _dup_gate_collapse(hot, "text") is True
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert _dup_gate_collapse(empty, "text") is False
