@@ -655,16 +655,20 @@ def phash_pairs(
     fixture bucket is far smaller, so the oracle's pairwise replay is
     identical there.
 
-    The hash frame is materialized ONCE up front (r13): the banded
-    self-join references it structurally 4× (counts + cap join + both
-    join sides), and each un-materialized reference re-ran the whole
-    decode rail — measured 4.1 s of a 5.8 s row was codec recompute.
-    The checkpointed frame is (id, hi, lo) — tiny at any corpus scale —
+    The hash frame is materialized ONCE (r13): the banded self-join
+    references it structurally 4× (counts + cap join + both join
+    sides), and each un-materialized reference re-ran the whole decode
+    rail — measured 4.1 s of a 5.8 s row was codec recompute. The
+    checkpointed frame is (id, hi, lo) — tiny at any corpus scale —
     and is registered for scratch reclamation like similarity's
-    signature triples."""
+    signature triples. r15d: the checkpoint is LAZY (eager=False, the
+    r15b minhash shape) — one DAG, no job barrier between the decode
+    rail and the join; references past the first read the persisted
+    partitions. Measured 4.85 → 3.98 s (mm_image_phash) and
+    5.16 → 4.48 s (mm_audio_fingerprint) at sf0.1, values unchanged."""
     from extract_permits_spark.session import register_scratch_checkpoint
 
-    hashes = hashes.localCheckpoint(eager=True)
+    hashes = hashes.localCheckpoint(eager=False)
     register_scratch_checkpoint(hashes)
     exploded = hamming_band_rows(hashes)
     counts = exploded.groupBy("t", "v").agg(F.count(F.lit(1)).alias("_n"))

@@ -46,7 +46,7 @@ _CHECK_FIRST = [
     # witness predates r10; (b) the entries this session's edits
     # changed (rotation_audit output against _AUDIT_BASE, no hygiene
     # exemptions this round — pinned by tests/test_rotation.py);
-    # (c) the 16 oldest r10-witnessed entries, filling the window to
+    # (c) the 13 oldest r10-witnessed entries, filling the window to
     # exactly 50. Witness ages are now computed, not hand-tallied:
     # python tools/witness_ledger.py (tests/test_witness_age.py pins
     # the ≤5-round bound against this list).
@@ -101,10 +101,22 @@ _CHECK_FIRST = [
     "dedup_minhash_recall",
     "dedup_minhash_lsh",
     "stream_neardup_ingest",
-    # (c) the 16 oldest r10-witnessed entries (ledger order; the last
-    # four, j11_salted_skew_join, j7_asof_join, j8_range_join and
-    # jsonl_corrupt_quarantine, gave their slots to the minhash family
-    # above and defer to r16 with the rest)
+    # ... then the r15c dup-mass gate (collapse only when measured
+    # exact-duplicate pair mass exceeds one linear pass; SCALE.md
+    # r15-s6) — same function bodies, same consumers, already queued
+    # above.
+    # (b continued) functions/multimodal.py: phash_pairs' hash-frame
+    # checkpoint went eager -> lazy (r15d — one DAG, no job barrier;
+    # values unchanged, ~0.7-0.9 s per codec row), flagging its three
+    # consumers per the transitive rule
+    "mm_image_phash",
+    "mm_audio_fingerprint",
+    "mm_image_dedup_clusters",
+    # (c) the 13 oldest r10-witnessed entries (ledger order; the last
+    # seven — j11_salted_skew_join, j7_asof_join, j8_range_join,
+    # jsonl_corrupt_quarantine, ev_hopping_agg, ev_rollup and
+    # ev_session_window — gave their slots to the minhash family and
+    # the phash consumers above and defer to r16 with the rest)
     "a7_quantiles",
     "a8_salted_agg",
     "dedup_semantic",
@@ -118,9 +130,6 @@ _CHECK_FIRST = [
     "emb_pq_adc_topk",
     "emb_pq_codes",
     "emb_quantize",
-    "ev_hopping_agg",
-    "ev_rollup",
-    "ev_session_window",
 ]
 
 # Base ref for this round's rotation audit (r13 final commit) and the
@@ -142,10 +151,11 @@ _AUDIT_HYGIENE_MODULES: set[str] = set()
 # last-green-round table, and see tests/test_witness_age.py for the
 # enforced bound: every entry whose witness would age past 5 rounds at
 # the upcoming driver round must sit in this window. Deferred to r16:
-# the 22 youngest r10-witnessed entries (j11_salted_skew_join,
-# j7_asof_join, j8_range_join, jsonl_corrupt_quarantine, then
-# pack_sequences .. x4_pivot in ledger order) — at age 5 next round
-# they hit the bound and the test will force them into the r16 window.
+# the 25 youngest r10-witnessed entries (j11_salted_skew_join,
+# j7_asof_join, j8_range_join, jsonl_corrupt_quarantine, ev_hopping_agg,
+# ev_rollup, ev_session_window, then pack_sequences .. x4_pivot in
+# ledger order) — at age 5 next round they hit the bound and the test
+# will force them into the r16 window.
 # The rotation rule is TRANSITIVE over helper imports and BODY-GRANULAR
 # within chunk modules: tools/rotation_audit.py <git-ref> lists every
 # registry entry whose own function body, same-chunk helper, or
