@@ -174,7 +174,23 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
 
 def lsh_bands(sig_col: Column | str, bands: int, rows: int) -> Column:
     """Array of (band_idx, band_hash) structs: signature sliced into
-    ``bands`` bands of ``rows`` hashes, each band hashed to one int64."""
+    ``bands`` bands of ``rows`` hashes, each band hashed to one int64.
+
+    Built as ONE parsed SQL expression when the signature is addressed
+    by name (r15 opt): the per-band ``F.struct``/``F.xxhash64`` loop
+    cost ~6 py4j round trips per band of driver-side construction —
+    pure Python↔JVM chatter, same expression tree either way (guide §5:
+    driver overhead; SCALE.md r15 construction ledger)."""
+    if isinstance(sig_col, str):
+        return F.expr(
+            "array("
+            + ", ".join(
+                f"named_struct('band_idx', {b}, 'band_hash', "
+                f"xxhash64(slice({sig_col}, {b * rows + 1}, {rows})))"
+                for b in range(bands)
+            )
+            + ")"
+        )
     sig = _c(sig_col)
     return F.array(
         *[
@@ -352,11 +368,12 @@ def minhash_lsh_pairs(
     if collapse is None:
         collapse = _dup_gate_collapse(docs, text_col)
     rows = num_hashes // bands
-    sig_agg = F.array(
-        *[
-            F.min(F.xxhash64(F.col("_sh"), F.lit(seed)))
-            for seed in range(num_hashes)
-        ]
+    # one parsed expression instead of num_hashes×4 py4j calls (r15 opt,
+    # same tree — see lsh_bands)
+    sig_agg = F.expr(
+        "array("
+        + ", ".join(f"min(xxhash64(_sh, {seed}))" for seed in range(num_hashes))
+        + ")"
     ).alias("_sig")
     if not collapse:
         # duplicate-light corpus (r15c gate): the banded pipeline runs
@@ -858,19 +875,28 @@ def simhash_table(
     exploded = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("_t")
     ).select(F.col(id_col), token_hash("_t").alias("_h"))
+    # r15 opt: the vote aggregates and the bit-assembly chain are parsed
+    # SQL strings — the n_bits-iteration ``F.sum(F.when(...))`` loops
+    # cost ~1.2 s of py4j round trips per CONSTRUCTION (measured; the
+    # bench pays construction on all 4 timed runs) for an identical
+    # expression tree (guide §5 driver overhead).
     votes = exploded.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftright(_h, {i}) & 1) = 1 "
+                "THEN 1 ELSE -1 END)"
             ).alias(f"_v{i}")
             for i in range(n_bits)
         ]
     )
-    sim = F.lit(0).cast("long")
-    for i in range(n_bits):
-        sim = sim + F.when(
-            F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
+    sim = F.expr(
+        "CAST(0 AS BIGINT) + "
+        + " + ".join(
+            f"(CASE WHEN _v{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for i in range(n_bits)
+        )
+    )
     return votes.select(F.col(id_col), sim.alias("_sim"))
 
 
@@ -1212,6 +1238,31 @@ def lsh_bucketed_topk(
     )
 
 
+def _table_sig_explode(num_tables: int) -> Column:
+    """``explode(array(named_struct('t', i, 'sig', _sigi), ...))`` over a
+    ``_lsh_sig_frame`` output — one parsed expression (r15 opt, same
+    tree as the per-table ``F.struct`` loop it replaced; guide §5
+    driver overhead). Shared by the self-join and cross-dataset paths."""
+    return F.expr(
+        "explode(array("
+        + ", ".join(
+            f"named_struct('t', {t}, 'sig', _sig{t})" for t in range(num_tables)
+        )
+        + "))"
+    )
+
+
+def _hamming_ball_explode(sig_name: str, num_planes: int) -> Column:
+    """``explode(array(sig, sig ^ 1, sig ^ 2, ...))`` — the Hamming-≤1
+    ball of a packed signature addressed by name, as one parsed
+    expression (r15 opt, same tree as the ``bitwiseXOR`` loop)."""
+    return F.expr(
+        f"explode(array({sig_name}, "
+        + ", ".join(f"{sig_name} ^ {1 << p}" for p in range(num_planes))
+        + "))"
+    )
+
+
 def _lsh_sig_frame(
     vectors: DataFrame,
     id_col: str,
@@ -1234,14 +1285,22 @@ def _lsh_sig_frame(
     with_dots = vectors.withColumn(
         "_dots", _plane_dots_arrow(F.col(vec_col), all_planes)
     )
-    sig_cols = []
-    for t in range(num_tables):
-        sig = F.lit(0)
-        for p in range(num_planes):
-            sig = sig + F.when(
-                F.col("_dots")[t * num_planes + p] >= 0, F.lit(1 << p)
-            ).otherwise(F.lit(0))
-        sig_cols.append(sig.alias(f"_sig{t}"))
+    # r15 opt: one parsed SQL expression per table — the
+    # tables×planes ``F.when`` bit-pack loop was ~0.6 s of py4j round
+    # trips per construction per side (measured on lsh_cross_hits,
+    # which builds TWO of these frames inside the bench's timed
+    # region), identical expression tree (guide §5 driver overhead).
+    sig_cols = [
+        F.expr(
+            "0 + "
+            + " + ".join(
+                f"(CASE WHEN _dots[{t * num_planes + p}] >= 0 "
+                f"THEN {1 << p} ELSE 0 END)"
+                for p in range(num_planes)
+            )
+        ).alias(f"_sig{t}")
+        for t in range(num_tables)
+    ]
     return with_dots.select(id_col, vec_col, *sig_cols)
 
 
@@ -1299,16 +1358,7 @@ def lsh_neardup_pairs(
 
     bucketed = with_sigs.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"), F.col(f"_sig{t}").alias("sig")
-                    )
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("_b"),
+        _table_sig_explode(num_tables).alias("_b"),
     ).select(id_col, F.col("_b.t"), F.col("_b.sig"))
     # cap degenerate buckets (same contract as candidate_pairs_from_buckets)
     sized = bucketed.withColumn(
@@ -1338,15 +1388,7 @@ def lsh_neardup_pairs(
     variants = sized.select(
         F.col(id_col).alias("id_a"),
         "t",
-        F.explode(
-            F.array(
-                F.col("sig"),
-                *[
-                    F.col("sig").bitwiseXOR(F.lit(1 << p))
-                    for p in range(num_planes)
-                ],
-            )
-        ).alias("sig"),
+        _hamming_ball_explode("sig", num_planes).alias("sig"),
     )
     cand = (
         variants.repartition(_np, "t", "sig")
@@ -1502,16 +1544,7 @@ def lsh_cross_hits(
     )
     c_bucketed = csig.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"), F.col(f"_sig{t}").alias("sig")
-                    )
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("_b"),
+        _table_sig_explode(num_tables).alias("_b"),
     ).select(F.col(id_col).alias("_cid"), F.col("_b.t"), F.col("_b.sig"))
     if max_bucket_size is None:
         sized = c_bucketed
@@ -1547,28 +1580,11 @@ def lsh_cross_hits(
     # realizes |sig_c ^ sig_p| ≤ 1 without any pairwise scan
     p_variants = psig.select(
         F.col(id_col).alias("_pid"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"), F.col(f"_sig{t}").alias("sig")
-                    )
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("_b"),
+        _table_sig_explode(num_tables).alias("_b"),
     ).select(
         "_pid",
         F.col("_b.t"),
-        F.explode(
-            F.array(
-                F.col("_b.sig"),
-                *[
-                    F.col("_b.sig").bitwiseXOR(F.lit(1 << p))
-                    for p in range(num_planes)
-                ],
-            )
-        ).alias("sig"),
+        _hamming_ball_explode("_b.sig", num_planes).alias("sig"),
     )
     if salt_shards > 1:
         # replicate each probe variant across every salt shard — the

@@ -112,11 +112,27 @@ _CHECK_FIRST = [
     "mm_image_phash",
     "mm_audio_fingerprint",
     "mm_image_dedup_clusters",
-    # (c) the 13 oldest r10-witnessed entries (ledger order; the last
-    # seven — j11_salted_skew_join, j7_asof_join, j8_range_join,
+    # (b continued, r15e construction-overhead pass): the wide
+    # expression builders in functions/similarity.py (simhash_table
+    # votes/assembly, _lsh_sig_frame bit-pack, lsh_bands, the minhash
+    # sig agg, the table-struct/Hamming-ball explodes) became parsed
+    # SQL strings — identical expression trees, ~5-25× cheaper
+    # driver-side construction (OPTIMIZATION_r15.md §5) — and
+    # session.py turned off pyspark's per-API-call DataFrame-debugging
+    # decoration (error-message call sites only; cannot move values).
+    # Newly flagged consumers queued here per the transitive rule:
+    "dedup_simhash",
+    "emb_neardup_lsh",
+    "emb_neardup_components",
+    "stream_decontaminate_ingest",
+    # (c) the 9 oldest r10-witnessed entries (ledger order; the last
+    # eleven — docs_url_dedup, emb_pq_adc_topk, emb_pq_codes,
+    # emb_quantize, j11_salted_skew_join, j7_asof_join, j8_range_join,
     # jsonl_corrupt_quarantine, ev_hopping_agg, ev_rollup and
-    # ev_session_window — gave their slots to the minhash family and
-    # the phash consumers above and defer to r16 with the rest)
+    # ev_session_window — gave their slots to the minhash family, the
+    # phash consumers and the r15e construction-pass consumers above
+    # and defer to r16 with the rest, where the age bound will force
+    # them into the window)
     "a7_quantiles",
     "a8_salted_agg",
     "dedup_semantic",
@@ -126,10 +142,6 @@ _CHECK_FIRST = [
     "docs_incremental_dedup",
     "docs_segment_dedup",
     "docs_source_overlap_matrix",
-    "docs_url_dedup",
-    "emb_pq_adc_topk",
-    "emb_pq_codes",
-    "emb_quantize",
 ]
 
 # Base ref for this round's rotation audit (r13 final commit) and the

@@ -50,6 +50,22 @@ def get_spark(app_name: str = "extract-permits-spark") -> SparkSession:
             "spark.sql.codegen.maxFields",
             os.environ.get("SPARK_GRAFT_CODEGEN_MAXFIELDS", "100"),
         )
+        # r15 (opt): pyspark-4 DataFrame debugging decorates EVERY
+        # Column/DataFrame API call with a Python stack inspection plus
+        # ~3 py4j round trips (conf.get + PySparkCurrentOrigin.set/clear
+        # in pyspark/errors/utils.py:_with_origin) purely to enrich
+        # error messages with user call sites. On wide expression
+        # builders this dominates DRIVER-side query construction —
+        # measured per-construction at sf0.1 (3-run steady, quiet
+        # host): emb_cross_decontaminate 5.54 s -> 1.44 s, dedup_simhash
+        # 3.99 -> 0.74, rag_context_assembly 3.60 -> 2.05, emb_neardup_
+        # lsh 3.17 -> 1.48, llm_pretrain_pipeline 1.77 -> 0.60 with the
+        # flag off, values untouched (it never affects plans, only
+        # error decoration). Scale-independent: this is per-API-call
+        # driver overhead, identical on a laptop or a 1000-executor
+        # cluster (guide §5: the driver should do almost no work; §7.3:
+        # planning/construction time is driver-side single-process).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # local-mode: ALL task threads share the driver JVM heap, so this
