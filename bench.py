@@ -758,11 +758,16 @@ def main() -> None:
             k: paired_stdout[k] for k in ("n", "spark_s", "duckdb_s", "ratio")
         }
         stdout_line = json.dumps(stdout_obj)
-    if len(stdout_line) > 1950 and "paired" in stdout_obj:
-        del stdout_obj["paired"]
-        stdout_line = json.dumps(stdout_obj)
+    # r15-s9: drop "unstable" BEFORE dropping "paired" — the paired
+    # ratio is the round's gate metric while unstable is advisory, and a
+    # sitting with a few flags (s9: three) pushed the line past 1950
+    # chars and silently dropped the paired block from the driver's
+    # record (bench_last.json always keeps both).
     if len(stdout_line) > 1950 and "unstable" in stdout_obj:
         del stdout_obj["unstable"]
+        stdout_line = json.dumps(stdout_obj)
+    if len(stdout_line) > 1950 and "paired" in stdout_obj:
+        del stdout_obj["paired"]
         stdout_line = json.dumps(stdout_obj)
     full_line = json.dumps(
         {

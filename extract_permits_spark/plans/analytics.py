@@ -117,7 +117,7 @@ _CHECK_FIRST = [
     # votes/assembly, _lsh_sig_frame bit-pack, lsh_bands, the minhash
     # sig agg, the table-struct/Hamming-ball explodes) became parsed
     # SQL strings — identical expression trees, ~5-25× cheaper
-    # driver-side construction (OPTIMIZATION_r15.md §5) — and
+    # driver-side construction (OPTIMIZATION_r15.md §8) — and
     # session.py turned off pyspark's per-API-call DataFrame-debugging
     # decoration (error-message call sites only; cannot move values).
     # Newly flagged consumers queued here per the transitive rule:
