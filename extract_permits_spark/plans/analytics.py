@@ -40,108 +40,71 @@ from extract_permits_spark.sources.readers import load_table  # noqa: F401
 # round; _CHECK_FIRST controls that window and is rotated each round so
 # every entry earns a driver row (see the r9 NOTE below the list).
 _CHECK_FIRST = [
-    # r15 window (rotated per VERDICT r14 #1/#7): (a) the ENTIRE
-    # r9-witness cohort leads, all 16 — including the IVFPQ serving
-    # family — so after this window lands green no entry's last driver
-    # witness predates r10; (b) the entries this session's edits
-    # changed (rotation_audit output against _AUDIT_BASE, no hygiene
-    # exemptions this round — pinned by tests/test_rotation.py);
-    # (c) the 13 oldest r10-witnessed entries, filling the window to
-    # exactly 50. Witness ages are now computed, not hand-tallied:
-    # python tools/witness_ledger.py (tests/test_witness_age.py pins
-    # the ≤5-round bound against this list).
-    # (a) the r9 cohort — oldest witnesses in the registry
-    "ann_ivf_recall",
-    "ann_lsh_recall",
-    "dedup_embedding_cosine",
-    "dedup_simhash_recall",
-    "emb_ivfpq_batch_topk",
-    "emb_ivfpq_recall",
-    "emb_ivfpq_topk",
-    "ev_json_extract",
-    "j3_crosswalk_override",
-    "mm_binary_features",
-    "q3_shipping_priority",
-    "q5_nation_volume",
-    "s4_range_scan",
-    "text_fingerprint",
-    "text_tokens",
-    "u2_union_distinct",
-    # (b) changed this session — r14 ADVICE fixes:
-    # operators/windows.py (cumsum native-type weights + overflow
-    # guard, map-hashable ReuseExchange pin) flags every distributed_*
-    # consumer plus the module's window helpers (module scope moved);
-    # functions/similarity.py (lsh_cross_hits multiplicity-weighted
-    # bucket cap) flags its two consumers;
-    # plans/analytics_events.py (_budget_mix guard fix) flags
-    # llm_pretrain_pipeline
-    "llm_pretrain_pipeline",
-    "docs_domain_mix",
-    "docs_quality_prune",
-    "docs_quality_bins",
-    "docs_shard_shuffle",
-    "docs_shard_manifest",
-    "docs_zorder_layout",
-    "w3_line_numbers_batches",
-    "sample_negatives",
-    "w2_first_per_group",
-    "w4_dup_flag",
-    "e3_legacy_flags",
-    "emb_cross_decontaminate",
-    "stream_semantic_decon_ingest",
-    # (b continued) both minhash pair generators gained the
-    # exact-duplicate rep collapse (r15 — values identical by
-    # construction, pinned by the two duplicate-expansion parity tests
-    # incl. the capped variant's flood/cap interplay) and then the r15b
-    # lazy-checkpoint materialization of the collapse's intermediates
-    # (SCALE.md r15-s4); the recall twin calls the md5 function and the
-    # streaming ingest calls minhash_md5_bands (whose body the r15b fix
-    # refactored), both queued per the transitive rule
-    "dedup_minhash_md5",
-    "dedup_minhash_recall",
-    "dedup_minhash_lsh",
-    "stream_neardup_ingest",
-    # ... then the r15c dup-mass gate (collapse only when measured
-    # exact-duplicate pair mass exceeds one linear pass; SCALE.md
-    # r15-s6) — same function bodies, same consumers, already queued
-    # above.
-    # (b continued) functions/multimodal.py: phash_pairs' hash-frame
-    # checkpoint went eager -> lazy (r15d — one DAG, no job barrier;
-    # values unchanged, ~0.7-0.9 s per codec row), flagging its three
-    # consumers per the transitive rule
-    "mm_image_phash",
-    "mm_audio_fingerprint",
-    "mm_image_dedup_clusters",
-    # (b continued, r15e construction-overhead pass): the wide
-    # expression builders in functions/similarity.py (simhash_table
-    # votes/assembly, _lsh_sig_frame bit-pack, lsh_bands, the minhash
-    # sig agg, the table-struct/Hamming-ball explodes) became parsed
-    # SQL strings — identical expression trees, ~5-25× cheaper
-    # driver-side construction (OPTIMIZATION_r15.md §8) — and
-    # session.py turned off pyspark's per-API-call DataFrame-debugging
-    # decoration (error-message call sites only; cannot move values).
-    # Newly flagged consumers queued here per the transitive rule:
-    "dedup_simhash",
-    "emb_neardup_lsh",
-    "emb_neardup_components",
-    "stream_decontaminate_ingest",
-    # (c) the 9 oldest r10-witnessed entries (ledger order; the last
-    # eleven — docs_url_dedup, emb_pq_adc_topk, emb_pq_codes,
-    # emb_quantize, j11_salted_skew_join, j7_asof_join, j8_range_join,
-    # jsonl_corrupt_quarantine, ev_hopping_agg, ev_rollup and
-    # ev_session_window — gave their slots to the minhash family, the
-    # phash consumers and the r15e construction-pass consumers above
-    # and defer to r16 with the rest, where the age bound will force
-    # them into the window)
-    "a7_quantiles",
-    "a8_salted_agg",
-    "dedup_semantic",
-    "docs_chunk",
-    "docs_dsir_weights",
-    "docs_host_cap",
-    "docs_incremental_dedup",
-    "docs_segment_dedup",
-    "docs_source_overlap_matrix",
+    # r16 window: (a) the ENTIRE 28-entry r10-witness cohort leads —
+    # at age 5 the bound (tests/test_witness_age.py) forces every one
+    # of them in, exactly as the r15 NOTE predicted; (b) the entries
+    # this round's edits changed (rotation_audit output against
+    # _AUDIT_BASE, pinned by tests/test_rotation.py); (c) the oldest
+    # r11-witnessed entries (ledger order), filling the window to
+    # exactly 50. Witness ages are computed, not hand-tallied:
+    # python tools/witness_ledger.py.
+    # (a) the r10 cohort — oldest witnesses in the registry, all 28
+    "docs_url_dedup",
+    "emb_pq_adc_topk",
+    "emb_pq_codes",
+    "emb_quantize",
+    "ev_hopping_agg",
+    "ev_rollup",
+    "ev_session_window",
+    "j11_salted_skew_join",
+    "j7_asof_join",
+    "j8_range_join",
+    "jsonl_corrupt_quarantine",
+    "pack_sequences",
+    "sample_hash_split",
+    "sample_interleave",
+    "sample_mixture_weights",
+    "sample_stratified",
+    "sketch_approx_quantiles",
+    "sketch_hll_region_distinct",
+    "sketch_topk_tokens",
+    "stream_ann_index_ingest",
+    "stream_session_agg",
+    "stream_stateful_totals",
+    "text_clean_mask",
+    "text_repetition",
+    "u3_intersect",
+    "vocab_bpe_pairs",
+    "w5_rolling",
+    "x4_pivot",
+    # (b) changed this round (r16 optimization edits) — populated as
+    # edits land, per the transitive body-granular audit; see the
+    # per-edit comments below.
+    # (c) the oldest r11-witnessed entries (ledger order), filling to
+    # exactly 50; the rest of the r11 cohort defers to r17 where the
+    # age bound will force it.
+    "a10_regression",
+    "a11_histogram",
+    "a9_mode",
+    "dedup_winnowing",
+    "docs_dup_rate_by_source",
+    "docs_pii_redact",
+    "emb_prototypicality",
+    "ev_anomaly_zscore",
+    "ev_attribution",
+    "ev_cube",
+    "ev_dau_wau",
+    "ev_retention",
+    "ev_time_weighted_avg",
+    "ev_transitions",
+    "ev_variant_agg",
+    "graph_triangles",
+    "j10_null_safe_join",
+    "j7b_asof_forward",
+    "j9_fuzzy_symspell",
+    "profile_documents",
+    "q10_returned_items",
+    "q14_promo_revenue",
 ]
 
 # Base ref for this round's rotation audit (r13 final commit) and the
@@ -154,20 +117,17 @@ _CHECK_FIRST = [
 # each needs the reason an auditor would check. tests/test_rotation.py
 # asserts rotation_audit(_AUDIT_BASE) minus these modules ⊆ _CHECK_FIRST
 # so the transitive rule can't silently regress (VERDICT r13 #1).
-_AUDIT_BASE = "637295d3e96976a24c87b707362989ccbdbcc683"
+_AUDIT_BASE = "c7b7cc989caf530d978f3cda8a01a0a2d96e9a22"
 _AUDIT_HYGIENE_MODULES: set[str] = set()
 
-# r15 rotation NOTE: witness-age arithmetic is no longer hand-tallied
-# here (the r14 NOTE needed a fix commit, e9f7e7c) — run
-# `python tools/witness_ledger.py` for the computed per-entry
-# last-green-round table, and see tests/test_witness_age.py for the
-# enforced bound: every entry whose witness would age past 5 rounds at
-# the upcoming driver round must sit in this window. Deferred to r16:
-# the 25 youngest r10-witnessed entries (j11_salted_skew_join,
-# j7_asof_join, j8_range_join, jsonl_corrupt_quarantine, ev_hopping_agg,
-# ev_rollup, ev_session_window, then pack_sequences .. x4_pivot in
-# ledger order) — at age 5 next round they hit the bound and the test
-# will force them into the r16 window.
+# r16 rotation NOTE: witness-age arithmetic is computed, not
+# hand-tallied — run `python tools/witness_ledger.py` for the
+# per-entry last-green-round table, and see tests/test_witness_age.py
+# for the enforced bound: every entry whose witness would age past 5
+# rounds at the upcoming driver round must sit in this window.
+# Deferred to r17: the r11 cohort past the 22 (c) slots above (ledger
+# order from q15_top_supplier) — at age 5 next round the bound will
+# force them into the r17 window.
 # The rotation rule is TRANSITIVE over helper imports and BODY-GRANULAR
 # within chunk modules: tools/rotation_audit.py <git-ref> lists every
 # registry entry whose own function body, same-chunk helper, or
