@@ -172,6 +172,16 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     )
 
 
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a (possibly dot-qualified) column name for SQL-text
+    interpolation, one segment at a time — ``_b.sig`` → `` `_b`.`sig` ``
+    — matching ``F.col``'s qualifier parsing exactly, so the parsed-SQL
+    fast paths resolve the same attribute as their Column twins for ANY
+    name (ADVICE r15: an unquoted name needing backticks would fail to
+    parse or silently bind elsewhere)."""
+    return ".".join("`" + p.replace("`", "``") + "`" for p in name.split("."))
+
+
 def lsh_bands(sig_col: Column | str, bands: int, rows: int) -> Column:
     """Array of (band_idx, band_hash) structs: signature sliced into
     ``bands`` bands of ``rows`` hashes, each band hashed to one int64.
@@ -180,13 +190,17 @@ def lsh_bands(sig_col: Column | str, bands: int, rows: int) -> Column:
     by name (r15 opt): the per-band ``F.struct``/``F.xxhash64`` loop
     cost ~6 py4j round trips per band of driver-side construction —
     pure Python↔JVM chatter, same expression tree either way (guide §5:
-    driver overhead; SCALE.md r15 construction ledger)."""
+    driver overhead; SCALE.md r15 construction ledger). The name is
+    backtick-quoted per dot segment (r16, ADVICE r15) so the string
+    path resolves exactly like ``F.col(sig_col)`` for any identifier,
+    not just the simple internal ones."""
     if isinstance(sig_col, str):
+        quoted = _quote_ident(sig_col)
         return F.expr(
             "array("
             + ", ".join(
                 f"named_struct('band_idx', {b}, 'band_hash', "
-                f"xxhash64(slice({sig_col}, {b * rows + 1}, {rows})))"
+                f"xxhash64(slice({quoted}, {b * rows + 1}, {rows})))"
                 for b in range(bands)
             )
             + ")"
@@ -246,6 +260,56 @@ def candidate_pairs_from_buckets(
     )
 
 
+def _dup_groups(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared exact-duplicate group frames for the minhash pair
+    generators (r16, VERDICT r15 #1): ``members`` = (md5(text), id) and
+    ``groups`` = (md5, rep = min(id), m = count), both lazily
+    checkpointed, chained as ONE pass — groups reads members'
+    checkpoint, so the whole thing costs one scan + one groupBy. The
+    dup-mass gate aggregates ``groups``; its ``.first()`` materializes
+    both frames, which the collapsed branch then reuses as-is. The r15
+    shape paid this md5-groupBy pass inside the gate and THREW IT AWAY,
+    then recomputed members/groups from scratch when the collapse fired
+    (guide §2.4: remove shuffles outright — and §1.2: don't compute
+    things you throw away). Speculative cost on a duplicate-light
+    corpus: the members checkpoint write, ~24 B/doc of executor-local
+    disk vs the KBs/doc text scan the gate pays either way; on a
+    duplicate-heavy corpus this saves a full second scan + groupBy."""
+    from extract_permits_spark.session import register_scratch_checkpoint
+
+    gkey = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
+    members = docs.select(gkey.alias("_g"), F.col(id_col)).localCheckpoint(
+        eager=False
+    )
+    register_scratch_checkpoint(members)
+    groups = (
+        members.groupBy("_g")
+        .agg(F.min(F.col(id_col)).alias("_rep"), F.count(F.lit(1)).alias("_m"))
+        .localCheckpoint(eager=False)
+    )
+    register_scratch_checkpoint(groups)
+    return members, groups
+
+
+def _dup_gate_from_groups(groups: DataFrame) -> bool:
+    """The r15c dup-mass decision (same math as ``_dup_gate_collapse``)
+    computed from a shared ``_dup_groups`` frame: collapse iff
+    exact-duplicate pair mass Σ m(m−1)/2 exceeds one linear pass
+    (> n docs). The ``.first()`` materializes the lazily-checkpointed
+    groups (and its members parent) as a side effect — deliberately:
+    the collapsed branch reuses both without recomputation."""
+    tot = groups.agg(
+        F.sum("_m").alias("n"),
+        F.sum(F.col("_m") * (F.col("_m") - F.lit(1))).alias("_pm2"),
+    ).first()
+    if tot is None:
+        return False
+    # _pm2 = Σ m(m−1) = 2× pair mass; collapse iff pair_mass > n
+    return (tot["_pm2"] or 0) > 2 * (tot["n"] or 0)
+
+
 def _dup_gate_collapse(docs: DataFrame, text_col: str) -> bool:
     """r15c dup-mass gate for the minhash pair generators: decide, from
     ONE narrow pass over md5(text), whether the exact-duplicate collapse
@@ -260,7 +324,12 @@ def _dup_gate_collapse(docs: DataFrame, text_col: str) -> bool:
     it on its own. Either branch is value-identical by construction
     (pinned by the duplicate-expansion parity tests, which force both).
     The gate itself shuffles only (16-byte md5, count) rows — ~0.2 s at
-    sf0.1, amortized into the pass the collapsed branch needs anyway."""
+    sf0.1, amortized into the pass the collapsed branch needs anyway.
+
+    r16: the pair generators now gate through ``_dup_gate_from_groups``
+    over the shared ``_dup_groups`` frames (one pass, reused on
+    collapse); this standalone form is kept as the documented decision
+    rule and its direct test surface — the math is identical."""
     gkey = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
     tot = (
         docs.select(gkey.alias("_g"))
@@ -365,8 +434,14 @@ def minhash_lsh_pairs(
     """
     from extract_permits_spark.session import register_scratch_checkpoint
 
+    members = groups = None
     if collapse is None:
-        collapse = _dup_gate_collapse(docs, text_col)
+        # r16 (VERDICT r15 #1): the gate derives from the SAME lazily-
+        # checkpointed members/groups frames the collapsed branch
+        # consumes — one md5-groupBy pass, not two (guide §2.4). An
+        # explicit ``collapse=`` skips the gate job entirely.
+        members, groups = _dup_groups(docs, id_col, text_col)
+        collapse = _dup_gate_from_groups(groups)
     rows = num_hashes // bands
     # one parsed expression instead of num_hashes×4 py4j calls (r15 opt,
     # same tree — see lsh_bands)
@@ -377,17 +452,20 @@ def minhash_lsh_pairs(
     ).alias("_sig")
     if not collapse:
         # duplicate-light corpus (r15c gate): the banded pipeline runs
-        # over all docs directly — the pre-collapse construction, PLUS
-        # lazy checkpoints on the two multiply-referenced frames
-        # (exploded feeds the signature agg and both verifier sides; sh
-        # feeds the bucket fan-out and both size lookups) so each is
-        # computed once — the r15b materialization lesson without the
-        # collapse machinery's ~3 s constant (SCALE.md r15-s6).
+        # over all docs directly — the pre-collapse construction with
+        # ONE lazy checkpoint on the multiply-referenced aggregate (sh
+        # feeds the bucket fan-out, both size lookups and, since r16,
+        # the verifier's co-count stream via explode(_shingles) — the
+        # set IS the distinct shingle stream, word_shingles being
+        # array_distinct). The r15b checkpoint on the pre-aggregation
+        # ``exploded`` stream is gone: it is referenced exactly once
+        # now, so checkpointing it only bought a corpus-scale
+        # shingle-stream disk write (guide §5: materialize only what is
+        # re-read).
         exploded = docs.select(
             F.col(id_col),
             F.explode(word_shingles(text_col, shingle_n)).alias("_sh"),
-        ).localCheckpoint(eager=False)
-        register_scratch_checkpoint(exploded)
+        )
         sh = (
             exploded.groupBy(id_col)
             .agg(F.collect_set("_sh").alias("_shingles"), sig_agg)
@@ -399,39 +477,36 @@ def minhash_lsh_pairs(
             F.explode(lsh_bands("_sig", bands, rows)).alias("_band"),
         ).select(id_col, F.col("_band.band_idx"), F.col("_band.band_hash"))
         pairs = candidate_pairs_from_buckets(bucketed, id_col, max_bucket_size)
+        ex = sh.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
         sz = sh.select(F.col(id_col), F.size("_shingles").alias("_sz"))
-        return _count_verify(pairs, exploded, sz, id_col, jaccard_threshold)
+        return _count_verify(pairs, ex, sz, id_col, jaccard_threshold)
 
     # Collapsed branch. r15b: the narrow intermediates are deduplicated
     # via registered LAZY localCheckpoint (same rationale and
     # barrier-free shape as minhash_md5_pairs — see there): the
     # expansion references members/groups 4x and the verifier the
-    # exploded shingle stream 3x; un-materialized, each reference re-ran
-    # the scan + semi join + shingle + signature chain. Lazy
-    # (eager=False) keeps one DAG — no per-checkpoint job barrier —
-    # while every reference past the first reads the persisted
-    # partitions. All checkpoints sit UPSTREAM of the pinned band
-    # repartition, which must stay in the executed plan
-    # (test_fanout_exchanges_pin_partition_count).
-    gkey = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
-    members = docs.select(gkey.alias("_g"), F.col(id_col)).localCheckpoint(
-        eager=False
-    )
-    register_scratch_checkpoint(members)
-    groups = (
-        members.groupBy("_g")
-        .agg(F.min(F.col(id_col)).alias("_rep"), F.count(F.lit(1)).alias("_m"))
-        .localCheckpoint(eager=False)
-    )
-    register_scratch_checkpoint(groups)
+    # shingle sets 3x; un-materialized, each reference re-ran the scan
+    # + semi join + shingle + signature chain. Lazy (eager=False) keeps
+    # one DAG — no per-checkpoint job barrier — while every reference
+    # past the first reads the persisted partitions. All checkpoints
+    # sit UPSTREAM of the pinned band repartition, which must stay in
+    # the executed plan (test_fanout_exchanges_pin_partition_count).
+    # r16: members/groups arrive pre-materialized from the shared gate
+    # pass when the gate decided (collapse=None); only a forced
+    # collapse=True builds them here.
+    if members is None:
+        members, groups = _dup_groups(docs, id_col, text_col)
     reps = docs.select(F.col(id_col), F.col(text_col)).join(
         groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
     )
 
+    # r16: no checkpoint on the pre-aggregation shingle stream — it is
+    # referenced once (sh's agg); the verifier's co-count stream reads
+    # explode(_shingles) from the checkpointed sh instead (see the
+    # direct branch).
     exploded = reps.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_sh")
-    ).localCheckpoint(eager=False)
-    register_scratch_checkpoint(exploded)
+    )
     sh = (
         exploded.groupBy(id_col)
         .agg(F.collect_set("_sh").alias("_shingles"), sig_agg)
@@ -484,10 +559,11 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # count-based verification (r9, shared helper): shingles are
-    # distinct per doc (word_shingles is array_distinct), so exploded
-    # doubles as the verifier's co-count stream.
+    # distinct per doc (word_shingles is array_distinct), so the
+    # exploded sets double as the verifier's co-count stream.
+    ex = sh.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
     sz = sh.select(F.col(id_col), F.size("_shingles").alias("_sz"))
-    rep_pairs = _count_verify(pairs, exploded, sz, id_col, jaccard_threshold)
+    rep_pairs = _count_verify(pairs, ex, sz, id_col, jaccard_threshold)
 
     # expansion (see minhash_md5_pairs): cross-text rep pairs fan out to
     # member pairs; same-text pairs emit at jaccard 1.0, but ONLY for
@@ -695,8 +771,14 @@ def minhash_md5_pairs(
     ``_dup_gate_collapse``); a duplicate-light corpus takes the direct
     banded path and skips the collapse machinery's ~3 s constant.
     True/False force a branch (the parity tests pin both equal)."""
+    members = groups = None
     if collapse is None:
-        collapse = _dup_gate_collapse(docs, text_col)
+        # r16 (VERDICT r15 #1): the gate derives from the SAME lazily-
+        # checkpointed members/groups frames the collapsed branch
+        # consumes — one md5-groupBy pass, not two (guide §2.4). An
+        # explicit ``collapse=`` skips the gate job entirely.
+        members, groups = _dup_groups(docs, id_col, text_col)
+        collapse = _dup_gate_from_groups(groups)
     if not collapse:
         # duplicate-light corpus (r15c gate): the banded core runs over
         # all docs directly — the pre-collapse construction with the
@@ -732,20 +814,11 @@ def minhash_md5_pairs(
     # vs 14.9 s un-checkpointed in-session); references past the first
     # read the persisted partitions. Checkpointed frames are O(corpus)
     # narrow rows on executor-local disk — the same bytes one exchange
-    # of them would spill.
-    from extract_permits_spark.session import register_scratch_checkpoint
-
-    gkey = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
-    members = docs.select(gkey.alias("_g"), F.col(id_col)).localCheckpoint(
-        eager=False
-    )
-    register_scratch_checkpoint(members)
-    groups = (
-        members.groupBy("_g")
-        .agg(F.min(F.col(id_col)).alias("_rep"), F.count(F.lit(1)).alias("_m"))
-        .localCheckpoint(eager=False)
-    )
-    register_scratch_checkpoint(groups)
+    # of them would spill. r16: members/groups arrive pre-materialized
+    # from the shared gate pass when the gate decided (collapse=None);
+    # only a forced collapse=True builds them here.
+    if members is None:
+        members, groups = _dup_groups(docs, id_col, text_col)
     reps = docs.select(F.col(id_col), F.col(text_col)).join(
         groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
     )
@@ -875,24 +948,44 @@ def simhash_table(
     exploded = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("_t")
     ).select(F.col(id_col), token_hash("_t").alias("_h"))
-    # r15 opt: the vote aggregates and the bit-assembly chain are parsed
-    # SQL strings — the n_bits-iteration ``F.sum(F.when(...))`` loops
-    # cost ~1.2 s of py4j round trips per CONSTRUCTION (measured; the
-    # bench pays construction on all 4 timed runs) for an identical
-    # expression tree (guide §5 driver overhead).
+    # r16 (VERDICT r15 #3): bit-PACKED vote aggregate — two 32-bit count
+    # lanes per long instead of one ±1 conditional sum per bit. Long j
+    # accumulates the per-doc ONES count of hash bit j in its low lane
+    # and of bit j+32 in its high lane: each token contributes
+    # ``shiftright(_h, j) & mask`` (mask = 1 | 1<<32, or just 1 when
+    # bit j+32 doesn't exist) — branchless, one shift + one AND, where
+    # the r15 form evaluated n_bits CASE WHENs per token. The agg state
+    # and the map-side partial-aggregation shuffle bytes drop from
+    # n_bits sums to ceil(min(n_bits,32)) + 1 columns (§2.3 fewer
+    # shuffled bytes, §5 less agg state). Vote equivalence is exact
+    # integer arithmetic: the old vote_i = Σ±1 = 2·ones_i − n, so
+    # vote_i > 0 ⟺ 2·ones_i > n, with n = count(1) carried alongside.
+    # Overflow is impossible by construction, no guard needed: a lane
+    # holds a per-doc token count, and a Spark string caps at 2^31
+    # bytes ⇒ < 2^31 whitespace tokens < 2^32 (and the long sum itself
+    # peaks below (1 + 2^32)·2^31 < 2^63).
+    n_longs = min(n_bits, 32)
+    masks = [
+        (1 | (1 << 32)) if j + 32 < n_bits else 1 for j in range(n_longs)
+    ]
     votes = exploded.groupBy(id_col).agg(
+        F.expr("count(1)").alias("_n"),
         *[
-            F.expr(
-                f"sum(CASE WHEN (shiftright(_h, {i}) & 1) = 1 "
-                "THEN 1 ELSE -1 END)"
-            ).alias(f"_v{i}")
-            for i in range(n_bits)
-        ]
+            F.expr(f"sum(shiftright(_h, {j}) & {masks[j]}L)").alias(f"_p{j}")
+            for j in range(n_longs)
+        ],
     )
+
+    def _ones(i: int) -> str:
+        if i < 32:
+            return f"(_p{i} & 4294967295L)"
+        return f"shiftright(_p{i - 32}, 32)"
+
     sim = F.expr(
         "CAST(0 AS BIGINT) + "
         + " + ".join(
-            f"(CASE WHEN _v{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+            f"(CASE WHEN 2 * {_ones(i)} > _n "
+            f"THEN shiftleft(CAST(1 AS BIGINT), {i}) "
             "ELSE CAST(0 AS BIGINT) END)"
             for i in range(n_bits)
         )
@@ -1255,10 +1348,12 @@ def _table_sig_explode(num_tables: int) -> Column:
 def _hamming_ball_explode(sig_name: str, num_planes: int) -> Column:
     """``explode(array(sig, sig ^ 1, sig ^ 2, ...))`` — the Hamming-≤1
     ball of a packed signature addressed by name, as one parsed
-    expression (r15 opt, same tree as the ``bitwiseXOR`` loop)."""
+    expression (r15 opt, same tree as the ``bitwiseXOR`` loop). Name
+    backtick-quoted per segment like ``lsh_bands`` (ADVICE r15)."""
+    quoted = _quote_ident(sig_name)
     return F.expr(
-        f"explode(array({sig_name}, "
-        + ", ".join(f"{sig_name} ^ {1 << p}" for p in range(num_planes))
+        f"explode(array({quoted}, "
+        + ", ".join(f"{quoted} ^ {1 << p}" for p in range(num_planes))
         + "))"
     )
 
