@@ -77,9 +77,33 @@ _CHECK_FIRST = [
     "vocab_bpe_pairs",
     "w5_rolling",
     "x4_pivot",
-    # (b) changed this round (r16 optimization edits) — populated as
-    # edits land, per the transitive body-granular audit; see the
-    # per-edit comments below.
+    # (b) changed this round (r16 optimization edits), per the
+    # transitive body-granular audit (tools/rotation_audit.py vs
+    # _AUDIT_BASE, pinned by tests/test_rotation.py):
+    # functions/similarity.py — the minhash dup-mass gate now shares
+    # its md5-groupBy pass with the collapsed branch (_dup_groups /
+    # _dup_gate_from_groups), the single-reference pre-aggregation
+    # shingle-stream checkpoints were dropped (the verifier reads
+    # explode(_shingles) from the checkpointed sh), and
+    # lsh_bands/_hamming_ball_explode backtick-quote interpolated
+    # names (ADVICE r15 — tree-identical for every internal caller);
+    # session.py — dataFrameDebugging became env-overridable
+    # (ADVICE r15; default unchanged); simhash_table's vote aggregate
+    # became the bit-packed two-lane form (same integer votes —
+    # 2·ones_i > n ⟺ Σ±1 > 0 — pinned by tests + oracle).
+    # Consumers flagged:
+    "dedup_simhash",
+    "dedup_simhash_recall",
+    "dedup_minhash_lsh",
+    "dedup_minhash_md5",
+    "dedup_minhash_recall",
+    "stream_neardup_ingest",
+    "docs_source_overlap_matrix",
+    "emb_cross_decontaminate",
+    "emb_neardup_components",
+    "emb_neardup_lsh",
+    "stream_decontaminate_ingest",
+    "stream_semantic_decon_ingest",
     # (c) the oldest r11-witnessed entries (ledger order), filling to
     # exactly 50; the rest of the r11 cohort defers to r17 where the
     # age bound will force it.
@@ -93,18 +117,6 @@ _CHECK_FIRST = [
     "ev_anomaly_zscore",
     "ev_attribution",
     "ev_cube",
-    "ev_dau_wau",
-    "ev_retention",
-    "ev_time_weighted_avg",
-    "ev_transitions",
-    "ev_variant_agg",
-    "graph_triangles",
-    "j10_null_safe_join",
-    "j7b_asof_forward",
-    "j9_fuzzy_symspell",
-    "profile_documents",
-    "q10_returned_items",
-    "q14_promo_revenue",
 ]
 
 # Base ref for this round's rotation audit (r13 final commit) and the

@@ -65,7 +65,14 @@ def get_spark(app_name: str = "extract-permits-spark") -> SparkSession:
         # driver overhead, identical on a laptop or a 1000-executor
         # cluster (guide §5: the driver should do almost no work; §7.3:
         # planning/construction time is driver-side single-process).
-        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # Env-overridable (r16, ADVICE r15): an interactive debugging
+        # session can re-enable the call-site enrichment with
+        # SPARK_GRAFT_DF_DEBUGGING=true; the production default stays
+        # off.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # local-mode: ALL task threads share the driver JVM heap, so this
