@@ -1462,8 +1462,12 @@ def lsh_neardup_pairs(
     # materialize once: `sized` feeds BOTH sides of the bucket self-join,
     # and without a cut the whole 128-dot signature pipeline is computed
     # twice (measured 2× the dominant stage). The checkpointed frame is
-    # (id, table, sig) triples — tiny at any corpus scale.
-    sized = sized.localCheckpoint(eager=True)
+    # (id, table, sig) triples — tiny at any corpus scale. r16: lazy
+    # (eager=False) — one DAG, no job barrier between the signature rail
+    # and the bucket join's first stage; the blocks still materialize
+    # exactly once (first computing job caches them), the same
+    # conversion that paid ~0.7-0.9 s/row on phash_pairs in r15 (§2d).
+    sized = sized.localCheckpoint(eager=False)
     # the checkpoint's blocks outlive this call by design (the returned
     # pair plan reads them lazily) — register them so bench/checker
     # sessions reclaim the storage between evaluations (r13 GC finding)
