@@ -161,6 +161,8 @@ def main() -> None:
     # warm the JVM/IO path once (not timed)
     force(qs["s3_scalar_max"](spark, sf_dir))
 
+    _pipeline_out: list[str] = []
+
     def run_pipeline_once() -> None:
         # flagship permit pipeline end-to-end, BOTH partitions, as ONE
         # job: partitioned parquet write (SURVEY §2.9 E1 "one job, two
@@ -168,6 +170,11 @@ def main() -> None:
         # and noop-forced each partition; the single-pass write drops the
         # full-frame persist serialization (~18.7s -> ~15.2s at sf0.1) and
         # measures a REAL sink, which noop did not.
+        # r16 (VERDICT r15 #2): one fixed output dir, mode("overwrite")
+        # per run — the scale row's pattern. The per-run mkdtemp+rmtree
+        # used to sit INSIDE the timed sample (~0.3-0.5 s of directory
+        # churn that is not the query); cleanup now happens at exit.
+        import atexit
         import shutil
         import tempfile
 
@@ -176,12 +183,13 @@ def main() -> None:
             write_pipeline_partitioned,
         )
 
+        if not _pipeline_out:
+            _pipeline_out.append(tempfile.mkdtemp(prefix="bench_pipeline_"))
+            atexit.register(
+                shutil.rmtree, _pipeline_out[0], ignore_errors=True
+            )
         permits_raw, universe = permits_from_tpch(spark, sf_dir)
-        out = tempfile.mkdtemp(prefix="bench_pipeline_")
-        try:
-            write_pipeline_partitioned(permits_raw, universe, out)
-        finally:
-            shutil.rmtree(out, ignore_errors=True)
+        write_pipeline_partitioned(permits_raw, universe, _pipeline_out[0])
 
     def run_simhash_production() -> None:
         # the xxhash64/64-bit production simhash (r01/r02 bench shape).
@@ -303,6 +311,17 @@ def main() -> None:
     times_cold: dict[str, float] = {}
     row_load: dict[str, list] = {}
     steady_runs = 3
+    # r16 (VERDICT r15 #2): the ONE real-sink headline row gets the
+    # scale rows' settle-between-samples treatment. Root cause of its
+    # r15 instability (driver median 7.2-7.4 vs min 4.45, c8 self-flag
+    # 1.66): back-to-back steady samples of the wide partitioned write
+    # inherit each other's heap churn and a ~1-in-6 sample hits a full-
+    # GC tail — measured A/B on identical code: no-settle samples
+    # 2.8-3.3 s with one 46.3 s blowup; settled samples 3.7-4.2 s with
+    # zero tail (OPTIMIZATION_r16.md). Settling runs OUTSIDE the timed
+    # sections and only CLEARS state, so it cannot flatter the row; the
+    # noop-sink rows keep the r6 back-to-back protocol unchanged.
+    settle_between = {"permit_pipeline"}
     for name, run in runnables:
         _settle_row()
         l0 = _loadavg()
@@ -311,6 +330,8 @@ def main() -> None:
         times_cold[name] = round(time.time() - t0, 3)
         samples = []
         for _ in range(steady_runs):
+            if name in settle_between:
+                _settle_row()
             t1 = time.time()
             run()
             samples.append(time.time() - t1)
@@ -842,7 +863,12 @@ def main() -> None:
             "(scratch-checkpoint free + clearCache + GC nudge, "
             "untimed) since r15 — before that, rows measured the "
             "predecessor's heap regime (r14 ev_funnel/text_tfidf "
-            "anomalies); queries_scale rows run at 10x the bench sf "
+            "anomalies); since r16 the one real-sink row "
+            "(permit_pipeline) also settles between steady samples "
+            "(scale-row protocol; its partitioned write hit ~1-in-6 "
+            "full-GC tails back-to-back) and writes one fixed "
+            "overwrite dir, mkdtemp/rmtree now outside the timing; "
+            "queries_scale rows run at 10x the bench sf "
             "under the SAME 1-cold + 3-steady-median protocol since "
             "r14 (single cold runs before that — r13 VERDICT #2) and "
             "are excluded from value; paired = per-row ratios against "

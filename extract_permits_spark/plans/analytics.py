@@ -104,6 +104,10 @@ _CHECK_FIRST = [
     "emb_neardup_lsh",
     "stream_decontaminate_ingest",
     "stream_semantic_decon_ingest",
+    # plans/analytics_rag.py — rag_context_assembly dropped its stale
+    # single-consumer shortlist checkpoint (r16; values oracle-matched
+    # at sf0.001+sf0.01)
+    "rag_context_assembly",
     # (c) the oldest r11-witnessed entries (ledger order), filling to
     # exactly 50; the rest of the r11 cohort defers to r17 where the
     # age bound will force it.
@@ -116,7 +120,6 @@ _CHECK_FIRST = [
     "emb_prototypicality",
     "ev_anomaly_zscore",
     "ev_attribution",
-    "ev_cube",
 ]
 
 # Base ref for this round's rotation audit (r13 final commit) and the

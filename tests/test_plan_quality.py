@@ -169,11 +169,14 @@ def test_no_bnlj_in_headline_plans(spark):
     # broadcast cross join (the q22-class sanctioned appearance — a
     # single-row NLJ is a broadcast variable, not a pairwise compare);
     # its data-side joins are checked to stay hash joins below.
-    # rag_context_assembly (r13): the epilogue is now a candidate-scale
-    # ARRAY PROGRAM over the checkpointed ≤10-row shortlist — its
-    # visible plan has no joins at all (the scorers' sanctioned 1-row
-    # NLJ scalars live behind the shortlist checkpoint), so it passes
-    # the main no-BNLJ loop rather than needing an exemption.
+    # rag_context_assembly (r13/r16): the epilogue is a candidate-scale
+    # ARRAY PROGRAM over the ≤10-row shortlist — it adds no joins of
+    # its own. r16 dropped the shortlist checkpoint (single consumer
+    # since the r13 rewrite; the checkpoint cost a full construction-
+    # time planning pass), so the scorers' sanctioned 1-row NLJ scalars
+    # are now VISIBLE in its plan instead of hidden behind a
+    # pre-planned RDD — it joins the exempt set on the same grounds as
+    # rag_bm25_topk, whose stats scalar that NLJ is.
     import bench
 
     qs = analytics.queries()
@@ -183,7 +186,12 @@ def test_no_bnlj_in_headline_plans(spark):
     # docs_hll_distinct's exact-baseline attach is a 1-row × 1-row
     # scalar cross join — same sanctioned class (Catalyst folds constant
     # join keys away, so it cannot be spelled as a hash join)
-    exempt = {"rag_bm25_topk", "text_tfidf", "docs_hll_distinct"}
+    exempt = {
+        "rag_bm25_topk",
+        "text_tfidf",
+        "docs_hll_distinct",
+        "rag_context_assembly",
+    }
     for name in bench.HEADLINE:
         if name not in qs or name in exempt:
             continue
@@ -191,9 +199,14 @@ def test_no_bnlj_in_headline_plans(spark):
     for name in exempt:
         plan = _plan(spark, name)
         assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan, name
-    # and the array-program epilogue really did shed every join
+    # and the array-program epilogue really did shed every join: the
+    # plan ABOVE the outermost aggregate (the candidate collect_list —
+    # the first HashAggregate from the root in the formatted tree) is
+    # higher-order array expressions only, no join node
     ctx_plan = _plan(spark, "rag_context_assembly")
-    assert "Join" not in ctx_plan and "CartesianProduct" not in ctx_plan
+    epilogue = ctx_plan[: ctx_plan.find("HashAggregate")]
+    assert epilogue and "Join" not in epilogue
+    assert "CartesianProduct" not in ctx_plan
 
 
 def test_semdedup_intra_cluster_join_not_allpairs(spark):
