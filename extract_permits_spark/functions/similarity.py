@@ -652,23 +652,38 @@ def _md5_band_rows(
 ) -> DataFrame:
     """(id, band_idx, band_hash) rows from signature columns — the band
     construction half of ``minhash_md5_bands``, factored so the pair
-    generator can feed it an already-materialized signature frame."""
+    generator can feed it an already-materialized signature frame.
+
+    One explode-of-array pass (r16), the same shape as ``lsh_bands``:
+    the old ``bands``-way unionByName re-evaluated the whole signature
+    subtree once per branch when the input was NOT a materialized RDD —
+    per-branch column pruning makes each branch's exchange distinct, so
+    ReuseExchange never fires (the r13 rag lesson) — and the
+    ``minhash_md5_bands`` consumers (the recall eval's candidate join,
+    the streaming index/batch scoring) fed it the raw aggregate:
+    measured 8 parquet scans + 8 shingle explodes in
+    dedup_minhash_recall's plan, now 1 scan + 1 Generate per reference.
+    Values identical: same (id, band_idx, band_hash) set, band_hash is
+    the same md5(concat(h...)) expression."""
     rows = num_hashes // bands
-    band_frames = None
-    for b in range(bands):
-        part = sigs.select(
-            F.col(id_col),
-            F.lit(b).alias("band_idx"),
-            F.md5(
-                F.concat(
-                    *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                ).cast("binary")
-            ).alias("band_hash"),
-        )
-        band_frames = (
-            part if band_frames is None else band_frames.unionByName(part)
-        )
-    return band_frames
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat(
+                                *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                            ).cast("binary")
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select(id_col, F.col("_band.band_idx"), F.col("_band.band_hash"))
 
 
 def _md5_banded_verified(

@@ -667,3 +667,121 @@ def test_minhash_dup_gate_decision(spark):
     assert _dup_gate_collapse(hot, "text") is True
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert _dup_gate_collapse(empty, "text") is False
+
+
+def test_dup_gate_from_groups_matches_standalone(spark):
+    """r16: the generators gate through _dup_gate_from_groups over the
+    shared _dup_groups frames; the decision must equal the documented
+    standalone rule on every shape the standalone test pins."""
+    from extract_permits_spark.functions.similarity import (
+        _dup_gate_collapse,
+        _dup_gate_from_groups,
+        _dup_groups,
+    )
+
+    fixtures = [
+        [(i, f"text number {i}") for i in range(10)],
+        [(i, f"pair text {i // 2}") for i in range(10)],
+        [(i, "hot flood body" if i < 8 else f"unique {i}") for i in range(10)],
+        [],
+    ]
+    for rows in fixtures:
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        _members, groups = _dup_groups(docs, "doc_id", "text")
+        assert _dup_gate_from_groups(groups) is _dup_gate_collapse(
+            docs, "text"
+        ), rows[:2]
+
+
+def test_simhash_table_packed_votes_match_per_row(spark):
+    """r16: the bit-packed two-lane vote aggregate must reproduce the
+    per-row simhash64 reference exactly — including vote ties (2*ones
+    == n leaves the bit clear) and high token multiplicity."""
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.functions.similarity import (
+        md5_long60,
+        simhash64,
+        simhash_table,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a"),
+            (2, "tie tie other other"),  # even-multiplicity tie shapes
+            (3, ""),
+            (4, "x"),
+            (5, ("hot " * 300 + "cold " * 299).strip()),  # heavy counts
+            (6, "a A a A mixed Case tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    packed = {
+        r["doc_id"]: r["_sim"]
+        for r in simhash_table(docs, "doc_id", "text").collect()
+    }
+    ref = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", simhash64("text").alias("s")).collect()
+        if r["s"] is not None
+    }
+    assert packed == ref
+    # md5 60-bit variant: all hashes non-negative, below 2^60
+    md5v = simhash_table(
+        docs, "doc_id", "text", n_bits=60, token_hash=md5_long60
+    ).collect()
+    assert md5v and all(0 <= r["_sim"] < (1 << 60) for r in md5v)
+
+
+def test_md5_band_rows_single_pass_and_values(spark):
+    """r16: minhash_md5_bands must plan ONE scan of its input (the old
+    bands-way union re-ran the signature aggregate per branch) and emit
+    the same (id, band_idx, band_hash) set as the per-band projection
+    spelling."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from extract_permits_spark.functions.similarity import (
+        _md5_sigs,
+        minhash_md5_bands,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"one two three four five w{i} w{i+1} shared tail") for i in range(12)],
+        "doc_id long, text string",
+    )
+    bands = minhash_md5_bands(docs)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bands.explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    assert tree.count("Union") == 0
+    assert tree.count("Scan ") == 1, tree
+    # value parity vs the explicit per-band projection
+    sh = docs.select(
+        F.col("doc_id"), word_shingles("text", 3).alias("_shingles")
+    ).where(F.size("_shingles") > 0)
+    sigs = _md5_sigs(
+        sh.select("doc_id", F.explode("_shingles").alias("_sh")), "doc_id", 8
+    )
+    expected = set()
+    for b in range(4):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat(*[F.col(f"h{b * 2 + r}") for r in range(2)]).cast(
+                    "binary"
+                )
+            ).alias("band_hash"),
+        )
+        expected |= {
+            (r["doc_id"], r["band_idx"], r["band_hash"]) for r in part.collect()
+        }
+    got = {
+        (r["doc_id"], r["band_idx"], r["band_hash"]) for r in bands.collect()
+    }
+    assert got == expected
